@@ -1,0 +1,442 @@
+"""Iteration-level (continuous-batching) scheduler.
+
+Role-parity with the reference's ``vllm/core/scheduler.py``: prompt-first
+batching under token/seq/padding budgets, decode steps with preemption by
+recompute or host-swap, copy-on-write planning, and — under phase
+disaggregation (``track_prompt_blocks``, the Splitwise fork's delta at
+vllm/core/scheduler.py:90-101,269-277,376-385) — a ``blocks_to_nw`` plan
+mapping each migrating sequence's transfer slot to the KV block ids that
+must move from the prefill pool to the decode pool.
+
+Pure host-side Python; emits plans that the executor/worker turn into
+device operations.
+"""
+from __future__ import annotations
+
+import enum
+import time
+from collections import deque
+from typing import Deque, Dict, Iterable, List, Optional, Tuple, Union
+
+from vllm_splitwise_tpu.config import CacheConfig, LoRAConfig, SchedulerConfig
+from vllm_splitwise_tpu.core.block_manager import AllocStatus, BlockSpaceManager
+from vllm_splitwise_tpu.core.policy import PolicyFactory
+from vllm_splitwise_tpu.logger import init_logger
+from vllm_splitwise_tpu.sequence import (Sequence, SequenceData,
+                                         SequenceGroup,
+                                         SequenceGroupMetadata,
+                                         SequenceStatus)
+from vllm_splitwise_tpu.utils import SeqToSlotMapper
+
+logger = init_logger(__name__)
+
+
+class PreemptionMode(enum.Enum):
+    """SWAP: move KV blocks to host memory and bring them back later.
+    RECOMPUTE: drop the KV and re-prefill from scratch (cheaper for
+    single-sequence groups, which dominate)."""
+    SWAP = enum.auto()
+    RECOMPUTE = enum.auto()
+
+
+class SchedulerOutputs:
+
+    def __init__(
+        self,
+        scheduled_seq_groups: List[SequenceGroup],
+        prompt_run: bool,
+        num_batched_tokens: int,
+        blocks_to_swap_in: Dict[int, int],
+        blocks_to_swap_out: Dict[int, int],
+        blocks_to_copy: Dict[int, List[int]],
+        blocks_to_nw: Dict[int, List[int]],
+        ignored_seq_groups: List[SequenceGroup],
+    ) -> None:
+        self.scheduled_seq_groups = scheduled_seq_groups
+        self.prompt_run = prompt_run
+        self.num_batched_tokens = num_batched_tokens
+        self.blocks_to_swap_in = blocks_to_swap_in
+        self.blocks_to_swap_out = blocks_to_swap_out
+        self.blocks_to_copy = blocks_to_copy
+        # slot_id -> KV block ids that must migrate prefill->decode pool
+        # for the owning sequence (Splitwise).
+        self.blocks_to_nw = blocks_to_nw
+        self.ignored_seq_groups = ignored_seq_groups
+        # Swap in and swap out should never happen in the same step.
+        assert not (blocks_to_swap_in and blocks_to_swap_out)
+
+    def is_empty(self) -> bool:
+        return (not self.scheduled_seq_groups and not self.blocks_to_swap_in
+                and not self.blocks_to_swap_out and not self.blocks_to_copy)
+
+
+class Scheduler:
+
+    def __init__(
+        self,
+        scheduler_config: SchedulerConfig,
+        cache_config: CacheConfig,
+        lora_config: Optional[LoRAConfig] = None,
+        track_prompt_blocks: bool = False,
+        enable_caching: bool = False,
+    ) -> None:
+        self.scheduler_config = scheduler_config
+        self.cache_config = cache_config
+        self.lora_config = lora_config
+        # True iff the engine runs phase-disaggregated (Splitwise): the
+        # scheduler must plan KV migrations for freshly prefilled seqs.
+        self.track_prompt_blocks = track_prompt_blocks
+
+        self.prompt_limit = min(scheduler_config.max_model_len,
+                                scheduler_config.max_num_batched_tokens)
+
+        self.policy = PolicyFactory.get_policy("fcfs")
+        self.block_manager = BlockSpaceManager(
+            block_size=cache_config.block_size,
+            num_gpu_blocks=cache_config.num_device_blocks or 0,
+            num_cpu_blocks=cache_config.num_host_blocks or 0,
+            sliding_window=cache_config.sliding_window,
+            enable_caching=enable_caching,
+        )
+
+        self.waiting: Deque[SequenceGroup] = deque()
+        self.running: Deque[SequenceGroup] = deque()
+        self.swapped: Deque[SequenceGroup] = deque()
+
+        self.seq_to_slot_mapper: Optional[SeqToSlotMapper] = (
+            SeqToSlotMapper() if track_prompt_blocks else None)
+
+    @property
+    def lora_enabled(self) -> bool:
+        return bool(self.lora_config)
+
+    # ---- request intake / teardown ----
+
+    def add_seq_group(self, seq_group: SequenceGroup) -> None:
+        self.waiting.append(seq_group)
+
+    def abort_seq_group(self, request_id: Union[str, Iterable[str]]) -> None:
+        if isinstance(request_id, str):
+            request_id = (request_id, )
+        request_ids = set(request_id)
+        for state_queue in (self.waiting, self.running, self.swapped):
+            aborted_groups: List[SequenceGroup] = []
+            for seq_group in state_queue:
+                if not request_ids:
+                    break
+                if seq_group.request_id in request_ids:
+                    aborted_groups.append(seq_group)
+                    request_ids.remove(seq_group.request_id)
+            for aborted_group in aborted_groups:
+                state_queue.remove(aborted_group)
+                for seq in aborted_group.get_seqs():
+                    if seq.is_finished():
+                        continue
+                    seq.status = SequenceStatus.FINISHED_ABORTED
+                    self.free_seq(seq)
+
+    def has_unfinished_seqs(self) -> bool:
+        return bool(self.waiting or self.running or self.swapped)
+
+    def get_num_unfinished_seq_groups(self) -> int:
+        return len(self.waiting) + len(self.running) + len(self.swapped)
+
+    # ---- the scheduling algorithm ----
+
+    def _track_nw_blocks(self, seq_group: SequenceGroup,
+                         blocks_to_nw: Dict[int, List[int]]) -> None:
+        """Record KV blocks to migrate for sequences that just (or are
+        about to) cross the prefill->decode boundary: prefill output
+        (output_len == 0) and the first decode step (output_len == 1),
+        matching the reference's output_len <= 1 rule on both sides of the
+        split (vllm/core/scheduler.py:269-277,376-385)."""
+        if not self.track_prompt_blocks:
+            return
+        assert self.seq_to_slot_mapper is not None
+        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
+            if seq.get_output_len() <= 1:
+                slot_id = self.seq_to_slot_mapper.get_slot_id(seq.seq_id)
+                block_ids = self.block_manager.get_block_table(seq)
+                blocks_to_nw[slot_id] = list(dict.fromkeys(block_ids))
+
+    def _schedule(self) -> SchedulerOutputs:
+        blocks_to_swap_in: Dict[int, int] = {}
+        blocks_to_swap_out: Dict[int, int] = {}
+        blocks_to_copy: Dict[int, List[int]] = {}
+        blocks_to_nw: Dict[int, List[int]] = {}
+
+        now = time.monotonic()
+
+        # --- Prompt phase: batch waiting prompts (prompts-first policy,
+        # unless sequences are swapped out — those must resume first). ---
+        if not self.swapped:
+            ignored_seq_groups: List[SequenceGroup] = []
+            scheduled: List[SequenceGroup] = []
+            seq_lens: List[int] = []
+            num_curr_seqs = sum(
+                sg.get_max_num_running_seqs() for sg in self.running)
+
+            while self.waiting:
+                seq_group = self.waiting[0]
+                waiting_seqs = seq_group.get_seqs(
+                    status=SequenceStatus.WAITING)
+                assert len(waiting_seqs) == 1, (
+                    "Waiting sequence group should have only one prompt "
+                    "sequence.")
+                num_prompt_tokens = waiting_seqs[0].get_len()
+                if num_prompt_tokens > self.prompt_limit:
+                    logger.warning(
+                        "Input prompt (%d tokens) is too long and exceeds "
+                        "limit of %d", num_prompt_tokens, self.prompt_limit)
+                    for seq in waiting_seqs:
+                        seq.status = SequenceStatus.FINISHED_IGNORED
+                    ignored_seq_groups.append(seq_group)
+                    self.waiting.popleft()
+                    continue
+
+                can_allocate = self.block_manager.can_allocate(seq_group)
+                if can_allocate == AllocStatus.LATER:
+                    break
+                if can_allocate == AllocStatus.NEVER:
+                    logger.warning(
+                        "Input prompt (%d tokens) is too long and exceeds "
+                        "the capacity of the KV cache", num_prompt_tokens)
+                    for seq in waiting_seqs:
+                        seq.status = SequenceStatus.FINISHED_IGNORED
+                    ignored_seq_groups.append(seq_group)
+                    self.waiting.popleft()
+                    continue
+
+                # Token budget: batches pad to the longest prompt, so the
+                # cost of the batch is num_seqs * max_len.
+                new_seq_lens = seq_lens + [num_prompt_tokens]
+                num_batched_tokens = len(new_seq_lens) * max(new_seq_lens)
+                if (num_batched_tokens
+                        > self.scheduler_config.max_num_batched_tokens):
+                    break
+
+                num_new_seqs = seq_group.get_max_num_running_seqs()
+                if (num_curr_seqs + num_new_seqs
+                        > self.scheduler_config.max_num_seqs):
+                    break
+
+                num_paddings = num_batched_tokens - sum(new_seq_lens)
+                if num_paddings > self.scheduler_config.max_paddings:
+                    break
+
+                seq_lens = new_seq_lens
+                self.waiting.popleft()
+                self._allocate(seq_group)
+                self.running.append(seq_group)
+                num_curr_seqs += num_new_seqs
+                scheduled.append(seq_group)
+                seq_group.maybe_set_first_scheduled_time(time.time())
+
+            if scheduled or ignored_seq_groups:
+                for seq_group in scheduled:
+                    self._track_nw_blocks(seq_group, blocks_to_nw)
+                return SchedulerOutputs(
+                    scheduled_seq_groups=scheduled,
+                    prompt_run=True,
+                    num_batched_tokens=(len(seq_lens) *
+                                        max(seq_lens) if seq_lens else 0),
+                    blocks_to_swap_in=blocks_to_swap_in,
+                    blocks_to_swap_out=blocks_to_swap_out,
+                    blocks_to_copy=blocks_to_copy,
+                    blocks_to_nw=blocks_to_nw,
+                    ignored_seq_groups=ignored_seq_groups,
+                )
+
+        # --- Decode phase. ---
+        self.running = self.policy.sort_by_priority(now, self.running)
+
+        running: Deque[SequenceGroup] = deque()
+        preempted: List[SequenceGroup] = []
+        while self.running:
+            seq_group = self.running.popleft()
+            while not self.block_manager.can_append_slot(seq_group):
+                if self.running:
+                    # Preempt the lowest-priority group.
+                    victim_seq_group = self.running.pop()
+                    self._preempt(victim_seq_group, blocks_to_swap_out)
+                    preempted.append(victim_seq_group)
+                else:
+                    # Preempt the current group itself.
+                    self._preempt(seq_group, blocks_to_swap_out)
+                    preempted.append(seq_group)
+                    break
+            else:
+                self._append_slot(seq_group, blocks_to_copy)
+                running.append(seq_group)
+        self.running = running
+
+        # Swap in previously preempted groups if there is room.
+        if not preempted:
+            self.swapped = self.policy.sort_by_priority(now, self.swapped)
+            num_curr_seqs = sum(
+                sg.get_max_num_running_seqs() for sg in self.running)
+            while self.swapped:
+                seq_group = self.swapped[0]
+                if not self.block_manager.can_swap_in(seq_group):
+                    break
+                num_new_seqs = seq_group.get_max_num_running_seqs()
+                if (num_curr_seqs + num_new_seqs
+                        > self.scheduler_config.max_num_seqs):
+                    break
+                self.swapped.popleft()
+                self._swap_in(seq_group, blocks_to_swap_in)
+                self._append_slot(seq_group, blocks_to_copy)
+                num_curr_seqs += num_new_seqs
+                self.running.append(seq_group)
+
+        for seq_group in self.running:
+            self._track_nw_blocks(seq_group, blocks_to_nw)
+
+        num_batched_tokens = sum(
+            seq_group.num_seqs(status=SequenceStatus.RUNNING)
+            for seq_group in self.running)
+
+        return SchedulerOutputs(
+            scheduled_seq_groups=list(self.running),
+            prompt_run=False,
+            num_batched_tokens=num_batched_tokens,
+            blocks_to_swap_in=blocks_to_swap_in,
+            blocks_to_swap_out=blocks_to_swap_out,
+            blocks_to_copy=blocks_to_copy,
+            blocks_to_nw=blocks_to_nw,
+            ignored_seq_groups=[],
+        )
+
+    def schedule(self) -> Tuple[List[SequenceGroupMetadata], SchedulerOutputs]:
+        scheduler_outputs = self._schedule()
+        now = time.time()
+
+        seq_group_metadata_list: List[SequenceGroupMetadata] = []
+        for seq_group in scheduler_outputs.scheduled_seq_groups:
+            seq_data: Dict[int, SequenceData] = {}
+            block_tables: Dict[int, List[int]] = {}
+            for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
+                seq_id = seq.seq_id
+                seq_data[seq_id] = seq.data
+                block_tables[seq_id] = self.block_manager.get_block_table(seq)
+                self.block_manager.access_all_blocks_in_seq(seq, now)
+
+            prefix_len = 0
+            if scheduler_outputs.prompt_run:
+                computed = self.block_manager.get_common_computed_block_ids(
+                    seq_group)
+                prefix_len = len(computed) * self.cache_config.block_size
+                # Never let the "prefix" swallow the whole prompt — at
+                # least one token must be computed to produce logits.
+                first_seq = seq_group.get_seqs(
+                    status=SequenceStatus.RUNNING)[0]
+                if prefix_len >= first_seq.get_len():
+                    prefix_len = (first_seq.get_len() - 1) // \
+                        self.cache_config.block_size * self.cache_config.block_size
+
+            seq_group_metadata_list.append(
+                SequenceGroupMetadata(
+                    request_id=seq_group.request_id,
+                    is_prompt=scheduler_outputs.prompt_run,
+                    seq_data=seq_data,
+                    sampling_params=seq_group.sampling_params,
+                    block_tables=block_tables,
+                    prefix_len=prefix_len,
+                ))
+        # Blocks scheduled this step will have been written by the end of
+        # the step: mark them computed for prefix caching.
+        for seq_group in scheduler_outputs.scheduled_seq_groups:
+            self.block_manager.mark_blocks_as_computed(seq_group)
+        return seq_group_metadata_list, scheduler_outputs
+
+    # ---- sequence lifecycle hooks ----
+
+    def fork_seq(self, parent_seq: Sequence, child_seq: Sequence) -> None:
+        self.block_manager.fork(parent_seq, child_seq)
+        if self.seq_to_slot_mapper is not None:
+            self.seq_to_slot_mapper.set_seq(child_seq.seq_id)
+
+    def free_seq(self, seq: Sequence) -> None:
+        self.block_manager.free(seq)
+        if (self.seq_to_slot_mapper is not None
+                and seq.seq_id in self.seq_to_slot_mapper.seq_to_slot):
+            self.seq_to_slot_mapper.free_seq(seq.seq_id)
+
+    def free_finished_seq_groups(self) -> None:
+        self.running = deque(seq_group for seq_group in self.running
+                             if not seq_group.is_finished())
+
+    # ---- internals ----
+
+    def _allocate(self, seq_group: SequenceGroup) -> None:
+        self.block_manager.allocate(seq_group)
+        for seq in seq_group.get_seqs(status=SequenceStatus.WAITING):
+            seq.status = SequenceStatus.RUNNING
+            if self.seq_to_slot_mapper is not None:
+                self.seq_to_slot_mapper.set_seq(seq.seq_id)
+
+    def _append_slot(
+        self,
+        seq_group: SequenceGroup,
+        blocks_to_copy: Dict[int, List[int]],
+    ) -> None:
+        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
+            cows = self.block_manager.append_slot(seq)
+            if cows is not None:
+                src_block, dst_block = cows
+                blocks_to_copy.setdefault(src_block, []).append(dst_block)
+
+    def _preempt(
+        self,
+        seq_group: SequenceGroup,
+        blocks_to_swap_out: Dict[int, int],
+        preemption_mode: Optional[PreemptionMode] = None,
+    ) -> None:
+        if preemption_mode is None:
+            if seq_group.get_max_num_running_seqs() == 1:
+                preemption_mode = PreemptionMode.RECOMPUTE
+            else:
+                preemption_mode = PreemptionMode.SWAP
+        if preemption_mode == PreemptionMode.RECOMPUTE:
+            self._preempt_by_recompute(seq_group)
+        elif preemption_mode == PreemptionMode.SWAP:
+            self._preempt_by_swap(seq_group, blocks_to_swap_out)
+        else:
+            raise AssertionError("Invalid preemption mode.")
+
+    def _preempt_by_recompute(self, seq_group: SequenceGroup) -> None:
+        seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
+        assert len(seqs) == 1
+        for seq in seqs:
+            seq.status = SequenceStatus.WAITING
+            self.block_manager.free(seq)
+            if (self.seq_to_slot_mapper is not None
+                    and seq.seq_id in self.seq_to_slot_mapper.seq_to_slot):
+                self.seq_to_slot_mapper.free_seq(seq.seq_id)
+        self.waiting.appendleft(seq_group)
+
+    def _preempt_by_swap(
+        self,
+        seq_group: SequenceGroup,
+        blocks_to_swap_out: Dict[int, int],
+    ) -> None:
+        if not self.block_manager.can_swap_out(seq_group):
+            # There is no way this group can continue now or later.
+            raise RuntimeError(
+                "Aborted due to the lack of host swap space. Please "
+                "increase the swap space to avoid this error.")
+        mapping = self.block_manager.swap_out(seq_group)
+        blocks_to_swap_out.update(mapping)
+        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
+            seq.status = SequenceStatus.SWAPPED
+        self.swapped.append(seq_group)
+
+    def _swap_in(
+        self,
+        seq_group: SequenceGroup,
+        blocks_to_swap_in: Dict[int, int],
+    ) -> None:
+        mapping = self.block_manager.swap_in(seq_group)
+        blocks_to_swap_in.update(mapping)
+        for seq in seq_group.get_seqs(status=SequenceStatus.SWAPPED):
+            seq.status = SequenceStatus.RUNNING
