@@ -2,18 +2,25 @@
 
 Tests run on a virtual 8-device CPU mesh so that sharding/collective code
 paths are exercised without TPU hardware (Pallas kernels run in interpret
-mode on CPU).  Set VST_TEST_REAL_TPU=1 to run on real devices instead.
+mode on CPU).  Set VST_TEST_REAL_TPU=1 to run on the real device instead.
+
+NOTE: this machine's axon sitecustomize force-registers the TPU backend
+and pins jax_platforms, so plain JAX_PLATFORMS=cpu in the env is not
+enough — we must override via jax.config before any backend init.
 """
 import os
 
-if os.environ.get("VST_TEST_REAL_TPU", "0") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import pytest
+
+ON_REAL_TPU = os.environ.get("VST_TEST_REAL_TPU", "0") == "1"
+
+if not ON_REAL_TPU:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
-
-import pytest  # noqa: E402
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture

@@ -1,0 +1,69 @@
+"""Prefill (prompt-phase) attention.
+
+Role-parity with the reference's prefill paths (flash_attn_func /
+context_attention_fwd, vllm/model_executor/layers/attention/backends/
+flash_attn.py:88-125).  The batched-prompt path is a dense causal
+attention over padded [B, T] prompts — expressed in XLA ops, which fuse
+the mask+softmax chain on TPU; a Pallas flash kernel can replace the core
+later without changing callers.  Supports GQA, ALiBi-free RoPE models,
+sliding windows, and attention against a cached prefix (prefix caching /
+chunked prefill) via an extra paged-KV context block.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def prefill_attention(
+    q: jax.Array,          # [B, T, num_q_heads, head_dim]
+    k: jax.Array,          # [B, T, num_kv_heads, head_dim]
+    v: jax.Array,
+    seq_lens: jax.Array,   # [B] int32 — valid (unpadded) lengths
+    *,
+    scale: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+    start_positions: Optional[jax.Array] = None,  # [B] absolute pos of q[0]
+) -> jax.Array:
+    """Causal self-attention over padded prompt batches.
+
+    Padding tokens (position >= seq_len) attend only to themselves
+    numerically (their output is garbage and later discarded).  When
+    ``start_positions`` is given, query block positions are offset (used
+    for chunked prefill where earlier tokens live in the KV cache — the
+    caller must then also pass those cached tokens in k/v).
+    """
+    batch, q_len, num_q_heads, head_dim = q.shape
+    _, kv_len, num_kv_heads, _ = k.shape
+    if scale is None:
+        scale = 1.0 / (head_dim**0.5)
+    group = num_q_heads // num_kv_heads
+
+    qf = q.astype(jnp.float32).reshape(batch, q_len, num_kv_heads, group,
+                                       head_dim)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    # [B, kvh, g, Tq, Tk]
+    s = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf) * scale
+
+    q_pos = jnp.arange(q_len)[None, :]  # [1, Tq]
+    if start_positions is not None:
+        q_pos = q_pos + start_positions[:, None]
+    k_pos = jnp.arange(kv_len)[None, :]
+
+    causal = q_pos[:, :, None] >= k_pos[:, None, :]      # [B, Tq, Tk]
+    valid = k_pos[:, None, :] < seq_lens[:, None, None]  # [B, 1->Tq, Tk]
+    mask = jnp.logical_and(causal, valid)
+    if sliding_window is not None:
+        in_window = q_pos[:, :, None] - k_pos[:, None, :] < sliding_window
+        mask = jnp.logical_and(mask, in_window)
+
+    s = jnp.where(mask[:, None, None, :, :], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", p, vf)
+    return out.reshape(batch, q_len, num_q_heads, head_dim).astype(q.dtype)
