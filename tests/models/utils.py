@@ -1,0 +1,81 @@
+"""Tiny locally-constructed models for HF-oracle tests (no network)."""
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def tiny_llama_config(vocab_size=256,
+                      hidden_size=64,
+                      layers=2,
+                      heads=4,
+                      kv_heads=2,
+                      intermediate=128,
+                      max_pos=512):
+    from transformers import LlamaConfig
+    return LlamaConfig(
+        vocab_size=vocab_size,
+        hidden_size=hidden_size,
+        intermediate_size=intermediate,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
+        max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+    )
+
+
+def tiny_opt_config(vocab_size=256,
+                    hidden_size=64,
+                    layers=2,
+                    heads=4,
+                    ffn=128,
+                    max_pos=512):
+    from transformers import OPTConfig
+    return OPTConfig(
+        vocab_size=vocab_size,
+        hidden_size=hidden_size,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        ffn_dim=ffn,
+        max_position_embeddings=max_pos,
+        word_embed_proj_dim=hidden_size,
+        do_layer_norm_before=True,
+    )
+
+
+def hf_model_and_weights(config, seed=0):
+    """Build a random torch HF model; return (torch_model, state_dict items)."""
+    import torch
+    from transformers import AutoModelForCausalLM
+    torch.manual_seed(seed)
+    model = AutoModelForCausalLM.from_config(config)
+    model = model.float().eval()
+    weights = [(k, v.detach().numpy()) for k, v in model.state_dict().items()]
+    return model, weights
+
+
+def make_kv_caches(num_layers: int,
+                   num_kv_heads: int,
+                   head_dim: int,
+                   num_pages=32,
+                   page_size=16,
+                   dtype=jnp.float32) -> List[Tuple[jax.Array, jax.Array]]:
+    return [(jnp.zeros((num_kv_heads, num_pages, page_size, head_dim),
+                       dtype=dtype),
+             jnp.zeros((num_kv_heads, num_pages, page_size, head_dim),
+                       dtype=dtype)) for _ in range(num_layers)]
+
+
+def save_local_checkpoint(config, weights, tmpdir: str) -> str:
+    """Write config.json + model.safetensors so the engine can load it as a
+    local 'checkpoint directory'."""
+    import os
+    from safetensors.numpy import save_file
+    os.makedirs(tmpdir, exist_ok=True)
+    config.save_pretrained(tmpdir)
+    tensors = {k: np.ascontiguousarray(v) for k, v in weights}
+    save_file(tensors, os.path.join(tmpdir, "model.safetensors"))
+    return tmpdir

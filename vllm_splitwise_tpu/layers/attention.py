@@ -1,0 +1,115 @@
+"""Attention facade: routes prefill/decode to the right kernel and writes
+KV to the paged cache.
+
+Role-parity with the reference's Attention facade + backends
+(vllm/model_executor/layers/attention/attention.py:15, backends/
+flash_attn.py): prefill -> dense causal attention (+ cache write);
+decode -> Pallas paged attention (XLA-reference fallback off-TPU).
+
+Splitwise hook: ``kv_push_fn`` is invoked after the cache write of every
+layer during prefill so freshly written pages can stream to the decode
+pool overlapping with the remaining layers' compute (analog of the
+reference's per-layer put(), flash_attn.py:82-86).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vllm_splitwise_tpu.models.input_metadata import (DecodeMetadata,
+                                                      PrefillMetadata)
+from vllm_splitwise_tpu.ops.kv_cache import write_to_kv_cache
+from vllm_splitwise_tpu.ops.paged_attention import (paged_attention,
+                                                    paged_attention_reference)
+from vllm_splitwise_tpu.ops.prefill_attention import prefill_attention
+
+KVCache = Tuple[jax.Array, jax.Array]
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+class Attention:
+    """One attention layer's compute over the paged KV cache."""
+
+    def __init__(
+        self,
+        num_heads: int,
+        head_dim: int,
+        scale: float,
+        num_kv_heads: Optional[int] = None,
+        sliding_window: Optional[int] = None,
+        kv_scale: float = 1.0,
+    ) -> None:
+        self.num_heads = num_heads
+        self.head_dim = head_dim
+        self.scale = scale
+        self.num_kv_heads = num_kv_heads or num_heads
+        self.sliding_window = sliding_window
+        self.kv_scale = kv_scale
+        # Splitwise: set by the worker when phase-disaggregated
+        # (layer_id, k_pages, v_pages) -> None.
+        self.layer_id: Optional[int] = None
+        self.kv_push_fn: Optional[Callable] = None
+
+    def __call__(
+        self,
+        q: jax.Array,  # prefill: [B, T, H*d]; decode: [B, 1, H*d]
+        k: jax.Array,  # [..., KVH*d]
+        v: jax.Array,
+        kv_cache: KVCache,
+        metadata,
+    ) -> Tuple[jax.Array, KVCache]:
+        k_pages, v_pages = kv_cache
+        if isinstance(metadata, PrefillMetadata):
+            return self._prefill(q, k, v, k_pages, v_pages, metadata)
+        return self._decode(q, k, v, k_pages, v_pages, metadata)
+
+    def _prefill(self, q, k, v, k_pages, v_pages,
+                 md: PrefillMetadata) -> Tuple[jax.Array, KVCache]:
+        batch, seq_len, _ = q.shape
+        q = q.reshape(batch, seq_len, self.num_heads, self.head_dim)
+        k = k.reshape(batch, seq_len, self.num_kv_heads, self.head_dim)
+        v = v.reshape(batch, seq_len, self.num_kv_heads, self.head_dim)
+
+        k_pages, v_pages = write_to_kv_cache(
+            k.reshape(batch * seq_len, self.num_kv_heads, self.head_dim),
+            v.reshape(batch * seq_len, self.num_kv_heads, self.head_dim),
+            k_pages, v_pages, md.slot_mapping.reshape(-1))
+
+        if self.kv_push_fn is not None:
+            self.kv_push_fn(self.layer_id, k_pages, v_pages)
+
+        out = prefill_attention(
+            q, k, v, md.seq_lens,
+            scale=self.scale,
+            sliding_window=self.sliding_window,
+            start_positions=md.start_positions,
+        )
+        return out.reshape(batch, seq_len, -1), (k_pages, v_pages)
+
+    def _decode(self, q, k, v, k_pages, v_pages,
+                md: DecodeMetadata) -> Tuple[jax.Array, KVCache]:
+        batch = q.shape[0]
+        q = q.reshape(batch, self.num_heads, self.head_dim)
+        k = k.reshape(batch, self.num_kv_heads, self.head_dim)
+        v = v.reshape(batch, self.num_kv_heads, self.head_dim)
+
+        k_pages, v_pages = write_to_kv_cache(k, v, k_pages, v_pages,
+                                             md.slot_mapping)
+
+        # Sliding-window contexts are capped by the runner via
+        # context_lens/block_tables, so the kernel needs no window logic.
+        if _use_pallas():
+            out = paged_attention(q, k_pages, v_pages, md.block_tables,
+                                  md.context_lens, scale=self.scale,
+                                  kv_scale=self.kv_scale)
+        else:
+            out = paged_attention_reference(q, k_pages, v_pages,
+                                            md.block_tables, md.context_lens,
+                                            scale=self.scale,
+                                            kv_scale=self.kv_scale)
+        return out.reshape(batch, 1, -1), (k_pages, v_pages)

@@ -1,0 +1,279 @@
+"""Llama-family causal LM (also serves Mistral, Aquila, InternLM-style
+checkpoints — the same role the reference's vllm/model_executor/models/
+llama.py plays for its variants).
+
+TPU-native design notes:
+* Written for FULL logical shapes; tensor parallelism is expressed purely
+  through the PartitionSpecs in :meth:`param_specs` — GSPMD inserts the
+  all-reduces the reference hand-coded in Row/ColumnParallelLinear.
+* q/k/v and gate/up projections stay separate weights (the reference
+  fuses them to cut CUDA kernel launches — a GPU-ism with no TPU
+  benefit), which keeps shardings clean and HF weight loading 1:1.
+* The layer loop is unrolled under jit so each layer's paged-KV write can
+  carry the Splitwise per-layer push hook.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vllm_splitwise_tpu.layers.activation import get_act_fn
+from vllm_splitwise_tpu.layers.attention import Attention, KVCache
+from vllm_splitwise_tpu.layers.layernorm import rms_norm
+from vllm_splitwise_tpu.layers.rotary_embedding import get_rope
+from vllm_splitwise_tpu.utils import round_up
+
+VOCAB_ALIGN = 128
+
+
+class LlamaForCausalLM:
+
+    # Subclasses (qwen2 etc.) tweak these.
+    qkv_bias: bool = False
+    tie_word_embeddings_default: bool = False
+
+    def __init__(self, config, dtype=jnp.bfloat16,
+                 sliding_window: Optional[int] = None) -> None:
+        self.config = config
+        self.dtype = dtype
+        self.hidden_size = config.hidden_size
+        self.num_layers = config.num_hidden_layers
+        self.num_heads = config.num_attention_heads
+        self.num_kv_heads = getattr(config, "num_key_value_heads",
+                                    self.num_heads)
+        self.head_dim = getattr(config, "head_dim", None) or \
+            self.hidden_size // self.num_heads
+        self.intermediate_size = config.intermediate_size
+        self.vocab_size = config.vocab_size
+        self.padded_vocab = round_up(config.vocab_size, VOCAB_ALIGN)
+        self.rms_eps = getattr(config, "rms_norm_eps", 1e-6)
+        self.act_fn = get_act_fn(getattr(config, "hidden_act", "silu"))
+        self.tie_word_embeddings = getattr(config, "tie_word_embeddings",
+                                           self.tie_word_embeddings_default)
+        self.sliding_window = sliding_window if sliding_window is not None \
+            else getattr(config, "sliding_window", None)
+
+        rope_theta = getattr(config, "rope_theta", 10000.0)
+        max_pos = getattr(config, "max_position_embeddings", 8192)
+        self.rope = get_rope(
+            self.head_dim,
+            rotary_dim=self.head_dim,
+            max_position=max_pos,
+            base=rope_theta,
+            is_neox_style=True,
+            rope_scaling=getattr(config, "rope_scaling", None),
+        )
+        scale = self.head_dim**-0.5
+        self.attn = [
+            Attention(self.num_heads, self.head_dim, scale,
+                      self.num_kv_heads, self.sliding_window)
+            for _ in range(self.num_layers)
+        ]
+
+    # ---- parameter pytree ----
+
+    def _layer_shapes(self) -> Dict[str, Tuple[int, ...]]:
+        h, nh, nkv, hd, im = (self.hidden_size, self.num_heads,
+                              self.num_kv_heads, self.head_dim,
+                              self.intermediate_size)
+        shapes = {
+            "input_layernorm": (h, ),
+            "q_proj": (h, nh * hd),
+            "k_proj": (h, nkv * hd),
+            "v_proj": (h, nkv * hd),
+            "o_proj": (nh * hd, h),
+            "post_attention_layernorm": (h, ),
+            "gate_proj": (h, im),
+            "up_proj": (h, im),
+            "down_proj": (im, h),
+        }
+        if self.qkv_bias:
+            shapes.update({
+                "q_bias": (nh * hd, ),
+                "k_bias": (nkv * hd, ),
+                "v_bias": (nkv * hd, ),
+            })
+        return shapes
+
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        """Random ("dummy" load-format) initialization."""
+        def make(key, shape):
+            if len(shape) == 1:
+                return jnp.ones(shape, dtype=self.dtype)
+            fan_in = shape[0]
+            return (jax.random.normal(key, shape, dtype=jnp.float32) *
+                    (1.0 / np.sqrt(fan_in))).astype(self.dtype)
+
+        keys = jax.random.split(rng, self.num_layers + 2)
+        layers = []
+        for i in range(self.num_layers):
+            lkeys = jax.random.split(keys[i], 16)
+            layer = {}
+            for j, (name, shape) in enumerate(self._layer_shapes().items()):
+                layer[name] = make(lkeys[j], shape)
+            layers.append(layer)
+        params = {
+            "embed_tokens": make(keys[-2], (self.padded_vocab,
+                                            self.hidden_size)),
+            "layers": layers,
+            "norm": jnp.ones((self.hidden_size, ), dtype=self.dtype),
+        }
+        if not self.tie_word_embeddings:
+            params["lm_head"] = make(keys[-1], (self.hidden_size,
+                                                self.padded_vocab))
+        return params
+
+    def param_specs(self) -> Dict[str, Any]:
+        """PartitionSpec pytree matching init_params' structure."""
+        layer_spec = {
+            "input_layernorm": P(),
+            "q_proj": P(None, "model"),
+            "k_proj": P(None, "model"),
+            "v_proj": P(None, "model"),
+            "o_proj": P("model", None),
+            "post_attention_layernorm": P(),
+            "gate_proj": P(None, "model"),
+            "up_proj": P(None, "model"),
+            "down_proj": P("model", None),
+        }
+        if self.qkv_bias:
+            layer_spec.update({
+                "q_bias": P("model"),
+                "k_bias": P("model"),
+                "v_bias": P("model"),
+            })
+        specs = {
+            "embed_tokens": P("model", None),
+            "layers": [dict(layer_spec) for _ in range(self.num_layers)],
+            "norm": P(),
+        }
+        if not self.tie_word_embeddings:
+            specs["lm_head"] = P(None, "model")
+        return specs
+
+    # ---- forward ----
+
+    def __call__(
+        self,
+        params: Dict[str, Any],
+        input_ids: jax.Array,   # [B, T]
+        positions: jax.Array,   # [B, T]
+        kv_caches: List[KVCache],
+        metadata,
+    ) -> Tuple[jax.Array, List[KVCache]]:
+        hidden = jnp.take(params["embed_tokens"], input_ids, axis=0,
+                          mode="clip")
+        new_caches: List[KVCache] = []
+        for i in range(self.num_layers):
+            lp = params["layers"][i]
+            residual = hidden
+            x = rms_norm(hidden, lp["input_layernorm"], self.rms_eps)
+
+            q = jnp.dot(x, lp["q_proj"])
+            k = jnp.dot(x, lp["k_proj"])
+            v = jnp.dot(x, lp["v_proj"])
+            if self.qkv_bias:
+                q = q + lp["q_bias"]
+                k = k + lp["k_bias"]
+                v = v + lp["v_bias"]
+
+            b, t, _ = q.shape
+            q = q.reshape(b, t, self.num_heads, self.head_dim)
+            k = k.reshape(b, t, self.num_kv_heads, self.head_dim)
+            q, k = self.rope(positions, q, k)
+            q = q.reshape(b, t, -1)
+            k = k.reshape(b, t, -1)
+
+            attn_out, cache = self.attn[i](q, k, v, kv_caches[i], metadata)
+            new_caches.append(cache)
+            hidden = residual + jnp.dot(attn_out, lp["o_proj"])
+
+            residual = hidden
+            x = rms_norm(hidden, lp["post_attention_layernorm"],
+                         self.rms_eps)
+            gate = jnp.dot(x, lp["gate_proj"])
+            up = jnp.dot(x, lp["up_proj"])
+            hidden = residual + jnp.dot(self.act_fn(gate) * up,
+                                        lp["down_proj"])
+
+        hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+        return hidden, new_caches
+
+    def compute_logits(self, params: Dict[str, Any],
+                       hidden: jax.Array) -> jax.Array:
+        if self.tie_word_embeddings:
+            lm_head = params["embed_tokens"].T
+        else:
+            lm_head = params["lm_head"]
+        logits = jnp.dot(hidden, lm_head, preferred_element_type=jnp.float32)
+        return logits[..., :self.vocab_size]
+
+    # ---- HF checkpoint loading ----
+
+    _HF_LAYER_MAP = {
+        "self_attn.q_proj.weight": ("q_proj", True),
+        "self_attn.k_proj.weight": ("k_proj", True),
+        "self_attn.v_proj.weight": ("v_proj", True),
+        "self_attn.o_proj.weight": ("o_proj", True),
+        "self_attn.q_proj.bias": ("q_bias", False),
+        "self_attn.k_proj.bias": ("k_bias", False),
+        "self_attn.v_proj.bias": ("v_bias", False),
+        "mlp.gate_proj.weight": ("gate_proj", True),
+        "mlp.up_proj.weight": ("up_proj", True),
+        "mlp.down_proj.weight": ("down_proj", True),
+        "input_layernorm.weight": ("input_layernorm", False),
+        "post_attention_layernorm.weight": ("post_attention_layernorm",
+                                            False),
+    }
+
+    def load_weights(
+        self,
+        weights: Iterable[Tuple[str, np.ndarray]],
+    ) -> Dict[str, Any]:
+        """Consume (hf_name, array) pairs into the runtime param pytree.
+
+        Torch linear weights are [out, in]; ours are [in, out] — transposed
+        here, once, at load time.
+        """
+        layers: List[Dict[str, Any]] = [{} for _ in range(self.num_layers)]
+        params: Dict[str, Any] = {"layers": layers}
+
+        def put_embed(name, w):
+            w = np.asarray(w, dtype=np.float32)
+            if w.shape[0] < self.padded_vocab:
+                w = np.pad(w, ((0, self.padded_vocab - w.shape[0]), (0, 0)))
+            params[name] = jnp.asarray(w, dtype=self.dtype)
+
+        for name, w in weights:
+            if name.startswith("model."):
+                name = name[len("model."):]
+            if "rotary_emb.inv_freq" in name:
+                continue
+            if name == "embed_tokens.weight":
+                put_embed("embed_tokens", w)
+            elif name == "lm_head.weight":
+                if not self.tie_word_embeddings:
+                    w = np.asarray(w, dtype=np.float32).T  # [H, V]
+                    if w.shape[1] < self.padded_vocab:
+                        w = np.pad(w, ((0, 0),
+                                       (0, self.padded_vocab - w.shape[1])))
+                    params["lm_head"] = jnp.asarray(w, dtype=self.dtype)
+            elif name == "norm.weight":
+                params["norm"] = jnp.asarray(w, dtype=self.dtype)
+            elif name.startswith("layers."):
+                rest = name.split(".", 2)
+                layer_idx = int(rest[1])
+                sub = rest[2]
+                if sub not in self._HF_LAYER_MAP:
+                    continue
+                our_name, transpose = self._HF_LAYER_MAP[sub]
+                w = np.asarray(w, dtype=np.float32)
+                if transpose:
+                    w = w.T
+                layers[layer_idx][our_name] = jnp.asarray(w,
+                                                          dtype=self.dtype)
+        return params
