@@ -75,7 +75,26 @@ def save_local_checkpoint(config, weights, tmpdir: str) -> str:
     import os
     from safetensors.numpy import save_file
     os.makedirs(tmpdir, exist_ok=True)
+    if getattr(config, "architectures", None) is None:
+        config.architectures = [
+            config.__class__.__name__.replace("Config", "ForCausalLM")]
     config.save_pretrained(tmpdir)
     tensors = {k: np.ascontiguousarray(v) for k, v in weights}
     save_file(tensors, os.path.join(tmpdir, "model.safetensors"))
+    return tmpdir
+
+
+def save_tiny_tokenizer(tmpdir: str, vocab_size: int = 256) -> str:
+    """Write a self-contained fast tokenizer (WordLevel 't<i>' vocab) so
+    engine tests run fully offline."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+    vocab = {"<unk>": 0, "<s>": 1, "</s>": 2}
+    for i in range(3, vocab_size):
+        vocab[f"t{i}"] = i
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>",
+                                   bos_token="<s>", eos_token="</s>")
+    fast.save_pretrained(tmpdir)
     return tmpdir

@@ -1,0 +1,216 @@
+"""CLI flag surface -> typed config objects.
+
+Role-parity with the reference's ``vllm/engine/arg_utils.py`` (EngineArgs
+dataclass :10, add_cli_args :57, create_engine_configs :297,
+AsyncEngineArgs :345) including the fork's ``--sep-prompt-token`` flag
+(arg_utils.py:27).  GPU-ism flags (worker_use_ray, block-swap streams …)
+are accepted for CLI compatibility and ignored where meaningless on TPU.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from vllm_splitwise_tpu.config import (CacheConfig, DeviceConfig,
+                                       LoRAConfig, ModelConfig,
+                                       ParallelConfig, SchedulerConfig)
+
+
+@dataclass
+class EngineArgs:
+    model: str
+    tokenizer: Optional[str] = None
+    tokenizer_mode: str = "auto"
+    trust_remote_code: bool = False
+    download_dir: Optional[str] = None
+    load_format: str = "auto"
+    dtype: str = "auto"
+    kv_cache_dtype: str = "auto"
+    seed: int = 0
+    max_model_len: Optional[int] = None
+    worker_use_ray: bool = False
+    pipeline_parallel_size: int = 1
+    tensor_parallel_size: int = 1
+    sep_prompt_token: bool = False
+    max_parallel_loading_workers: Optional[int] = None
+    block_size: int = 16
+    enable_prefix_caching: bool = False
+    swap_space: float = 4.0  # GiB
+    gpu_memory_utilization: float = 0.90  # alias kept for CLI parity
+    num_gpu_blocks_override: Optional[int] = None
+    max_num_batched_tokens: Optional[int] = None
+    max_num_seqs: int = 256
+    max_paddings: int = 256
+    disable_log_stats: bool = False
+    revision: Optional[str] = None
+    code_revision: Optional[str] = None
+    tokenizer_revision: Optional[str] = None
+    quantization: Optional[str] = None
+    enforce_eager: bool = False
+    max_context_len_to_capture: int = 8192
+    disable_custom_all_reduce: bool = True
+    enable_lora: bool = False
+    max_loras: int = 1
+    max_lora_rank: int = 16
+    lora_extra_vocab_size: int = 256
+    lora_dtype: str = "auto"
+    max_cpu_loras: Optional[int] = None
+    device: str = "auto"
+
+    def __post_init__(self):
+        if self.tokenizer is None:
+            self.tokenizer = self.model
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        parser.add_argument("--model", type=str,
+                            default="facebook/opt-125m",
+                            help="name or path of the HF model to use")
+        parser.add_argument("--tokenizer", type=str,
+                            default=EngineArgs.tokenizer)
+        parser.add_argument("--tokenizer-mode", type=str,
+                            default=EngineArgs.tokenizer_mode,
+                            choices=["auto", "slow"])
+        parser.add_argument("--revision", type=str, default=None)
+        parser.add_argument("--code-revision", type=str, default=None)
+        parser.add_argument("--tokenizer-revision", type=str, default=None)
+        parser.add_argument("--trust-remote-code", action="store_true")
+        parser.add_argument("--download-dir", type=str,
+                            default=EngineArgs.download_dir)
+        parser.add_argument("--load-format", type=str,
+                            default=EngineArgs.load_format,
+                            choices=["auto", "pt", "safetensors", "npcache",
+                                     "dummy"])
+        parser.add_argument("--dtype", type=str, default=EngineArgs.dtype,
+                            choices=["auto", "half", "float16", "bfloat16",
+                                     "float", "float32"])
+        parser.add_argument("--kv-cache-dtype", type=str,
+                            default=EngineArgs.kv_cache_dtype,
+                            choices=["auto", "fp8_e5m2", "fp8_e4m3", "int8"])
+        parser.add_argument("--max-model-len", type=int, default=None)
+        parser.add_argument("--worker-use-ray", action="store_true",
+                            help="accepted for CLI parity; unused on TPU")
+        parser.add_argument("--pipeline-parallel-size", "-pp", type=int,
+                            default=EngineArgs.pipeline_parallel_size)
+        parser.add_argument("--tensor-parallel-size", "-tp", type=int,
+                            default=EngineArgs.tensor_parallel_size)
+        parser.add_argument("--sep-prompt-token", action="store_true",
+                            help="disaggregate prefill and decode onto "
+                            "separate device pools (Splitwise)")
+        parser.add_argument("--max-parallel-loading-workers", type=int,
+                            default=None)
+        parser.add_argument("--block-size", type=int,
+                            default=EngineArgs.block_size,
+                            choices=[8, 16, 32, 64, 128])
+        parser.add_argument("--enable-prefix-caching", action="store_true")
+        parser.add_argument("--seed", type=int, default=EngineArgs.seed)
+        parser.add_argument("--swap-space", type=float,
+                            default=EngineArgs.swap_space,
+                            help="CPU swap space (GiB) per device")
+        parser.add_argument("--gpu-memory-utilization", type=float,
+                            default=EngineArgs.gpu_memory_utilization,
+                            help="fraction of device HBM for weights+KV")
+        parser.add_argument("--num-gpu-blocks-override", type=int,
+                            default=None,
+                            help="skip memory profiling and use this many "
+                            "KV pages")
+        parser.add_argument("--max-num-batched-tokens", type=int,
+                            default=EngineArgs.max_num_batched_tokens)
+        parser.add_argument("--max-num-seqs", type=int,
+                            default=EngineArgs.max_num_seqs)
+        parser.add_argument("--max-paddings", type=int,
+                            default=EngineArgs.max_paddings)
+        parser.add_argument("--disable-log-stats", action="store_true")
+        parser.add_argument("--quantization", "-q", type=str,
+                            choices=["awq", "gptq", "squeezellm", "int8",
+                                     None],
+                            default=EngineArgs.quantization)
+        parser.add_argument("--enforce-eager", action="store_true")
+        parser.add_argument("--max-context-len-to-capture", type=int,
+                            default=EngineArgs.max_context_len_to_capture)
+        parser.add_argument("--disable-custom-all-reduce",
+                            action="store_true")
+        parser.add_argument("--enable-lora", action="store_true")
+        parser.add_argument("--max-loras", type=int,
+                            default=EngineArgs.max_loras)
+        parser.add_argument("--max-lora-rank", type=int,
+                            default=EngineArgs.max_lora_rank)
+        parser.add_argument("--lora-extra-vocab-size", type=int,
+                            default=EngineArgs.lora_extra_vocab_size)
+        parser.add_argument("--lora-dtype", type=str, default="auto",
+                            choices=["auto", "float32", "bfloat16",
+                                     "float16"])
+        parser.add_argument("--max-cpu-loras", type=int, default=None)
+        parser.add_argument("--device", type=str,
+                            default=EngineArgs.device,
+                            choices=["auto", "tpu", "cpu"])
+        return parser
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "EngineArgs":
+        attrs = [f.name for f in dataclasses.fields(cls)]
+        return cls(**{a: getattr(args, a) for a in attrs if hasattr(args, a)})
+
+    def create_engine_configs(
+        self,
+    ) -> Tuple[ModelConfig, CacheConfig, ParallelConfig, SchedulerConfig,
+               DeviceConfig, Optional[LoRAConfig]]:
+        device_config = DeviceConfig(self.device)
+        model_config = ModelConfig(
+            self.model, self.tokenizer, self.tokenizer_mode,
+            self.trust_remote_code, self.download_dir, self.load_format,
+            self.dtype, self.seed, self.revision, self.code_revision,
+            self.tokenizer_revision, self.max_model_len, self.quantization,
+            self.enforce_eager, self.max_context_len_to_capture)
+        cache_config = CacheConfig(
+            block_size=self.block_size,
+            hbm_utilization=self.gpu_memory_utilization,
+            swap_space=self.swap_space,
+            cache_dtype=self.kv_cache_dtype,
+            sliding_window=model_config.get_sliding_window())
+        cache_config.enable_prefix_caching = self.enable_prefix_caching
+        if self.num_gpu_blocks_override is not None:
+            cache_config.num_device_blocks = self.num_gpu_blocks_override
+        parallel_config = ParallelConfig(
+            self.pipeline_parallel_size, self.tensor_parallel_size,
+            self.sep_prompt_token, self.worker_use_ray,
+            self.max_parallel_loading_workers,
+            self.disable_custom_all_reduce)
+        scheduler_config = SchedulerConfig(self.max_num_batched_tokens,
+                                           self.max_num_seqs,
+                                           model_config.max_model_len,
+                                           self.max_paddings)
+        lora_config = LoRAConfig(
+            max_lora_rank=self.max_lora_rank,
+            max_loras=self.max_loras,
+            max_cpu_loras=self.max_cpu_loras,
+            lora_dtype=self.lora_dtype,
+            lora_extra_vocab_size=self.lora_extra_vocab_size,
+        ) if self.enable_lora else None
+
+        model_config.verify_with_parallel_config(parallel_config)
+        cache_config.verify_with_parallel_config(parallel_config)
+        if lora_config:
+            lora_config.verify_with_model_config(model_config)
+            lora_config.verify_with_scheduler_config(scheduler_config)
+        return (model_config, cache_config, parallel_config,
+                scheduler_config, device_config, lora_config)
+
+
+@dataclass
+class AsyncEngineArgs(EngineArgs):
+    """Extra knobs of the async serving engine (reference arg_utils.py:345)."""
+    engine_use_ray: bool = False
+    disable_log_requests: bool = False
+    max_log_len: Optional[int] = None
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        parser = EngineArgs.add_cli_args(parser)
+        parser.add_argument("--engine-use-ray", action="store_true",
+                            help="accepted for CLI parity; unused on TPU")
+        parser.add_argument("--disable-log-requests", action="store_true")
+        parser.add_argument("--max-log-len", type=int, default=None)
+        return parser

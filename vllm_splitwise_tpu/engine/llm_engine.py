@@ -1,0 +1,454 @@
+"""The synchronous engine: request lifecycle around the scheduler+executor.
+
+Role-parity with the reference's ``vllm/engine/llm_engine.py`` (LLMEngine
+:66, from_engine_args :150, add_request :198, step :571,
+_process_model_outputs :536, beam-search bookkeeping :379-535, _check_stop
+:755, stats :640): tokenize on intake, schedule a step, execute on the
+mesh, detokenize incrementally, run stop checks and beam logic, free KV.
+"""
+from __future__ import annotations
+
+import time
+from typing import Iterable, List, Optional, Tuple, Union
+
+from vllm_splitwise_tpu.config import (CacheConfig, DeviceConfig,
+                                       LoRAConfig, ModelConfig,
+                                       ParallelConfig, SchedulerConfig)
+from vllm_splitwise_tpu.core.scheduler import Scheduler, SchedulerOutputs
+from vllm_splitwise_tpu.engine.arg_utils import EngineArgs
+from vllm_splitwise_tpu.engine.metrics import StatLogger, Stats
+from vllm_splitwise_tpu.logger import init_logger
+from vllm_splitwise_tpu.outputs import RequestOutput
+from vllm_splitwise_tpu.sampling_params import SamplingParams
+from vllm_splitwise_tpu.sequence import (SamplerOutput, Sequence,
+                                         SequenceGroup, SequenceGroupOutput,
+                                         SequenceOutput, SequenceStatus)
+from vllm_splitwise_tpu.transformers_utils.tokenizer import (
+    TokenizerGroup, detokenize_incrementally)
+from vllm_splitwise_tpu.utils import Counter
+
+logger = init_logger(__name__)
+
+
+class LLMEngine:
+
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        cache_config: CacheConfig,
+        parallel_config: ParallelConfig,
+        scheduler_config: SchedulerConfig,
+        device_config: DeviceConfig,
+        lora_config: Optional[LoRAConfig],
+        executor_class,
+        log_stats: bool = True,
+    ) -> None:
+        logger.info(
+            "Initializing a TPU LLM engine with config: model=%r, "
+            "dtype=%s, tp=%d, sep_prompt_token=%s, max_model_len=%d, "
+            "quantization=%s, seed=%d", model_config.model,
+            model_config.dtype, parallel_config.tensor_parallel_size,
+            parallel_config.sep_prompt_token, model_config.max_model_len,
+            model_config.quantization, model_config.seed)
+        self.model_config = model_config
+        self.cache_config = cache_config
+        self.parallel_config = parallel_config
+        self.scheduler_config = scheduler_config
+        self.device_config = device_config
+        self.lora_config = lora_config
+        self.log_stats = log_stats
+
+        self.seq_counter = Counter()
+        self._init_tokenizer()
+
+        self.executor = executor_class(
+            model_config=model_config,
+            cache_config=cache_config,
+            parallel_config=parallel_config,
+            scheduler_config=scheduler_config,
+            device_config=device_config,
+            lora_config=lora_config,
+        )
+
+        self.scheduler = Scheduler(
+            scheduler_config, cache_config, lora_config,
+            track_prompt_blocks=parallel_config.sep_prompt_token,
+            enable_caching=getattr(cache_config, "enable_prefix_caching",
+                                   False))
+
+        self.stat_logger = StatLogger(
+            labels=dict(model_name=model_config.model)) if log_stats else None
+
+    @classmethod
+    def from_engine_args(cls, engine_args: EngineArgs,
+                         log_stats: Optional[bool] = None) -> "LLMEngine":
+        configs = engine_args.create_engine_configs()
+        parallel_config = configs[2]
+        if parallel_config.sep_prompt_token:
+            from vllm_splitwise_tpu.executor.splitwise_executor import \
+                SplitwiseExecutor
+            executor_class = SplitwiseExecutor
+        else:
+            from vllm_splitwise_tpu.executor.tpu_executor import TPUExecutor
+            executor_class = TPUExecutor
+        return cls(*configs, executor_class=executor_class,
+                   log_stats=(not engine_args.disable_log_stats
+                              if log_stats is None else log_stats))
+
+    def _init_tokenizer(self, **kwargs) -> None:
+        init_kwargs = dict(
+            enable_lora=bool(self.lora_config),
+            max_num_seqs=self.scheduler_config.max_num_seqs,
+            tokenizer_mode=self.model_config.tokenizer_mode,
+            trust_remote_code=self.model_config.trust_remote_code,
+            tokenizer_revision=self.model_config.tokenizer_revision)
+        init_kwargs.update(kwargs)
+        self.tokenizer = TokenizerGroup(self.model_config.tokenizer,
+                                        **init_kwargs)
+
+    # ---- request intake ----
+
+    def encode_request(self, request_id: str, prompt: Optional[str],
+                       prompt_token_ids: Optional[List[int]] = None,
+                       lora_request=None) -> List[int]:
+        if prompt_token_ids is None:
+            assert prompt is not None
+            prompt_token_ids = self.tokenizer.encode(
+                prompt, request_id=request_id, lora_request=lora_request)
+        return prompt_token_ids
+
+    def add_request(
+        self,
+        request_id: str,
+        prompt: Optional[str],
+        sampling_params: SamplingParams,
+        prompt_token_ids: Optional[List[int]] = None,
+        arrival_time: Optional[float] = None,
+        lora_request=None,
+    ) -> None:
+        if arrival_time is None:
+            arrival_time = time.time()
+        prompt_token_ids = self.encode_request(request_id, prompt,
+                                               prompt_token_ids,
+                                               lora_request)
+        block_size = self.cache_config.block_size
+        seq_id = next(self.seq_counter)
+        eos_token_id = self.tokenizer.get_lora_tokenizer(
+            lora_request).eos_token_id
+        seq = Sequence(seq_id, prompt or "", prompt_token_ids, block_size,
+                       eos_token_id)
+        seq_group = SequenceGroup(request_id, [seq], sampling_params,
+                                  arrival_time)
+        self.scheduler.add_seq_group(seq_group)
+
+    def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:
+        self.scheduler.abort_seq_group(request_id)
+
+    def get_model_config(self) -> ModelConfig:
+        return self.model_config
+
+    def get_num_unfinished_requests(self) -> int:
+        return self.scheduler.get_num_unfinished_seq_groups()
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_seqs()
+
+    # ---- the step ----
+
+    def step(self) -> List[RequestOutput]:
+        (seq_group_metadata_list,
+         scheduler_outputs) = self.scheduler.schedule()
+
+        if not scheduler_outputs.is_empty():
+            output = self.executor.execute_model(
+                seq_group_metadata_list,
+                scheduler_outputs.blocks_to_swap_in,
+                scheduler_outputs.blocks_to_swap_out,
+                scheduler_outputs.blocks_to_copy,
+                scheduler_outputs.blocks_to_nw,
+            )
+        else:
+            output = []
+
+        return self._process_model_outputs(output, scheduler_outputs)
+
+    def _process_model_outputs(
+            self, output: SamplerOutput,
+            scheduler_outputs: SchedulerOutputs) -> List[RequestOutput]:
+        scheduled_seq_groups = scheduler_outputs.scheduled_seq_groups
+        for seq_group, outputs in zip(scheduled_seq_groups, output):
+            self._process_sequence_group_outputs(seq_group, outputs)
+
+        self.scheduler.free_finished_seq_groups()
+
+        request_outputs: List[RequestOutput] = []
+        now = time.time()
+        for seq_group in scheduled_seq_groups:
+            seq_group.maybe_set_first_token_time(now)
+            request_outputs.append(RequestOutput.from_seq_group(seq_group))
+        for seq_group in scheduler_outputs.ignored_seq_groups:
+            request_outputs.append(RequestOutput.from_seq_group(seq_group))
+        for seq_group in scheduled_seq_groups + \
+                scheduler_outputs.ignored_seq_groups:
+            if seq_group.is_finished():
+                seq_group.set_finished_time(now)
+
+        if self.log_stats and self.stat_logger is not None:
+            self.stat_logger.log(self._get_stats(scheduler_outputs))
+        return request_outputs
+
+    # ---- per-group output processing (incl. beam search) ----
+
+    def _process_sequence_group_outputs(
+            self, seq_group: SequenceGroup,
+            outputs: SequenceGroupOutput) -> None:
+        if outputs.prompt_logprobs is not None:
+            seq_group.prompt_logprobs = outputs.prompt_logprobs
+
+        samples = outputs.samples
+        parent_seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
+        existing_finished_seqs = seq_group.get_finished_seqs()
+        parent_child_dict = {
+            parent_seq.seq_id: []
+            for parent_seq in parent_seqs
+        }
+        for sample in samples:
+            parent_child_dict[sample.parent_seq_id].append(sample)
+
+        child_seqs: List[Tuple[Sequence, Sequence]] = []
+        for parent in parent_seqs:
+            child_samples: List[SequenceOutput] = parent_child_dict[
+                parent.seq_id]
+            if not child_samples:
+                # Dropped by sampling (beam width narrowed): discard.
+                parent.status = SequenceStatus.FINISHED_ABORTED
+                seq_group.remove(parent.seq_id)
+                self.scheduler.free_seq(parent)
+                continue
+            for child_sample in child_samples[:-1]:
+                new_child_seq_id = next(self.seq_counter)
+                child = parent.fork(new_child_seq_id)
+                child.append_token_id(child_sample.output_token,
+                                      child_sample.logprobs)
+                child_seqs.append((child, parent))
+            last_child_sample = child_samples[-1]
+            parent.append_token_id(last_child_sample.output_token,
+                                   last_child_sample.logprobs)
+            child_seqs.append((parent, parent))
+
+        for seq, _ in child_seqs:
+            self._decode_sequence(seq, seq_group.sampling_params)
+            self._check_stop(seq, seq_group.sampling_params)
+
+        if not seq_group.sampling_params.use_beam_search:
+            for seq, parent in child_seqs:
+                if seq is not parent:
+                    seq_group.add(seq)
+                    self.scheduler.fork_seq(parent, seq)
+            for seq, parent in child_seqs:
+                if seq is parent and seq.is_finished():
+                    self.scheduler.free_seq(seq)
+            return
+
+        # ---- beam search bookkeeping (reference llm_engine.py:379-535) ----
+        selected_child_seqs = []
+        unselected_child_seqs = []
+        beam_width = seq_group.sampling_params.best_of
+        length_penalty = seq_group.sampling_params.length_penalty
+
+        existing_finished_seqs = [(seq, None, False)
+                                  for seq in existing_finished_seqs]
+        new_finished_seqs = [(seq, parent, True)
+                             for seq, parent in child_seqs
+                             if seq.is_finished()]
+        all_finished_seqs = existing_finished_seqs + new_finished_seqs
+        all_finished_seqs.sort(key=lambda x: x[0].get_beam_search_score(
+            length_penalty=length_penalty,
+            eos_token_id=x[0].eos_token_id),
+                               reverse=True)
+        for seq, parent, is_new in all_finished_seqs[:beam_width]:
+            if is_new:
+                selected_child_seqs.append((seq, parent))
+        for seq, parent, is_new in all_finished_seqs[beam_width:]:
+            if is_new:
+                unselected_child_seqs.append((seq, parent))
+            else:
+                seq_group.remove(seq.seq_id)
+
+        running_child_seqs = [(seq, parent) for seq, parent in child_seqs
+                              if not seq.is_finished()]
+        running_child_seqs.sort(key=lambda x: x[0].get_beam_search_score(
+            length_penalty=length_penalty),
+                                reverse=True)
+
+        if len(running_child_seqs) == 0:
+            stop_beam_search = True
+        elif len(all_finished_seqs) < beam_width:
+            stop_beam_search = False
+        else:
+            best_running_seq = running_child_seqs[0][0]
+            current_worst_seq = all_finished_seqs[beam_width - 1][0]
+            stop_beam_search = self._check_beam_search_early_stopping(
+                seq_group.sampling_params.early_stopping,
+                seq_group.sampling_params, best_running_seq,
+                current_worst_seq)
+
+        if stop_beam_search:
+            unselected_child_seqs.extend(running_child_seqs)
+        else:
+            selected_child_seqs.extend(running_child_seqs[:beam_width])
+            unselected_child_seqs.extend(running_child_seqs[beam_width:])
+
+        for seq, parent in selected_child_seqs:
+            if seq is not parent:
+                seq_group.add(seq)
+                self.scheduler.fork_seq(parent, seq)
+        for seq, parent in selected_child_seqs:
+            if seq is parent and seq.is_finished():
+                self.scheduler.free_seq(seq)
+        for seq, parent in unselected_child_seqs:
+            if seq is parent:
+                # Parent got dropped: free it.
+                seq.status = SequenceStatus.FINISHED_ABORTED
+                seq_group.remove(seq.seq_id)
+                self.scheduler.free_seq(seq)
+
+    def _check_beam_search_early_stopping(
+        self,
+        early_stopping: Union[bool, str],
+        sampling_params: SamplingParams,
+        best_running_seq: Sequence,
+        current_worst_seq: Sequence,
+    ) -> bool:
+        assert sampling_params.use_beam_search
+        length_penalty = sampling_params.length_penalty
+        if early_stopping is True:
+            return True
+        current_worst_score = current_worst_seq.get_beam_search_score(
+            length_penalty=length_penalty,
+            eos_token_id=current_worst_seq.eos_token_id)
+        if early_stopping is False:
+            highest_attainable_score = best_running_seq.get_beam_search_score(
+                length_penalty=length_penalty,
+                eos_token_id=best_running_seq.eos_token_id)
+        else:
+            assert early_stopping == "never"
+            if length_penalty > 0.0:
+                max_possible_length = max(
+                    best_running_seq.get_prompt_len() +
+                    (sampling_params.max_tokens or 0),
+                    self.scheduler_config.max_model_len)
+                highest_attainable_score = \
+                    best_running_seq.get_beam_search_score(
+                        length_penalty=length_penalty,
+                        eos_token_id=best_running_seq.eos_token_id,
+                        seq_len=max_possible_length)
+            else:
+                highest_attainable_score = \
+                    best_running_seq.get_beam_search_score(
+                        length_penalty=length_penalty,
+                        eos_token_id=best_running_seq.eos_token_id)
+        return current_worst_score >= highest_attainable_score
+
+    # ---- detokenization + stop checks ----
+
+    def _decode_sequence(self, seq: Sequence,
+                         prms: SamplingParams) -> None:
+        (new_tokens, new_output_text, prefix_offset,
+         read_offset) = detokenize_incrementally(
+             self.tokenizer.get_lora_tokenizer(None),
+             all_input_ids=seq.get_token_ids(),
+             prev_tokens=seq.tokens,
+             prefix_offset=seq.prefix_offset,
+             read_offset=seq.read_offset,
+             skip_special_tokens=prms.skip_special_tokens,
+             spaces_between_special_tokens=prms.
+             spaces_between_special_tokens,
+         )
+        if seq.tokens is None:
+            seq.tokens = new_tokens
+        else:
+            seq.tokens.extend(new_tokens)
+        seq.prefix_offset = prefix_offset
+        seq.read_offset = read_offset
+        seq.output_text += new_output_text
+
+    def _check_stop(self, seq: Sequence,
+                    sampling_params: SamplingParams) -> None:
+        for stop_str in sampling_params.stop:
+            if seq.output_text.endswith(stop_str):
+                self._finalize_sequence(seq, sampling_params, stop_str)
+                seq.status = SequenceStatus.FINISHED_STOPPED
+                return
+        if seq.get_last_token_id() in sampling_params.stop_token_ids:
+            stop_str = self.tokenizer.get_lora_tokenizer(
+                None).convert_ids_to_tokens(seq.get_last_token_id())
+            self._finalize_sequence(seq, sampling_params, stop_str)
+            seq.status = SequenceStatus.FINISHED_STOPPED
+            return
+        if ((not sampling_params.ignore_eos)
+                and seq.eos_token_id is not None
+                and seq.get_last_token_id() == seq.eos_token_id):
+            seq.status = SequenceStatus.FINISHED_STOPPED
+            return
+        if seq.get_len() > self.scheduler_config.max_model_len:
+            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+            return
+        if (sampling_params.max_tokens is not None
+                and seq.get_output_len() == sampling_params.max_tokens):
+            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+            return
+
+    def _finalize_sequence(self, seq: Sequence,
+                           sampling_params: SamplingParams,
+                           stop_string: str) -> None:
+        if (stop_string
+                and not sampling_params.include_stop_str_in_output
+                and seq.output_text.endswith(stop_string)):
+            seq.output_text = seq.output_text[:-len(stop_string)]
+
+    # ---- stats ----
+
+    def _get_stats(self, scheduler_outputs: SchedulerOutputs) -> Stats:
+        now = time.monotonic()
+        num_total_blocks = self.cache_config.num_device_blocks or 1
+        num_free = self.scheduler.block_manager.get_num_free_gpu_blocks()
+        kv_cache_usage = 1.0 - num_free / num_total_blocks
+
+        num_prompt_tokens = 0
+        num_generation_tokens = 0
+        time_to_first_tokens: List[float] = []
+        time_per_output_tokens: List[float] = []
+        time_e2e_requests: List[float] = []
+        if scheduler_outputs is not None:
+            prompt_run = scheduler_outputs.prompt_run
+            if prompt_run:
+                num_prompt_tokens = scheduler_outputs.num_batched_tokens
+            else:
+                num_generation_tokens = scheduler_outputs.num_batched_tokens
+            wall = time.time()
+            for seq_group in scheduler_outputs.scheduled_seq_groups:
+                latency = seq_group.get_last_latency(wall)
+                if prompt_run:
+                    time_to_first_tokens.append(latency)
+                else:
+                    time_per_output_tokens.append(latency)
+                if seq_group.is_finished():
+                    time_e2e_requests.append(
+                        wall - seq_group.metrics.arrival_time)
+
+        return Stats(
+            now=now,
+            num_running=len(self.scheduler.running),
+            num_waiting=len(self.scheduler.waiting),
+            num_swapped=len(self.scheduler.swapped),
+            kv_cache_usage=kv_cache_usage,
+            num_prompt_tokens=num_prompt_tokens,
+            num_generation_tokens=num_generation_tokens,
+            time_to_first_tokens=time_to_first_tokens,
+            time_per_output_tokens=time_per_output_tokens,
+            time_e2e_requests=time_e2e_requests,
+        )
+
+    def check_health(self) -> None:
+        self.executor.check_health()

@@ -103,7 +103,9 @@ class Attention:
 
         # Sliding-window contexts are capped by the runner via
         # context_lens/block_tables, so the kernel needs no window logic.
-        if _use_pallas():
+        # The Pallas kernel requires a lane-aligned head_dim; odd head
+        # sizes (tiny test models) take the XLA path.
+        if _use_pallas() and self.head_dim % 128 == 0:
             out = paged_attention(q, k_pages, v_pages, md.block_tables,
                                   md.context_lens, scale=self.scale,
                                   kv_scale=self.kv_scale)

@@ -16,7 +16,8 @@ logger = init_logger(__name__)
 
 
 def _get_model_architecture(model_config: ModelConfig):
-    architectures = getattr(model_config.hf_config, "architectures", [])
+    architectures = getattr(model_config.hf_config, "architectures",
+                            None) or []
     for arch in architectures:
         cls = ModelRegistry.load_model_cls(arch)
         if cls is not None:

@@ -1,0 +1,489 @@
+"""Host-side batch assembly + jitted device steps.
+
+Role-parity with the reference's ``vllm/worker/model_runner.py``
+(_prepare_prompt:126, _prepare_decode:274, _prepare_sample:401,
+CUDAGraphRunner:794), re-designed for XLA: instead of capturing CUDA
+graphs per decode batch size, every step runs through ``jax.jit`` with
+**bucket-padded static shapes** — same effect (no per-step dispatch
+overhead after warmup), no capture machinery.  Prefill and decode compile
+as separate programs; the bucket ladders below play the role of the
+reference's ``_BATCH_SIZES_TO_CAPTURE``.
+
+Everything that crosses the host->device boundary per step is int32
+metadata (token ids, positions, slot mappings, block tables, sampling
+tensors); sampled token ids — not logits — cross back.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_splitwise_tpu.config import (CacheConfig, ModelConfig,
+                                       ParallelConfig, SchedulerConfig)
+from vllm_splitwise_tpu.layers.sampler import (SamplerOutputArrays,
+                                               SamplingTensors, sample)
+from vllm_splitwise_tpu.logger import init_logger
+from vllm_splitwise_tpu.models.input_metadata import (DecodeMetadata,
+                                                      PrefillMetadata)
+from vllm_splitwise_tpu.models.loader import get_model
+from vllm_splitwise_tpu.sampling_params import SamplingParams, SamplingType
+from vllm_splitwise_tpu.sequence import (Logprob, SamplerOutput,
+                                         SequenceGroupMetadata,
+                                         SequenceGroupOutput, SequenceOutput)
+from vllm_splitwise_tpu.utils import cdiv, round_up
+
+logger = init_logger(__name__)
+
+_SEED_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket(n: int, ladder: List[int]) -> int:
+    for b in ladder:
+        if n <= b:
+            return b
+    return ladder[-1]
+
+
+def _mix_seed(seed: int, step: int, row: int) -> int:
+    """Deterministic per-(seed, step, row) 32-bit stream (splitmix-style).
+
+    Replaces the reference's per-request torch.Generator state
+    (sampling_metadata.py): stateless, so it reproduces across runs and
+    across preemption/recompute.
+    """
+    x = (np.uint64(seed & 0xFFFFFFFFFFFFFFFF) + _SEED_MIX *
+         np.uint64(step * 1000003 + row + 1))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return int(x & np.uint64(0xFFFFFFFF))
+
+
+class ModelRunner:
+    """Owns the model + params and runs bucketed jitted steps."""
+
+    # Decode batch buckets (analog of the reference's CUDA-graph batch
+    # sizes, model_runner.py:53): each value compiles one XLA program.
+    DECODE_BATCH_BUCKETS = [8, 16, 32, 64, 128, 256]
+    PREFILL_BATCH_BUCKETS = [1, 2, 4, 8, 16]
+    PREFILL_LEN_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+                           8192, 16384, 32768]
+    SAMPLE_ROW_BUCKETS = [8, 16, 32, 64, 128, 256, 512]
+    PENALTY_LEN_BUCKETS = [0, 64, 256, 1024, 4096]
+    LOGPROB_BUCKETS = [8, 32, 128]
+
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        parallel_config: ParallelConfig,
+        scheduler_config: SchedulerConfig,
+        cache_config: CacheConfig,
+        mesh=None,
+        is_driver_worker: bool = True,
+    ) -> None:
+        self.model_config = model_config
+        self.parallel_config = parallel_config
+        self.scheduler_config = scheduler_config
+        self.cache_config = cache_config
+        self.mesh = mesh
+        self.is_driver_worker = is_driver_worker
+
+        self.block_size = cache_config.block_size
+        self.max_model_len = model_config.max_model_len
+        self.max_pages_per_seq = cdiv(self.max_model_len, self.block_size)
+
+        self.model = None
+        self.params = None
+        self._rng = np.random.RandomState(model_config.seed)
+        self._prefill_fn = None
+        self._decode_fn = None
+
+    # ---- model loading ----
+
+    def load_model(self) -> None:
+        self.model, host_params = get_model(self.model_config)
+        if self.mesh is not None and self.mesh.size > 1:
+            from vllm_splitwise_tpu.parallel.mesh import shard_pytree
+            self.params = shard_pytree(host_params,
+                                       self.model.param_specs(), self.mesh)
+        else:
+            self.params = jax.device_put(host_params)
+        self._build_step_fns()
+
+    def _build_step_fns(self) -> None:
+        model = self.model
+        vocab_size = self.model_config.get_vocab_size()
+
+        def step(params, input_ids, positions, kv_caches, metadata,
+                 sampling_tensors, seeds, sample_indices, *,
+                 needs_filtering, max_logprobs, is_prefill):
+            hidden, new_caches = model(params, input_ids, positions,
+                                       kv_caches, metadata)
+            if is_prefill:
+                # Gather each sequence's last valid position.
+                batch = hidden.shape[0]
+                last = jnp.maximum(metadata.seq_lens - 1, 0)
+                hidden = hidden[jnp.arange(batch), last]
+            else:
+                hidden = hidden[:, 0]
+            logits = model.compute_logits(params, hidden)
+            logits = logits[..., :vocab_size]
+            # Expand model rows to sample rows (prompt best_of>1 draws
+            # several tokens from one row's distribution).
+            logits = jnp.take(logits, sample_indices, axis=0, mode="clip")
+            out = sample(logits, sampling_tensors, seeds,
+                         max_logprobs=max_logprobs,
+                         needs_filtering=needs_filtering)
+            return out, new_caches
+
+        self._step_fn = jax.jit(
+            step,
+            static_argnames=("needs_filtering", "max_logprobs",
+                             "is_prefill"),
+            donate_argnums=(3, ),
+        )
+
+    # ---- batch preparation ----
+
+    def _prepare_prompt(
+        self,
+        seq_group_metadata_list: List[SequenceGroupMetadata],
+    ) -> Tuple[np.ndarray, np.ndarray, PrefillMetadata, List[int]]:
+        seq_lens: List[int] = []
+        rows_tokens: List[List[int]] = []
+        rows_slots: List[List[int]] = []
+        start_positions: List[int] = []
+
+        for md in seq_group_metadata_list:
+            assert len(md.seq_data) == 1, \
+                "Prompt groups have exactly one sequence."
+            seq_id = next(iter(md.seq_data))
+            data = md.seq_data[seq_id]
+            token_ids = data.get_token_ids()
+            prefix_len = md.prefix_len
+            tokens = token_ids[prefix_len:]
+            block_table = md.block_tables[seq_id]
+
+            slots = []
+            for i in range(prefix_len, len(token_ids)):
+                page = block_table[i // self.block_size]
+                slots.append(page * self.block_size + i % self.block_size)
+
+            seq_lens.append(len(tokens))
+            rows_tokens.append(tokens)
+            rows_slots.append(slots)
+            start_positions.append(prefix_len)
+
+        batch = _bucket(len(seq_lens), self.PREFILL_BATCH_BUCKETS)
+        t_pad = _bucket(max(seq_lens), self.PREFILL_LEN_BUCKETS)
+
+        input_ids = np.zeros((batch, t_pad), dtype=np.int32)
+        positions = np.zeros((batch, t_pad), dtype=np.int32)
+        slot_mapping = np.full((batch, t_pad), -1, dtype=np.int32)
+        padded_lens = np.ones((batch, ), dtype=np.int32)
+        padded_starts = np.zeros((batch, ), dtype=np.int32)
+        for i, (toks, slots, start) in enumerate(
+                zip(rows_tokens, rows_slots, start_positions)):
+            n = len(toks)
+            input_ids[i, :n] = toks
+            positions[i, :n] = np.arange(start, start + n)
+            slot_mapping[i, :n] = slots
+            padded_lens[i] = n
+            padded_starts[i] = start
+
+        metadata = PrefillMetadata(
+            seq_lens=jnp.asarray(padded_lens),
+            slot_mapping=jnp.asarray(slot_mapping),
+            start_positions=jnp.asarray(padded_starts),
+        )
+        return input_ids, positions, metadata, seq_lens
+
+    def _prepare_decode(
+        self,
+        seq_group_metadata_list: List[SequenceGroupMetadata],
+    ) -> Tuple[np.ndarray, np.ndarray, DecodeMetadata, int]:
+        tokens: List[int] = []
+        context_lens: List[int] = []
+        slots: List[int] = []
+        block_rows: List[List[int]] = []
+
+        sliding_window = self.model_config.get_sliding_window()
+
+        for md in seq_group_metadata_list:
+            for seq_id in sorted(md.seq_data):
+                data = md.seq_data[seq_id]
+                tokens.append(data.get_last_token_id())
+                seq_len = data.get_len()
+                block_table = md.block_tables[seq_id]
+                pos = seq_len - 1
+                page = block_table[pos // self.block_size]
+                slots.append(page * self.block_size +
+                             pos % self.block_size)
+                ctx = seq_len
+                if sliding_window is not None:
+                    ctx = min(ctx, sliding_window)
+                    block_table = block_table[-cdiv(ctx, self.block_size):]
+                context_lens.append(ctx)
+                block_rows.append(block_table)
+
+        num_rows = len(tokens)
+        batch = _bucket(num_rows, self.DECODE_BATCH_BUCKETS)
+        input_ids = np.zeros((batch, 1), dtype=np.int32)
+        positions = np.zeros((batch, 1), dtype=np.int32)
+        slot_arr = np.full((batch, ), -1, dtype=np.int32)
+        ctx_arr = np.ones((batch, ), dtype=np.int32)
+        tables = np.zeros((batch, self.max_pages_per_seq), dtype=np.int32)
+        for i in range(num_rows):
+            input_ids[i, 0] = tokens[i]
+            positions[i, 0] = context_lens[i] - 1
+            slot_arr[i] = slots[i]
+            ctx_arr[i] = context_lens[i]
+            row = block_rows[i]
+            tables[i, :len(row)] = row
+
+        metadata = DecodeMetadata(
+            block_tables=jnp.asarray(tables),
+            context_lens=jnp.asarray(ctx_arr),
+            slot_mapping=jnp.asarray(slot_arr),
+        )
+        return input_ids, positions, metadata, num_rows
+
+    # ---- sampling preparation ----
+
+    def _prepare_sample(
+        self,
+        seq_group_metadata_list: List[SequenceGroupMetadata],
+        is_prompt: bool,
+    ) -> Tuple[SamplingTensors, np.ndarray, np.ndarray, bool, int,
+               List[Tuple[SequenceGroupMetadata, List[int], List[int]]]]:
+        """Build per-sample-row tensors.
+
+        Returns (tensors, seeds, sample_indices, needs_filtering,
+        max_logprobs, plan) where plan maps each group to its
+        (sample_row_ids, parent_seq_ids).
+        """
+        vocab_size = self.model_config.get_vocab_size()
+        temps: List[float] = []
+        top_ps: List[float] = []
+        top_ks: List[int] = []
+        min_ps: List[float] = []
+        greedy: List[bool] = []
+        pres: List[float] = []
+        freq: List[float] = []
+        rep: List[float] = []
+        prompt_rows: List[List[int]] = []
+        output_rows: List[List[int]] = []
+        seeds: List[int] = []
+        sample_indices: List[int] = []
+        plan = []
+
+        model_row = 0
+        max_logprobs = 1
+        for md in seq_group_metadata_list:
+            sp = md.sampling_params
+            if sp.logprobs is not None:
+                max_logprobs = max(max_logprobs, sp.logprobs + 1)
+            if sp.use_beam_search:
+                max_logprobs = max(max_logprobs, 2 * sp.best_of)
+
+            seq_ids = sorted(md.seq_data)
+            if is_prompt:
+                # One model row; best_of sample rows for random sampling,
+                # 1 for greedy/beam (beam expands host-side from topk).
+                n_rows = (sp.best_of if sp.sampling_type in
+                          (SamplingType.RANDOM,
+                           SamplingType.RANDOM_SEED) else 1)
+                row_ids = []
+                for j in range(n_rows):
+                    row_ids.append(len(sample_indices))
+                    sample_indices.append(model_row)
+                    self._append_row(md, seq_ids[0], j, temps, top_ps,
+                                     top_ks, min_ps, greedy, pres, freq,
+                                     rep, prompt_rows, output_rows, seeds,
+                                     vocab_size)
+                plan.append((md, row_ids, [seq_ids[0]] * n_rows))
+                model_row += 1
+            else:
+                row_ids = []
+                for seq_id in seq_ids:
+                    row_ids.append(len(sample_indices))
+                    sample_indices.append(model_row)
+                    self._append_row(md, seq_id, 0, temps, top_ps, top_ks,
+                                     min_ps, greedy, pres, freq, rep,
+                                     prompt_rows, output_rows, seeds,
+                                     vocab_size)
+                    model_row += 1
+                plan.append((md, row_ids, seq_ids))
+
+        num_rows = len(sample_indices)
+        s_pad = _bucket(num_rows, self.SAMPLE_ROW_BUCKETS)
+
+        def pad1(vals, fill, dtype):
+            arr = np.full((s_pad, ), fill, dtype=dtype)
+            arr[:num_rows] = vals
+            return arr
+
+        do_penalties = any(p != 0.0 for p in pres) or any(
+            f != 0.0 for f in freq) or any(r != 1.0 for r in rep)
+        if do_penalties:
+            lp = _bucket(max((len(r) for r in prompt_rows), default=0),
+                         self.PENALTY_LEN_BUCKETS)
+            lo = _bucket(max((len(r) for r in output_rows), default=0),
+                         self.PENALTY_LEN_BUCKETS)
+        else:
+            lp = lo = 0
+        prompt_arr = np.full((s_pad, lp), -1, dtype=np.int32)
+        output_arr = np.full((s_pad, lo), -1, dtype=np.int32)
+        if do_penalties:
+            for i in range(num_rows):
+                pr = prompt_rows[i][-lp:] if lp else []
+                orow = output_rows[i][-lo:] if lo else []
+                prompt_arr[i, :len(pr)] = pr
+                output_arr[i, :len(orow)] = orow
+
+        tensors = SamplingTensors(
+            temperature=jnp.asarray(pad1(temps, 1.0, np.float32)),
+            top_p=jnp.asarray(pad1(top_ps, 1.0, np.float32)),
+            top_k=jnp.asarray(pad1(top_ks, vocab_size, np.int32)),
+            min_p=jnp.asarray(pad1(min_ps, 0.0, np.float32)),
+            greedy_mask=jnp.asarray(pad1(greedy, True, bool)),
+            presence_penalty=jnp.asarray(pad1(pres, 0.0, np.float32)),
+            frequency_penalty=jnp.asarray(pad1(freq, 0.0, np.float32)),
+            repetition_penalty=jnp.asarray(pad1(rep, 1.0, np.float32)),
+            prompt_tokens=jnp.asarray(prompt_arr),
+            output_tokens=jnp.asarray(output_arr),
+        )
+        seeds_arr = pad1(seeds, 0, np.uint32)
+        idx_arr = pad1(sample_indices, 0, np.int32)
+        needs_filtering = any(
+            (k < vocab_size and k > 0) for k in top_ks) or any(
+                p < 1.0 for p in top_ps) or any(m > 0.0 for m in min_ps)
+        max_logprobs = _bucket(max_logprobs, self.LOGPROB_BUCKETS)
+        return (tensors, seeds_arr, idx_arr, needs_filtering, max_logprobs,
+                plan)
+
+    def _append_row(self, md, seq_id, sub_row, temps, top_ps, top_ks,
+                    min_ps, greedy, pres, freq, rep, prompt_rows,
+                    output_rows, seeds, vocab_size) -> None:
+        sp = md.sampling_params
+        data = md.seq_data[seq_id]
+        is_greedy = sp.sampling_type == SamplingType.GREEDY
+        temps.append(max(sp.temperature, 1e-5))
+        top_ps.append(sp.top_p)
+        top_ks.append(sp.top_k if sp.top_k > 0 else vocab_size)
+        min_ps.append(sp.min_p)
+        greedy.append(is_greedy)
+        pres.append(sp.presence_penalty)
+        freq.append(sp.frequency_penalty)
+        rep.append(sp.repetition_penalty)
+        prompt_rows.append(data.prompt_token_ids)
+        output_rows.append(data.output_token_ids)
+        step = data.get_output_len()
+        if sp.seed is not None:
+            seeds.append(_mix_seed(sp.seed, step, sub_row))
+        else:
+            seeds.append(int(self._rng.randint(0, 2**31)) ^ sub_row)
+
+    # ---- the step ----
+
+    def execute_model(
+        self,
+        seq_group_metadata_list: List[SequenceGroupMetadata],
+        kv_caches,
+    ) -> Tuple[Optional[SamplerOutput], Any]:
+        if not seq_group_metadata_list:
+            return [], kv_caches
+        is_prompt = seq_group_metadata_list[0].is_prompt
+
+        if is_prompt:
+            input_ids, positions, metadata, _ = self._prepare_prompt(
+                seq_group_metadata_list)
+        else:
+            input_ids, positions, metadata, _ = self._prepare_decode(
+                seq_group_metadata_list)
+
+        (tensors, seeds, sample_indices, needs_filtering, max_logprobs,
+         plan) = self._prepare_sample(seq_group_metadata_list, is_prompt)
+
+        out, kv_caches = self._step_fn(
+            self.params, jnp.asarray(input_ids), jnp.asarray(positions),
+            kv_caches, metadata, tensors, jnp.asarray(seeds),
+            jnp.asarray(sample_indices),
+            needs_filtering=needs_filtering, max_logprobs=max_logprobs,
+            is_prefill=is_prompt)
+
+        sampler_output = self._process_sampler_output(out, plan)
+        return sampler_output, kv_caches
+
+    def _process_sampler_output(self, out: SamplerOutputArrays,
+                                plan) -> SamplerOutput:
+        sampled = np.asarray(out.sampled_tokens)
+        sampled_lp = np.asarray(out.sampled_logprobs)
+        topk_lp = np.asarray(out.topk_logprobs)
+        topk_ids = np.asarray(out.topk_token_ids)
+
+        results: SamplerOutput = []
+        for md, row_ids, parent_ids in plan:
+            sp = md.sampling_params
+            samples: List[SequenceOutput] = []
+            if sp.use_beam_search:
+                # Beam expansion happens in the engine; emit the top
+                # 2*best_of candidates of each parent row so the engine
+                # can run its beam bookkeeping (reference sampler.py
+                # _beam_search_sample).
+                width = 2 * sp.best_of
+                for row, parent in zip(row_ids, parent_ids):
+                    for j in range(width):
+                        tok = int(topk_ids[row, j])
+                        lp = self._row_logprobs(sp, row, topk_lp, topk_ids,
+                                                tok, float(topk_lp[row, j]))
+                        samples.append(SequenceOutput(parent, tok, lp))
+            else:
+                for row, parent in zip(row_ids, parent_ids):
+                    tok = int(sampled[row])
+                    lp = self._row_logprobs(sp, row, topk_lp, topk_ids, tok,
+                                            float(sampled_lp[row]))
+                    samples.append(SequenceOutput(parent, tok, lp))
+            results.append(SequenceGroupOutput(samples, None))
+        return results
+
+    def _row_logprobs(self, sp: SamplingParams, row: int,
+                      topk_lp: np.ndarray, topk_ids: np.ndarray,
+                      sampled_token: int,
+                      sampled_logprob: float) -> Dict[int, Logprob]:
+        logprobs: Dict[int, Logprob] = {
+            sampled_token: Logprob(sampled_logprob)
+        }
+        num = sp.logprobs or 0
+        for j in range(min(num, topk_lp.shape[1])):
+            logprobs.setdefault(int(topk_ids[row, j]),
+                                Logprob(float(topk_lp[row, j])))
+        return logprobs
+
+    # ---- warmup / profiling ----
+
+    def profile_run(self, kv_caches):
+        """Run a max-shape dummy prefill to bound live compute memory
+        (analog of the reference's profile_run, model_runner.py:620).
+        Returns the (donated-through) caches."""
+        max_tokens = self.scheduler_config.max_num_batched_tokens
+        t = _bucket(min(max_tokens, self.max_model_len),
+                    self.PREFILL_LEN_BUCKETS)
+        sp = SamplingParams(temperature=0.0)
+        from vllm_splitwise_tpu.sequence import SequenceData
+        data = SequenceData([1] * t)
+        num_pages = kv_caches[0][0].shape[1]
+        pages = [i % num_pages for i in range(cdiv(t, self.block_size))]
+        md = SequenceGroupMetadata(
+            request_id="profile",
+            is_prompt=True,
+            seq_data={0: data},
+            sampling_params=sp,
+            block_tables={0: pages},
+        )
+        _, kv_caches = self.execute_model([md], kv_caches)
+        return kv_caches

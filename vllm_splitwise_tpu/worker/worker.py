@@ -1,0 +1,190 @@
+"""The device worker: model runtime + KV cache on one mesh.
+
+Role-parity with the reference's ``vllm/worker/worker.py`` (init_model,
+load_model, profile_num_available_blocks, init_cache_engine,
+execute_model), re-designed single-controller: there is ONE worker object
+per engine (per phase pool under disaggregation), driving a whole
+``jax.sharding.Mesh`` — GSPMD plays the role of the reference's per-GPU
+worker fleet, so no Ray actors, no broadcast_tensor_dict, no NCCL init.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from vllm_splitwise_tpu.config import (CacheConfig, ModelConfig,
+                                       ParallelConfig, SchedulerConfig)
+from vllm_splitwise_tpu.logger import init_logger
+from vllm_splitwise_tpu.sequence import SamplerOutput, SequenceGroupMetadata
+from vllm_splitwise_tpu.utils import WorkerType
+from vllm_splitwise_tpu.worker.cache_engine import CacheEngine
+from vllm_splitwise_tpu.worker.model_runner import ModelRunner
+
+logger = init_logger(__name__)
+
+# Fallback page count when the backend exposes no memory stats (CPU tests).
+_DEFAULT_CPU_PAGES = 512
+
+
+class Worker:
+
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        parallel_config: ParallelConfig,
+        scheduler_config: SchedulerConfig,
+        cache_config: CacheConfig,
+        mesh=None,
+        worker_type: WorkerType = WorkerType.MIXED,
+    ) -> None:
+        self.model_config = model_config
+        self.parallel_config = parallel_config
+        self.scheduler_config = scheduler_config
+        self.cache_config = cache_config
+        self.mesh = mesh
+        self.worker_type = worker_type
+
+        self.model_runner = ModelRunner(model_config, parallel_config,
+                                        scheduler_config, cache_config,
+                                        mesh=mesh)
+        self.cache_engine: Optional[CacheEngine] = None
+        self.kv_caches = None
+        # Splitwise: set by the executor when phase-disaggregated.
+        self.kv_comm = None
+
+    @property
+    def device(self) -> jax.Device:
+        if self.mesh is not None:
+            return self.mesh.devices.flat[0]
+        return jax.devices()[0]
+
+    # ---- init ----
+
+    def load_model(self) -> None:
+        self.model_runner.load_model()
+
+    def profile_num_available_blocks(
+        self,
+        hbm_utilization: float,
+        host_swap_bytes: int,
+    ) -> Tuple[int, int]:
+        """Measure post-weights memory headroom and translate it into KV
+        page counts (reference worker.py:180-227).
+
+        Runs a max-shape dummy prefill against a tiny probe cache so the
+        peak includes live activation memory, then sizes the real cache
+        from (limit * utilization - peak).
+        """
+        block_bytes = CacheEngine.get_cache_block_size(
+            self.cache_config, self.model_config, self.parallel_config)
+        num_host = int(host_swap_bytes // block_bytes)
+
+        stats = self.device.memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit is None:
+            logger.info(
+                "Backend exposes no memory stats; defaulting to %d KV pages",
+                _DEFAULT_CPU_PAGES)
+            return _DEFAULT_CPU_PAGES, num_host
+
+        # Probe run: just enough pages to hold one max-size prefill.
+        from vllm_splitwise_tpu.utils import cdiv
+        probe_pages = cdiv(
+            min(self.scheduler_config.max_num_batched_tokens,
+                self.model_config.max_model_len),
+            self.cache_config.block_size) + 1
+        probe_config = _clone_cache_config(self.cache_config, probe_pages)
+        probe_engine = CacheEngine(probe_config, self.model_config,
+                                   self.parallel_config, mesh=self.mesh)
+        probe_caches = probe_engine.device_cache
+        probe_caches = self.model_runner.profile_run(probe_caches)
+        del probe_caches, probe_engine
+
+        stats = self.device.memory_stats()
+        peak = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0))
+        # Subtract the probe cache itself — it is freed before the real
+        # allocation.
+        probe_bytes = probe_pages * block_bytes
+        usable = int(limit * hbm_utilization) - (peak - probe_bytes)
+        num_device = max(int(usable // block_bytes), 0)
+        logger.info(
+            "Memory profile: limit=%.2f GiB peak=%.2f GiB -> %d device KV "
+            "pages (%d host)", limit / 2**30, peak / 2**30, num_device,
+            num_host)
+        return num_device, num_host
+
+    def init_cache_engine(self, cache_config: CacheConfig) -> None:
+        self.cache_config = cache_config
+        self.cache_engine = CacheEngine(cache_config, self.model_config,
+                                        self.parallel_config, mesh=self.mesh)
+        self.kv_caches = self.cache_engine.device_cache
+
+    def warm_up_model(self) -> None:
+        """Pre-compile the common decode buckets (analog of the
+        reference's CUDA-graph capture warmup, worker.py:237-242)."""
+        pass  # Buckets compile lazily on first use; XLA caches them.
+
+    # ---- per-step execution ----
+
+    def cache_swap(
+        self,
+        blocks_to_swap_in: Dict[int, int],
+        blocks_to_swap_out: Dict[int, int],
+        blocks_to_copy: Dict[int, List[int]],
+    ) -> None:
+        assert self.cache_engine is not None
+        if blocks_to_swap_out:
+            self.cache_engine.swap_out(blocks_to_swap_out)
+        if blocks_to_swap_in:
+            self.cache_engine.swap_in(blocks_to_swap_in)
+        if blocks_to_copy:
+            self.cache_engine.copy(blocks_to_copy)
+        self.kv_caches = self.cache_engine.device_cache
+
+    def execute_model(
+        self,
+        seq_group_metadata_list: List[SequenceGroupMetadata],
+        blocks_to_swap_in: Optional[Dict[int, int]] = None,
+        blocks_to_swap_out: Optional[Dict[int, int]] = None,
+        blocks_to_copy: Optional[Dict[int, List[int]]] = None,
+        blocks_to_nw: Optional[Dict[int, List[int]]] = None,
+    ) -> SamplerOutput:
+        self.cache_swap(blocks_to_swap_in or {}, blocks_to_swap_out or {},
+                        blocks_to_copy or {})
+
+        if not seq_group_metadata_list:
+            return []
+
+        # Splitwise decode side: wait for this step's migrating sequences'
+        # KV pages to land before attending over them.
+        if (self.kv_comm is not None
+                and self.worker_type == WorkerType.DECODE and blocks_to_nw):
+            self.kv_comm.wait_all(blocks_to_nw.keys())
+
+        output, self.kv_caches = self.model_runner.execute_model(
+            seq_group_metadata_list, self.kv_caches)
+        if self.cache_engine is not None:
+            self.cache_engine.device_cache = self.kv_caches
+
+        # Splitwise prefill side: push freshly written KV pages to the
+        # decode pool and signal completion.
+        if (self.kv_comm is not None
+                and self.worker_type == WorkerType.PREFILL and blocks_to_nw):
+            self.kv_comm.push_all(blocks_to_nw, self.kv_caches)
+        return output
+
+
+def _clone_cache_config(cache_config: CacheConfig,
+                        num_pages: int) -> CacheConfig:
+    probe = CacheConfig(
+        block_size=cache_config.block_size,
+        hbm_utilization=cache_config.hbm_utilization,
+        swap_space=0,
+        cache_dtype=cache_config.cache_dtype,
+        sliding_window=cache_config.sliding_window,
+    )
+    probe.num_device_blocks = num_pages
+    probe.num_host_blocks = 0
+    return probe
