@@ -38,7 +38,8 @@ from vllm_splitwise_tpu.utils import cdiv, round_up
 
 logger = init_logger(__name__)
 
-_SEED_MIX = np.uint64(0x9E3779B97F4A7C15)
+_SEED_MIX = 0x9E3779B97F4A7C15
+_U64 = (1 << 64) - 1
 
 
 def _bucket(n: int, ladder: List[int]) -> int:
@@ -55,12 +56,11 @@ def _mix_seed(seed: int, step: int, row: int) -> int:
     (sampling_metadata.py): stateless, so it reproduces across runs and
     across preemption/recompute.
     """
-    x = (np.uint64(seed & 0xFFFFFFFFFFFFFFFF) + _SEED_MIX *
-         np.uint64(step * 1000003 + row + 1))
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> np.uint64(31))
-    return int(x & np.uint64(0xFFFFFFFF))
+    x = ((seed & _U64) + _SEED_MIX * (step * 1000003 + row + 1)) & _U64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _U64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _U64
+    x = x ^ (x >> 31)
+    return x & 0xFFFFFFFF
 
 
 class ModelRunner:
