@@ -1,16 +1,16 @@
-"""Headline benchmark: steady-state decode throughput (tokens/s/chip).
+"""Headline benchmark: Llama-7B-shaped INT4 decode throughput per chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Workload: Llama-2-7B-shaped model (dummy weights), bf16, continuous
-decode at fixed batch over the paged KV cache on one chip — the engine's
-hot loop.  ``vs_baseline`` compares single-stream decode speed against the
-reference fork's committed Llama-3-8B serving results (p50 TPOT 15.2 ms @
-0.25 req/s => 65.8 tok/s/stream on a >=24GB GPU; see BASELINE.md) — the
-closest hardware-normalized number the reference publishes.
-
-Auto-sizes the model to the chip's HBM so the bench also runs on smaller
-devices (and with --smoke on CPU).
+The north-star metric (BASELINE.json): tokens/s/chip for Llama-2-7B INT4
+with >=2.5x speedup over bf16.  This bench runs the engine's hot decode
+step (paged-KV attention + fused int4 dequant-matmul Pallas kernels) at
+fixed batch/context on one chip for both INT4 and bf16 weights and
+reports ``vs_baseline = (int4_toks / bf16_toks) / 2.5`` — >= 1.0 means
+the 2.5x target is met.  If the bf16 leg cannot fit in HBM, falls back to
+comparing single-stream decode speed against the reference fork's
+committed Llama-3-8B GPU serving results (p50 TPOT 15.2 ms => 65.8
+tok/s/stream, BASELINE.md).
 """
 import argparse
 import json
@@ -20,68 +20,47 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# p50 single-stream decode tok/s of the reference fork's own committed
-# Llama-3-8B @0.25req/s run (1/15.2ms, BASELINE.md).
 _BASELINE_STREAM_TOKS = 65.8
+_TARGET_SPEEDUP = 2.5
 
 _SHAPES = {
-    # name: (hidden, inter, layers, heads, kv_heads, vocab, ~bf16 GiB)
-    "7b": (4096, 11008, 32, 32, 32, 32000, 13.5),
-    "1b": (2048, 5504, 22, 16, 4, 32000, 2.2),
-    "tiny": (1024, 2048, 4, 8, 8, 1024, 0.08),
+    # name: (hidden, inter, layers, heads, kv_heads, vocab)
+    "7b": (4096, 11008, 32, 32, 32, 32000),
+    "1b": (2048, 5504, 22, 16, 4, 32000),
+    "tiny": (1024, 2048, 4, 8, 8, 1024),
 }
 
 
-def pick_size(smoke: bool) -> str:
-    if smoke:
-        return "tiny"
-    stats = jax.devices()[0].memory_stats() or {}
-    limit = stats.get("bytes_limit", 0)
-    if limit >= 17 * 2**30:
-        return "7b"
-    if limit >= 4 * 2**30:
-        return "1b"
-    return "tiny"
-
-
-def build(size: str):
+def build(size: str, quant: str, seed: int = 0):
     from transformers import LlamaConfig
 
-    from vllm_splitwise_tpu.layers.sampler import SamplingTensors, sample
-    from vllm_splitwise_tpu.models.input_metadata import DecodeMetadata
     from vllm_splitwise_tpu.models.llama import LlamaForCausalLM
 
-    h, inter, layers, heads, kv, vocab, _ = _SHAPES[size]
+    h, inter, layers, heads, kv, vocab = _SHAPES[size]
     config = LlamaConfig(vocab_size=vocab, hidden_size=h,
                          intermediate_size=inter, num_hidden_layers=layers,
                          num_attention_heads=heads, num_key_value_heads=kv,
                          max_position_embeddings=4096,
                          tie_word_embeddings=False)
     model = LlamaForCausalLM(config, dtype=jnp.bfloat16)
-    params = model.init_params(jax.random.PRNGKey(0))
-    return model, params, config, (SamplingTensors, sample, DecodeMetadata)
+    params = model.init_params(jax.random.PRNGKey(seed))
+    if quant != "bf16":
+        from vllm_splitwise_tpu.layers.quantization import (GPTQConfig,
+                                                            Int8Config)
+        from vllm_splitwise_tpu.models.loader import quantize_dummy_params
+        qc = GPTQConfig(4, 128, False) if quant == "int4" else Int8Config()
+        quantize_dummy_params(params, qc, seed)
+    return model, params, config
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--smoke", action="store_true",
-                        help="tiny model (CI/CPU)")
-    parser.add_argument("--batch", type=int, default=8)
-    parser.add_argument("--context", type=int, default=768,
-                        help="KV context length per sequence (matches the "
-                        "reference workload's ~772-token mean prompts)")
-    parser.add_argument("--steps", type=int, default=64)
-    parser.add_argument("--size", choices=list(_SHAPES), default=None)
-    args = parser.parse_args()
-
-    size = args.size or pick_size(args.smoke)
-    model, params, config, (SamplingTensors, sample, DecodeMetadata) = \
-        build(size)
+def measure_decode(model, params, config, batch, context, steps):
+    from vllm_splitwise_tpu.layers.sampler import SamplingTensors, sample
+    from vllm_splitwise_tpu.models.input_metadata import DecodeMetadata
 
     page_size = 16
-    pages_per_seq = -(-args.context // page_size) + 8
-    num_pages = args.batch * pages_per_seq
-    b = args.batch
+    pages_per_seq = -(-context // page_size) + 8
+    num_pages = batch * pages_per_seq
+    b = batch
 
     kv_caches = [(jnp.zeros((model.num_kv_heads, num_pages, page_size,
                              model.head_dim), dtype=jnp.bfloat16),
@@ -92,7 +71,6 @@ def main():
     tables = np.zeros((b, pages_per_seq), dtype=np.int32)
     for i in range(b):
         tables[i] = np.arange(i * pages_per_seq, (i + 1) * pages_per_seq)
-    ctx0 = args.context
 
     tensors = SamplingTensors(
         temperature=jnp.ones((b, ), jnp.float32),
@@ -107,47 +85,83 @@ def main():
         output_tokens=jnp.zeros((b, 0), jnp.int32),
     )
 
-    def step(params, tokens, positions, kv_caches, md, tensors, seeds):
+    base = (np.arange(b) * pages_per_seq * page_size).astype(np.int32)
+
+    def step(params, tokens, ctx, kv_caches, tables, tensors, seeds):
+        positions = (ctx - 1).reshape(b, 1)
+        md = DecodeMetadata(
+            block_tables=tables,
+            context_lens=ctx,
+            slot_mapping=jnp.asarray(base) + ctx - 1,
+        )
         hidden, caches = model(params, tokens, positions, kv_caches, md)
         logits = model.compute_logits(params, hidden[:, 0])
         out = sample(logits, tensors, seeds, needs_filtering=False)
-        return out.sampled_tokens, caches
+        return out.sampled_tokens.reshape(b, 1), ctx + 1, caches
 
     step = jax.jit(step, donate_argnums=(3, ))
 
     tables_j = jnp.asarray(tables)
     tokens = jnp.ones((b, 1), dtype=jnp.int32)
+    ctx = jnp.full((b, ), context + 1, dtype=jnp.int32)
     seeds = jnp.zeros((b, ), jnp.uint32)
 
-    def make_md(ctx):
-        base = (np.arange(b) * pages_per_seq * page_size).astype(np.int32)
-        return DecodeMetadata(
-            block_tables=tables_j,
-            context_lens=jnp.full((b, ), ctx + 1, dtype=jnp.int32),
-            slot_mapping=jnp.asarray(base + ctx),
-        )
-
-    # Warmup (compile).
-    t, kv_caches = step(params, tokens, jnp.full((b, 1), ctx0, jnp.int32),
-                        kv_caches, make_md(ctx0), tensors, seeds)
-    jax.block_until_ready(t)
+    tokens, ctx, kv_caches = step(params, tokens, ctx, kv_caches, tables_j,
+                                  tensors, seeds)  # compile
+    jax.block_until_ready(tokens)
 
     start = time.perf_counter()
-    for i in range(args.steps):
-        ctx = ctx0 + 1 + i
-        t, kv_caches = step(params, t.reshape(b, 1),
-                            jnp.full((b, 1), ctx, jnp.int32), kv_caches,
-                            make_md(ctx), tensors, seeds)
-    jax.block_until_ready(t)
+    for _ in range(steps):
+        tokens, ctx, kv_caches = step(params, tokens, ctx, kv_caches,
+                                      tables_j, tensors, seeds)
+    jax.block_until_ready(tokens)
     elapsed = time.perf_counter() - start
+    return steps * b / elapsed, steps / elapsed
 
-    toks_per_s = args.steps * b / elapsed
-    stream_toks = args.steps / elapsed
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--context", type=int, default=768)
+    parser.add_argument("--steps", type=int, default=64)
+    parser.add_argument("--size", choices=list(_SHAPES), default=None)
+    parser.add_argument("--quant", choices=["int4", "int8", "bf16"],
+                        default="int4")
+    parser.add_argument("--no-compare", action="store_true",
+                        help="skip the bf16 comparison leg")
+    args = parser.parse_args()
+
+    size = args.size or ("tiny" if args.smoke else "7b")
+
+    model, params, config = build(size, args.quant)
+    toks, stream = measure_decode(model, params, config, args.batch,
+                                  args.context, args.steps)
+    del params
+
+    speedup = None
+    if args.quant != "bf16" and not args.no_compare:
+        try:
+            model_b, params_b, config_b = build(size, "bf16")
+            toks_b, _ = measure_decode(model_b, params_b, config_b,
+                                       args.batch, args.context, args.steps)
+            del params_b
+            speedup = toks / toks_b
+        except Exception:  # bf16 leg OOM on small chips — fall back.
+            speedup = None
+
+    if speedup is not None:
+        vs_baseline = round(speedup / _TARGET_SPEEDUP, 3)
+    else:
+        vs_baseline = round(stream / _BASELINE_STREAM_TOKS, 3)
     print(json.dumps({
-        "metric": f"decode_tokens_per_s_per_chip_llama_{size}_bf16_b{b}",
-        "value": round(toks_per_s, 2),
+        "metric": (f"decode_tokens_per_s_per_chip_llama_{size}_"
+                   f"{args.quant}_b{args.batch}_ctx{args.context}"
+                   + ("" if speedup is None
+                      else f"_speedup_vs_bf16_{speedup:.2f}x")),
+        "value": round(toks, 2),
         "unit": "tokens/s/chip",
-        "vs_baseline": round(stream_toks / _BASELINE_STREAM_TOKS, 3),
+        "vs_baseline": vs_baseline,
     }))
 
 

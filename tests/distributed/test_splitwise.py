@@ -1,0 +1,114 @@
+"""Splitwise phase-disaggregation tests.
+
+Ports the reference's KV-comm integration test pattern
+(tests/distributed/test_kvcache_comm.py: pattern-fill the prompt pool's
+cache, push everything, assert token-pool equality) and adds an
+end-to-end greedy-equality run with ``sep_prompt_token=True`` on two
+virtual CPU devices.
+"""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_checkpoint(tmp_path_factory):
+    from ..models.utils import (hf_model_and_weights, save_local_checkpoint,
+                                save_tiny_tokenizer, tiny_llama_config)
+    d = str(tmp_path_factory.mktemp("tiny_llama_sw"))
+    config = tiny_llama_config()
+    hf, weights = hf_model_and_weights(config)
+    save_local_checkpoint(config, weights, d)
+    save_tiny_tokenizer(d, config.vocab_size)
+    return d, hf, config
+
+
+@pytest.fixture(scope="module")
+def splitwise_llm(tiny_checkpoint):
+    from vllm_splitwise_tpu import LLM
+    d, _, _ = tiny_checkpoint
+    return LLM(model=d, dtype="float32", max_model_len=256,
+               num_gpu_blocks_override=64, block_size=16,
+               max_num_seqs=8, max_paddings=512, swap_space=0.1,
+               sep_prompt_token=True)
+
+
+def test_kvcache_comm(splitwise_llm):
+    """Pattern-fill prefill cache -> push all pages -> verify decode side
+    (reference tests/distributed/test_kvcache_comm.py:27-42)."""
+    executor = splitwise_llm.llm_engine.executor
+    executor.set_prefill_cache_pattern(3.25)
+    assert not executor.check_decode_cache_pattern(3.25)
+    executor.send_recv_kvcache_all()
+    assert executor.check_decode_cache_pattern(3.25)
+    # Reset for later tests.
+    executor.set_prefill_cache_pattern(0.0)
+    executor.send_recv_kvcache_all()
+    executor.kv_migration._migrated_slots.clear()
+
+
+def test_splitwise_pools_are_distinct_devices(splitwise_llm):
+    executor = splitwise_llm.llm_engine.executor
+    prefill_devs = set(executor.prefill_worker.mesh.devices.flat)
+    decode_devs = set(executor.decode_worker.mesh.devices.flat)
+    assert prefill_devs.isdisjoint(decode_devs)
+
+
+def test_splitwise_greedy_matches_hf(splitwise_llm, tiny_checkpoint):
+    """Full disaggregated path: prefill on pool A, KV migration, decode on
+    pool B — greedy tokens must equal HF."""
+    import torch
+
+    from vllm_splitwise_tpu import SamplingParams
+    _, hf, config = tiny_checkpoint
+
+    rng = np.random.RandomState(0)
+    prompt_ids = [
+        rng.randint(3, config.vocab_size, size=rng.randint(8, 24)).tolist()
+        for _ in range(6)
+    ]
+    max_tokens = 12
+    outs = splitwise_llm.generate(
+        prompt_token_ids=prompt_ids,
+        sampling_params=SamplingParams(temperature=0.0,
+                                       max_tokens=max_tokens,
+                                       ignore_eos=True),
+        use_tqdm=False)
+    for ids, out in zip(prompt_ids, outs):
+        with torch.no_grad():
+            hf_out = hf.generate(torch.tensor([ids]),
+                                 max_new_tokens=max_tokens,
+                                 do_sample=False)
+        assert out.outputs[0].token_ids == hf_out[0, len(ids):].tolist()
+
+    # Migration actually happened (pages moved prefill -> decode).
+    executor = splitwise_llm.llm_engine.executor
+    assert executor.kv_migration.num_migrations >= 1
+    assert executor.kv_migration.num_pages_moved > 0
+
+
+def test_splitwise_continuous_stream(splitwise_llm, tiny_checkpoint):
+    """Interleaved prompt/decode steps: submit in two waves so prefills of
+    wave 2 interleave with decodes of wave 1."""
+    from vllm_splitwise_tpu import SamplingParams
+    _, _, config = tiny_checkpoint
+    engine = splitwise_llm.llm_engine
+    rng = np.random.RandomState(1)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+
+    for i in range(3):
+        engine.add_request(f"w1-{i}", None, sp,
+                           rng.randint(3, 256, size=10).tolist())
+    # A few steps: prefill wave 1, start decoding.
+    for _ in range(3):
+        engine.step()
+    for i in range(3):
+        engine.add_request(f"w2-{i}", None, sp,
+                           rng.randint(3, 256, size=10).tolist())
+    finished = []
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                finished.append(out)
+    assert len(finished) == 6
+    for out in finished:
+        assert len(out.outputs[0].token_ids) == 8

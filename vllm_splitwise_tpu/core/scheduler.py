@@ -144,17 +144,20 @@ class Scheduler:
     # ---- the scheduling algorithm ----
 
     def _track_nw_blocks(self, seq_group: SequenceGroup,
-                         blocks_to_nw: Dict[int, List[int]]) -> None:
+                         blocks_to_nw: Dict[int, List[int]],
+                         prompt_run: bool = False) -> None:
         """Record KV blocks to migrate for sequences that just (or are
-        about to) cross the prefill->decode boundary: prefill output
-        (output_len == 0) and the first decode step (output_len == 1),
-        matching the reference's output_len <= 1 rule on both sides of the
-        split (vllm/core/scheduler.py:269-277,376-385)."""
+        about to) cross the prefill->decode boundary: every prompt run
+        (the reference only tracks output_len <= 1 there,
+        vllm/core/scheduler.py:269-277 — tracking all scheduled prompt
+        seqs additionally covers preempt-by-recompute of sequences with
+        prior output) and the first decode step (output_len == 1,
+        reference :376-385)."""
         if not self.track_prompt_blocks:
             return
         assert self.seq_to_slot_mapper is not None
         for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            if seq.get_output_len() <= 1:
+            if prompt_run or seq.get_output_len() <= 1:
                 slot_id = self.seq_to_slot_mapper.get_slot_id(seq.seq_id)
                 block_ids = self.block_manager.get_block_table(seq)
                 blocks_to_nw[slot_id] = list(dict.fromkeys(block_ids))
@@ -234,7 +237,8 @@ class Scheduler:
 
             if scheduled or ignored_seq_groups:
                 for seq_group in scheduled:
-                    self._track_nw_blocks(seq_group, blocks_to_nw)
+                    self._track_nw_blocks(seq_group, blocks_to_nw,
+                                          prompt_run=True)
                 return SchedulerOutputs(
                     scheduled_seq_groups=scheduled,
                     prompt_run=True,

@@ -1,0 +1,160 @@
+"""Phase-disaggregated (Splitwise) executor: prefill pool + decode pool.
+
+Role-parity with the reference's stage-aware RayGPUExecutor
+(vllm/executor/ray_gpu_executor.py:291-306,396-452: prompt steps route to
+the prompt worker pool, token steps to the token pool, with per-pool
+driver ranks and MSCCL++ KV pushes).  TPU-native redesign: the two pools
+are two JAX meshes in one single-controller process; routing is a Python
+if; KV migration is the KVMigrationManager's gather -> device_put ->
+scatter pipeline, ordered by dataflow instead of device semaphores.
+
+Like the reference (ray_gpu_executor.py:292-293 comment), prompt and
+token steps are not yet overlapped from one engine step.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from vllm_splitwise_tpu.config import (CacheConfig, DeviceConfig,
+                                       LoRAConfig, ModelConfig,
+                                       ParallelConfig, SchedulerConfig)
+from vllm_splitwise_tpu.executor.executor_base import ExecutorBase
+from vllm_splitwise_tpu.executor.tpu_executor import _check_enough_blocks
+from vllm_splitwise_tpu.logger import init_logger
+from vllm_splitwise_tpu.parallel.mesh import build_parallel_state
+from vllm_splitwise_tpu.sequence import SamplerOutput, SequenceGroupMetadata
+from vllm_splitwise_tpu.utils import WorkerType
+from vllm_splitwise_tpu.worker.kv_migration import KVMigrationManager
+from vllm_splitwise_tpu.worker.worker import Worker
+
+logger = init_logger(__name__)
+
+
+class SplitwiseExecutor(ExecutorBase):
+
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        cache_config: CacheConfig,
+        parallel_config: ParallelConfig,
+        scheduler_config: SchedulerConfig,
+        device_config: DeviceConfig,
+        lora_config: Optional[LoRAConfig] = None,
+    ) -> None:
+        assert parallel_config.sep_prompt_token
+        self.model_config = model_config
+        self.cache_config = cache_config
+        self.parallel_config = parallel_config
+        self.scheduler_config = scheduler_config
+        self.device_config = device_config
+        self.lora_config = lora_config
+
+        self.parallel_state = build_parallel_state(
+            tensor_parallel_size=parallel_config.tensor_parallel_size,
+            sep_prompt_token=True,
+        )
+        tp = parallel_config.tensor_parallel_size
+        prefill_mesh = self.parallel_state.prefill_mesh
+        decode_mesh = self.parallel_state.decode_mesh
+        logger.info("Splitwise pools: prefill=%s decode=%s (tp=%d each)",
+                    list(prefill_mesh.devices.flat),
+                    list(decode_mesh.devices.flat), tp)
+
+        self.prefill_worker = Worker(model_config, parallel_config,
+                                     scheduler_config, cache_config,
+                                     mesh=prefill_mesh,
+                                     worker_type=WorkerType.PREFILL)
+        self.decode_worker = Worker(model_config, parallel_config,
+                                    scheduler_config, cache_config,
+                                    mesh=decode_mesh,
+                                    worker_type=WorkerType.DECODE)
+
+        self.prefill_worker.load_model()
+        self.decode_worker.load_model()
+        self._init_cache()
+        self.kv_migration = KVMigrationManager(self.prefill_worker,
+                                               self.decode_worker)
+
+    def _init_cache(self) -> None:
+        cfg = self.cache_config
+        if cfg.num_device_blocks is None:
+            # Both pools are identical chips; min() across pools for parity
+            # with the reference's min-across-workers (:256-276).
+            a, host = self.prefill_worker.profile_num_available_blocks(
+                cfg.hbm_utilization, cfg.swap_space_bytes)
+            b, _ = self.decode_worker.profile_num_available_blocks(
+                cfg.hbm_utilization, cfg.swap_space_bytes)
+            cfg.num_device_blocks = min(a, b)
+            cfg.num_host_blocks = host
+        if cfg.num_host_blocks is None:
+            from vllm_splitwise_tpu.worker.cache_engine import CacheEngine
+            block_bytes = CacheEngine.get_cache_block_size(
+                cfg, self.model_config, self.parallel_config)
+            cfg.num_host_blocks = int(cfg.swap_space_bytes // block_bytes)
+        _check_enough_blocks(cfg, self.model_config)
+        logger.info("# device KV pages per pool: %d, # host KV pages: %d",
+                    cfg.num_device_blocks, cfg.num_host_blocks)
+        self.prefill_worker.init_cache_engine(cfg)
+        self.decode_worker.init_cache_engine(cfg)
+
+    def execute_model(
+        self,
+        seq_group_metadata_list: List[SequenceGroupMetadata],
+        blocks_to_swap_in: Dict[int, int],
+        blocks_to_swap_out: Dict[int, int],
+        blocks_to_copy: Dict[int, List[int]],
+        blocks_to_nw: Optional[Dict[int, List[int]]] = None,
+    ) -> SamplerOutput:
+        blocks_to_nw = blocks_to_nw or {}
+        is_prompt = bool(seq_group_metadata_list
+                         and seq_group_metadata_list[0].is_prompt)
+        if is_prompt:
+            output = self.prefill_worker.execute_model(
+                seq_group_metadata_list,
+                blocks_to_swap_in=blocks_to_swap_in,
+                blocks_to_swap_out=blocks_to_swap_out,
+                blocks_to_copy=blocks_to_copy)
+            # Push the freshly written pages to the decode pool; async —
+            # overlaps with the engine's detokenize/schedule work and the
+            # decode pool's in-flight steps.
+            self.kv_migration.migrate(blocks_to_nw)
+            return output
+
+        self.kv_migration.ensure_migrated(blocks_to_nw.keys())
+        # Swap/copy plans concern decode-phase sequences (append_slot CoW,
+        # preemption): they apply to the decode pool's cache.
+        return self.decode_worker.execute_model(
+            seq_group_metadata_list,
+            blocks_to_swap_in=blocks_to_swap_in,
+            blocks_to_swap_out=blocks_to_swap_out,
+            blocks_to_copy=blocks_to_copy)
+
+    def check_health(self) -> None:
+        return
+
+    # ---- KV-comm self test (reference worker.py:350-386 pattern) ----
+
+    def set_prefill_cache_pattern(self, value: float) -> None:
+        """Fill every prefill-pool cache page with `value` (test hook)."""
+        import jax.numpy as jnp
+        cache = self.prefill_worker.kv_caches
+        self.prefill_worker.kv_caches = [
+            (jnp.full_like(k, value), jnp.full_like(v, value))
+            for k, v in cache
+        ]
+        self.prefill_worker.cache_engine.device_cache = \
+            self.prefill_worker.kv_caches
+
+    def send_recv_kvcache_all(self) -> None:
+        """Push every page prefill -> decode (test hook)."""
+        num_pages = self.cache_config.num_device_blocks
+        self.kv_migration.migrate({0: list(range(num_pages))})
+
+    def check_decode_cache_pattern(self, value: float) -> bool:
+        import numpy as np
+        for k, v in self.decode_worker.kv_caches:
+            if not (np.asarray(k) == value).all():
+                return False
+            if not (np.asarray(v) == value).all():
+                return False
+        return True

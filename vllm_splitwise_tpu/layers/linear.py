@@ -69,3 +69,35 @@ def linear(x: jax.Array,
     if bias is not None:
         y = y + bias
     return y
+
+
+def dense(x: jax.Array, w, bias: Optional[jax.Array] = None) -> jax.Array:
+    """The universal projection: y = x @ W (+ b) where W is either a plain
+    [in, out] array or a quantized param dict (pack2G int4 / int8 /
+    dense-fallback — see ops/quant_matmul.py).  Models call this instead
+    of jnp.dot so quantization is a checkpoint property, not a model-code
+    property (the role of the reference's LinearMethodBase plug-ins).
+    """
+    if isinstance(w, dict):
+        from vllm_splitwise_tpu.ops.quant_matmul import (quant_matmul_int4,
+                                                         quant_matmul_int8)
+        lead = x.shape[:-1]
+        k = x.shape[-1]
+        x2 = x.reshape(-1, k)
+        if "act_perm" in w:
+            # GPTQ desc_act: activations follow the weight-row reorder.
+            x2 = jnp.take(x2, w["act_perm"], axis=1)
+        if "weight_dense" in w:
+            y = jnp.dot(x2, w["weight_dense"].astype(x.dtype))
+        elif "zeros" in w:
+            group_size = k // w["scales"].shape[0]
+            y = quant_matmul_int4(x2, w["qweight"], w["scales"], w["zeros"],
+                                  group_size=group_size)
+        else:
+            y = quant_matmul_int8(x2, w["qweight"], w["scales"])
+        y = y.reshape(*lead, -1)
+    else:
+        y = jnp.dot(x, w)
+    if bias is not None:
+        y = y + bias
+    return y

@@ -22,6 +22,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from vllm_splitwise_tpu.layers.activation import get_act_fn
+from vllm_splitwise_tpu.layers.linear import dense
 from vllm_splitwise_tpu.layers.attention import Attention, KVCache
 from vllm_splitwise_tpu.layers.layernorm import rms_norm
 from vllm_splitwise_tpu.layers.rotary_embedding import get_rope
@@ -173,9 +174,9 @@ class LlamaForCausalLM:
             residual = hidden
             x = rms_norm(hidden, lp["input_layernorm"], self.rms_eps)
 
-            q = jnp.dot(x, lp["q_proj"])
-            k = jnp.dot(x, lp["k_proj"])
-            v = jnp.dot(x, lp["v_proj"])
+            q = dense(x, lp["q_proj"])
+            k = dense(x, lp["k_proj"])
+            v = dense(x, lp["v_proj"])
             if self.qkv_bias:
                 q = q + lp["q_bias"]
                 k = k + lp["k_bias"]
@@ -190,15 +191,15 @@ class LlamaForCausalLM:
 
             attn_out, cache = self.attn[i](q, k, v, kv_caches[i], metadata)
             new_caches.append(cache)
-            hidden = residual + jnp.dot(attn_out, lp["o_proj"])
+            hidden = residual + dense(attn_out, lp["o_proj"])
 
             residual = hidden
             x = rms_norm(hidden, lp["post_attention_layernorm"],
                          self.rms_eps)
-            gate = jnp.dot(x, lp["gate_proj"])
-            up = jnp.dot(x, lp["up_proj"])
-            hidden = residual + jnp.dot(self.act_fn(gate) * up,
-                                        lp["down_proj"])
+            gate = dense(x, lp["gate_proj"])
+            up = dense(x, lp["up_proj"])
+            hidden = residual + dense(self.act_fn(gate) * up,
+                                      lp["down_proj"])
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
         return hidden, new_caches
@@ -271,6 +272,13 @@ class LlamaForCausalLM:
                 if sub not in self._HF_LAYER_MAP:
                     continue
                 our_name, transpose = self._HF_LAYER_MAP[sub]
+                if isinstance(w, dict):
+                    # Quantized param dict, already [in, out] internal
+                    # layout (models/loader.py quant_grouping_iterator).
+                    layers[layer_idx][our_name] = {
+                        k: jnp.asarray(v) for k, v in w.items()
+                    }
+                    continue
                 w = np.asarray(w, dtype=np.float32)
                 if transpose:
                     w = w.T

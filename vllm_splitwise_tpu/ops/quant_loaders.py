@@ -1,0 +1,181 @@
+"""HF quantized-checkpoint tensor conversion (host side, load time).
+
+Unpacks AutoGPTQ / AWQ / SqueezeLLM serialized tensors into this
+framework's internal layouts (see ops/quant_matmul.py pack2G docstring).
+Covers the role of the reference's in-kernel format handling
+(csrc/quantization/gptq/q_gemm.cu nibble math, awq/dequantize.cuh
+interleave, squeezellm LUT): we pay the format tax ONCE at load time so
+the hot kernel reads a layout designed for the TPU memory system.
+
+Format conventions implemented (AutoGPTQ >= 0.4 / llm-awq):
+* GPTQ: qweight int32 [K/8, N], k = row*8 + i at bits [4i, 4i+4);
+  qzeros int32 [K/G, N/8] same nibble order along N, stored zero MINUS 1
+  (the AutoGPTQ off-by-one); scales f16 [K/G, N]; g_idx [K] maps k->group
+  (non-trivial only under desc_act).
+* AWQ: qweight int32 [K, N/8] with nibble order [0,4,1,5,2,6,3,7] along
+  N; qzeros int32 [K/G, N/8] same order; scales f16 [K/G, N]; zeros used
+  as-is.
+* SqueezeLLM: qweight int32 [K/8, N] (GPTQ nibble order), lookup_table
+  f16 [N, 16].
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from vllm_splitwise_tpu.ops.quant_matmul import pack_int4
+
+AWQ_ORDER = np.array([0, 4, 1, 5, 2, 6, 3, 7])
+
+
+def _unpack_rows_int32(packed: np.ndarray, bits: int = 4) -> np.ndarray:
+    """int32 [R/f, C] -> uint8 [R, C] (values packed along dim 0,
+    sequential nibble order)."""
+    assert bits in (2, 4, 8)
+    factor = 32 // bits
+    mask = (1 << bits) - 1
+    p = packed.astype(np.uint32)
+    out = np.empty((p.shape[0] * factor, p.shape[1]), dtype=np.uint8)
+    for i in range(factor):
+        out[i::factor] = (p >> (bits * i)) & mask
+    # Row r*factor+i of `out` currently holds nibble i of word r — that IS
+    # k = r*factor + i, so the interleaved assignment above is correct.
+    return out
+
+
+def _unpack_cols_int32(packed: np.ndarray, bits: int = 4,
+                       order: Optional[np.ndarray] = None) -> np.ndarray:
+    """int32 [R, C/f] -> uint8 [R, C] (values packed along dim 1)."""
+    assert bits in (2, 4, 8)
+    factor = 32 // bits
+    mask = (1 << bits) - 1
+    p = packed.astype(np.uint32)
+    out = np.empty((p.shape[0], p.shape[1] * factor), dtype=np.uint8)
+    idx = order if order is not None else np.arange(factor)
+    for j in range(factor):
+        out[:, j::factor] = (p >> (bits * int(idx[j]))) & mask
+    return out
+
+
+def unpack_gptq(
+    qweight: np.ndarray,
+    qzeros: np.ndarray,
+    scales: np.ndarray,
+    g_idx: Optional[np.ndarray],
+    bits: int = 4,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Returns (w_int [K, N] uint8, scales [K/G, N] f32,
+    zeros [K/G, N] f32, perm-or-None)."""
+    w_int = _unpack_rows_int32(qweight, bits)
+    zeros = _unpack_cols_int32(qzeros, bits).astype(np.float32) + 1.0
+    scales = scales.astype(np.float32)
+    k = w_int.shape[0]
+    num_groups = scales.shape[0]
+    group_size = k // num_groups
+    perm = None
+    if g_idx is not None and g_idx.size == k:
+        expected = np.arange(k) // group_size
+        if not np.array_equal(g_idx, expected):
+            # desc_act: reorder K rows so groups are contiguous; the
+            # runtime must apply `perm` to the activation K dim.
+            perm = np.argsort(g_idx, kind="stable").astype(np.int32)
+            w_int = w_int[perm]
+    return w_int, scales, zeros, perm
+
+
+def unpack_awq(
+    qweight: np.ndarray,
+    qzeros: np.ndarray,
+    scales: np.ndarray,
+    bits: int = 4,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    w_int = _unpack_cols_int32(qweight, bits, AWQ_ORDER)
+    zeros = _unpack_cols_int32(qzeros, bits, AWQ_ORDER).astype(np.float32)
+    return w_int, scales.astype(np.float32), zeros
+
+
+def unpack_squeezellm(qweight: np.ndarray,
+                      lookup_table: np.ndarray) -> np.ndarray:
+    """Returns dense w [K, N] f32 via per-channel LUT (the LUT destroys
+    the affine structure, so SqueezeLLM dequantizes at load time into the
+    dense/int8 path rather than the int4 kernel)."""
+    w_int = _unpack_rows_int32(qweight, 4)  # [K, N]
+    k, n = w_int.shape
+    return lookup_table.astype(np.float32)[np.arange(n)[None, :],
+                                           w_int.astype(np.int64)]
+
+
+# ---------------------------------------------------------------------------
+# Internal-format conversion + synthetic quantizers (dummy loads, tests)
+# ---------------------------------------------------------------------------
+
+
+def to_internal_int4(w_int: np.ndarray, scales: np.ndarray,
+                     zeros: np.ndarray,
+                     dtype=np.float32) -> Dict[str, np.ndarray]:
+    """(unpacked HF tensors) -> internal pack2G param dict."""
+    k = w_int.shape[0]
+    group_size = k // scales.shape[0]
+    return {
+        "qweight": pack_int4(w_int, group_size),
+        "scales": scales.astype(dtype),
+        "zeros": zeros.astype(dtype),
+    }
+
+
+def quantize_int4(w: np.ndarray, group_size: int = 128
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Asymmetric per-group int4 quantization of a dense [K, N] weight.
+    Returns (w_int uint8 [K,N], scales [K/G,N], zeros [K/G,N])."""
+    k, n = w.shape
+    assert k % group_size == 0
+    g = w.reshape(k // group_size, group_size, n)
+    w_min = g.min(axis=1)
+    w_max = g.max(axis=1)
+    scales = np.maximum((w_max - w_min) / 15.0, 1e-10)
+    zeros = np.round(-w_min / scales).clip(0, 15)
+    q = np.round(g / scales[:, None, :] + zeros[:, None, :]).clip(0, 15)
+    return (q.reshape(k, n).astype(np.uint8), scales.astype(np.float32),
+            zeros.astype(np.float32))
+
+
+def quantize_int8(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-channel int8. Returns (qweight int8 [K,N],
+    scales [1,N])."""
+    scales = np.maximum(np.abs(w).max(axis=0, keepdims=True) / 127.0, 1e-10)
+    q = np.round(w / scales).clip(-128, 127).astype(np.int8)
+    return q, scales.astype(np.float32)
+
+
+# HF-format re-packers (round-trip tests + synthetic checkpoints).
+
+
+def pack_gptq_hf(w_int: np.ndarray, zeros: np.ndarray,
+                 bits: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+    """(w_int [K,N], zeros [K/G,N]) -> (qweight int32 [K/8,N],
+    qzeros int32 [K/G,N/8]) in AutoGPTQ serialization."""
+    factor = 32 // bits
+    k, n = w_int.shape
+    qweight = np.zeros((k // factor, n), dtype=np.uint32)
+    for i in range(factor):
+        qweight |= w_int[i::factor].astype(np.uint32) << (bits * i)
+    z_store = (zeros - 1.0).astype(np.uint32).clip(0, 15)
+    qzeros = np.zeros((z_store.shape[0], n // factor), dtype=np.uint32)
+    for j in range(factor):
+        qzeros |= z_store[:, j::factor] << (bits * j)
+    return qweight.view(np.int32), qzeros.view(np.int32)
+
+
+def pack_awq_hf(w_int: np.ndarray, zeros: np.ndarray,
+                bits: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+    factor = 32 // bits
+    k, n = w_int.shape
+    qweight = np.zeros((k, n // factor), dtype=np.uint32)
+    qzeros = np.zeros((zeros.shape[0], n // factor), dtype=np.uint32)
+    z_store = zeros.astype(np.uint32).clip(0, 15)
+    for j in range(factor):
+        shift = bits * int(AWQ_ORDER[j])
+        qweight |= w_int[:, j::factor].astype(np.uint32) << shift
+        qzeros |= z_store[:, j::factor] << shift
+    return qweight.view(np.int32), qzeros.view(np.int32)

@@ -78,14 +78,51 @@ def build_parallel_state(
 
 
 def shard_pytree(tree, spec_tree, mesh: Mesh):
-    """device_put every leaf with its NamedSharding(mesh, spec)."""
+    """device_put every leaf with its NamedSharding(mesh, spec).
+
+    Structure-tolerant: where the spec tree has a single PartitionSpec but
+    the param tree has a dict (a quantized weight — qweight/scales/zeros
+    share the dense weight's sharding), the spec is broadcast into the
+    dict; axes whose size does not divide the mesh axis fall back to
+    replication (e.g. int8 per-channel scales of shape [1, N] under
+    row-parallel sharding).
+    """
+    def is_spec(s) -> bool:
+        return s is None or isinstance(s, P)
+
+    def fit(x, spec: P) -> P:
+        dims = list(spec) + [None] * (x.ndim - len(spec))
+        fixed = []
+        for i in range(x.ndim):
+            d = dims[i]
+            if d is None:
+                fixed.append(None)
+                continue
+            axes = (d, ) if isinstance(d, str) else tuple(d)
+            size = int(np.prod([mesh.shape[a] for a in axes]))
+            fixed.append(d if x.shape[i] % size == 0 else None)
+        return P(*fixed)
+
     def place(x, spec):
         if spec is None:
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, fit(x, spec)))
 
-    return jax.tree_util.tree_map(place, tree, spec_tree,
-                                  is_leaf=lambda x: x is None)
+    def rec(p, s):
+        if isinstance(p, dict) and is_spec(s):
+            # Quantized leaf: activation permutations replicate; the
+            # packed weight + scales/zeros inherit the dense spec.
+            return {
+                k: place(v, P() if k == "act_perm" else s)
+                for k, v in p.items()
+            }
+        if isinstance(p, dict):
+            return {k: rec(v, s.get(k, P())) for k, v in p.items()}
+        if isinstance(p, (list, tuple)):
+            return type(p)(rec(pp, ss) for pp, ss in zip(p, s))
+        return place(p, s)
+
+    return rec(tree, spec_tree)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

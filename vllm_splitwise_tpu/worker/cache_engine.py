@@ -62,10 +62,14 @@ class CacheEngine:
     def _allocate_device_cache(self) -> List[KVCache]:
         shape = self._page_shape(self.num_device_pages)
         sharding = None
-        if self.mesh is not None and self.mesh.size > 1:
+        if self.mesh is not None:
             from jax.sharding import NamedSharding
             from vllm_splitwise_tpu.parallel.mesh import kv_cache_spec
-            sharding = NamedSharding(self.mesh, kv_cache_spec())
+            spec = kv_cache_spec()
+            if self.num_kv_heads % self.mesh.shape.get("model", 1) != 0:
+                from jax.sharding import PartitionSpec as P
+                spec = P()  # replicate when KV heads don't divide TP
+            sharding = NamedSharding(self.mesh, spec)
 
         def alloc():
             z = jnp.zeros(shape, dtype=self.dtype)

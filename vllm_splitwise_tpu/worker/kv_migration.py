@@ -1,0 +1,115 @@
+"""Cross-pool KV-cache migration (the Splitwise transport).
+
+TPU-native replacement for the reference's MSCCL++ proxy-channel machinery
+(vllm/worker/comm_utils.py, csrc/kv_comm_kernels.cu): where the reference
+pairs GPU rank r with rank r+P and drives per-sequence device semaphores
+around one-sided puts, here the single controller gathers the migrating
+pages from the prefill mesh, ships them with ``jax.device_put`` (async,
+ICI/DCN routed by the runtime) and scatters them into the decode mesh's
+cache.  Ordering needs no semaphores: the decode step's first read of the
+cache arrays data-depends on the scatter, so XLA serializes them — the
+per-slot bookkeeping kept here is for dedup and migration-latency metrics
+(the role of the reference's SeqToSlotMapper semaphores).
+
+Transfers coalesce contiguous page ranges (vllm/utils.py:399-425 analog)
+into a single gather/scatter index vector per migration batch.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, List, Optional, Set
+
+import jax
+import jax.numpy as jnp
+
+from vllm_splitwise_tpu.logger import init_logger
+from vllm_splitwise_tpu.ops.kv_cache import gather_pages, scatter_pages
+from vllm_splitwise_tpu.utils import coalesce_blocks
+
+logger = init_logger(__name__)
+
+
+class KVMigrationManager:
+    """Moves KV pages from the prefill worker's cache to the decode
+    worker's cache; page ids are shared (one block manager spans both
+    pools)."""
+
+    def __init__(self, prefill_worker, decode_worker) -> None:
+        self.prefill_worker = prefill_worker
+        self.decode_worker = decode_worker
+        self._migrated_slots: Set[int] = set()
+        # Rolling migration stats (surfaced via engine metrics).
+        self.num_migrations = 0
+        self.num_pages_moved = 0
+        self.last_migration_seconds = 0.0
+
+    def _dst_sharding(self):
+        mesh = self.decode_worker.mesh
+        if mesh is None:
+            return None
+        from jax.sharding import NamedSharding
+
+        from vllm_splitwise_tpu.parallel.mesh import kv_cache_spec
+        return NamedSharding(mesh, kv_cache_spec())
+
+    def migrate(self, blocks_to_nw: Dict[int, List[int]]) -> None:
+        """Dispatch the migration of every slot's pages (called right
+        after the prefill step that wrote them).  Async: returns once the
+        copies are enqueued; the decode-side data dependency does the
+        waiting."""
+        if not blocks_to_nw:
+            return
+        start = time.perf_counter()
+        # One combined, de-duplicated, coalesced page-id vector for the
+        # whole batch: one gather + one scatter per layer tensor.
+        all_pages: List[int] = []
+        seen: Set[int] = set()
+        for slot, block_ids in blocks_to_nw.items():
+            for start_id, n in coalesce_blocks(block_ids):
+                for p in range(start_id, start_id + n):
+                    if p not in seen:
+                        seen.add(p)
+                        all_pages.append(p)
+            self._migrated_slots.add(slot)
+        idx = jnp.asarray(all_pages, dtype=jnp.int32)
+
+        src_cache = self.prefill_worker.kv_caches
+        dst_cache = self.decode_worker.kv_caches
+        dst_sharding = self._dst_sharding()
+
+        new_dst: List = []
+        for (k_src, v_src), (k_dst, v_dst) in zip(src_cache, dst_cache):
+            k_pages = gather_pages(k_src, idx)
+            v_pages = gather_pages(v_src, idx)
+            if dst_sharding is not None:
+                k_pages = jax.device_put(k_pages, dst_sharding)
+                v_pages = jax.device_put(v_pages, dst_sharding)
+            elif self.decode_worker.mesh is None \
+                    and self.prefill_worker.device != \
+                    self.decode_worker.device:
+                k_pages = jax.device_put(k_pages, self.decode_worker.device)
+                v_pages = jax.device_put(v_pages, self.decode_worker.device)
+            new_dst.append((scatter_pages(k_dst, idx, k_pages),
+                            scatter_pages(v_dst, idx, v_pages)))
+
+        self.decode_worker.kv_caches = new_dst
+        if self.decode_worker.cache_engine is not None:
+            self.decode_worker.cache_engine.device_cache = new_dst
+
+        self.num_migrations += 1
+        self.num_pages_moved += len(all_pages)
+        self.last_migration_seconds = time.perf_counter() - start
+
+    def ensure_migrated(self, slots: Iterable[int]) -> None:
+        """Decode-side check before attending over migrated pages.  With
+        single-controller dataflow this is a consistency assertion, not a
+        blocking wait."""
+        missing = [s for s in slots if s not in self._migrated_slots]
+        if missing:
+            logger.warning(
+                "Decode step references unmigrated KV slots %s — the "
+                "pages were never pushed from the prefill pool.", missing)
+
+    def free_slots(self, slots: Iterable[int]) -> None:
+        for s in slots:
+            self._migrated_slots.discard(s)

@@ -106,7 +106,7 @@ class ModelRunner:
 
     def load_model(self) -> None:
         self.model, host_params = get_model(self.model_config)
-        if self.mesh is not None and self.mesh.size > 1:
+        if self.mesh is not None:
             from vllm_splitwise_tpu.parallel.mesh import shard_pytree
             self.params = shard_pytree(host_params,
                                        self.model.param_specs(), self.mesh)
