@@ -1,0 +1,123 @@
+"""HF-oracle prefill-logit equality across all model families with a
+transformers implementation (reference pattern: tests/models/test_models.py
+over ~10 archs)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from .test_model_correctness import run_prefill
+from .utils import hf_model_and_weights
+
+
+def _llama_like(config_cls, model_path, **kw):
+    def factory():
+        import importlib
+
+        import transformers
+        config = getattr(transformers, config_cls)(**kw)
+        module, cls_name = model_path.rsplit(".", 1)
+        cls = getattr(importlib.import_module(module), cls_name)
+        return config, cls
+    return factory
+
+
+CASES = {
+    "qwen2": _llama_like(
+        "Qwen2Config", "vllm_splitwise_tpu.models.qwen2.Qwen2ForCausalLM",
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False),
+    "gemma": _llama_like(
+        "GemmaConfig", "vllm_splitwise_tpu.models.gemma.GemmaForCausalLM",
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=512),
+    "gpt2": _llama_like(
+        "GPT2Config", "vllm_splitwise_tpu.models.gpt2.GPT2LMHeadModel",
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_positions=512),
+    "gpt_neox": _llama_like(
+        "GPTNeoXConfig",
+        "vllm_splitwise_tpu.models.gpt_neox.GPTNeoXForCausalLM",
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=512, rotary_pct=0.5),
+    "gpt_neox_seq": _llama_like(
+        "GPTNeoXConfig",
+        "vllm_splitwise_tpu.models.gpt_neox.GPTNeoXForCausalLM",
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=512, use_parallel_residual=False),
+    "gptj": _llama_like(
+        "GPTJConfig", "vllm_splitwise_tpu.models.gpt_j.GPTJForCausalLM",
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_positions=512,
+        rotary_dim=8),
+    "bloom": _llama_like(
+        "BloomConfig", "vllm_splitwise_tpu.models.bloom.BloomForCausalLM",
+        vocab_size=256, hidden_size=64, n_layer=2, n_head=4),
+    "phi": _llama_like(
+        "PhiConfig", "vllm_splitwise_tpu.models.phi.PhiForCausalLM",
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=512, partial_rotary_factor=0.5),
+    "stablelm": _llama_like(
+        "StableLmConfig",
+        "vllm_splitwise_tpu.models.stablelm.StableLmForCausalLM",
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, partial_rotary_factor=0.25,
+        use_qkv_bias=True, tie_word_embeddings=False),
+    "starcoder2": _llama_like(
+        "Starcoder2Config",
+        "vllm_splitwise_tpu.models.starcoder2.Starcoder2ForCausalLM",
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=True),
+    "gpt_bigcode": _llama_like(
+        "GPTBigCodeConfig",
+        "vllm_splitwise_tpu.models.gpt_bigcode.GPTBigCodeForCausalLM",
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_positions=512,
+        multi_query=True),
+    "falcon_7b_style": _llama_like(
+        "FalconConfig", "vllm_splitwise_tpu.models.falcon.FalconForCausalLM",
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, bias=False, alibi=False),
+    "falcon_40b_style": _llama_like(
+        "FalconConfig", "vllm_splitwise_tpu.models.falcon.FalconForCausalLM",
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_kv_heads=2,
+        new_decoder_architecture=True, bias=False, alibi=False),
+    "falcon_rw_style": _llama_like(
+        "FalconConfig", "vllm_splitwise_tpu.models.falcon.FalconForCausalLM",
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=False, parallel_attn=False,
+        new_decoder_architecture=False, bias=True, alibi=True),
+    "mpt": _llama_like(
+        "MptConfig", "vllm_splitwise_tpu.models.mpt.MPTForCausalLM",
+        vocab_size=256, d_model=64, n_layers=2, n_heads=4),
+    "mixtral": _llama_like(
+        "MixtralConfig",
+        "vllm_splitwise_tpu.models.mixtral.MixtralForCausalLM",
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=512, sliding_window=None,
+        tie_word_embeddings=False),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_prefill_logits_match_hf(name):
+    import torch
+    config, cls = CASES[name]()
+    hf, weights = hf_model_and_weights(config)
+    model = cls(config, dtype=jnp.float32)
+    params = model.load_weights(weights)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, config.vocab_size, size=(2, 11))
+    kvh = getattr(model, "num_kv_heads", model.num_heads)
+    ours, _ = run_prefill(model, params, ids, model.num_layers, kvh,
+                          model.head_dim)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=5e-3)

@@ -98,3 +98,28 @@ def save_tiny_tokenizer(tmpdir: str, vocab_size: int = 256) -> str:
                                    bos_token="<s>", eos_token="</s>")
     fast.save_pretrained(tmpdir)
     return tmpdir
+
+
+def tiny_mixtral_config(vocab_size=256,
+                        hidden_size=64,
+                        layers=2,
+                        heads=4,
+                        kv_heads=2,
+                        intermediate=96,
+                        experts=4,
+                        topk=2,
+                        max_pos=512):
+    from transformers import MixtralConfig
+    return MixtralConfig(
+        vocab_size=vocab_size,
+        hidden_size=hidden_size,
+        intermediate_size=intermediate,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
+        num_local_experts=experts,
+        num_experts_per_tok=topk,
+        max_position_embeddings=max_pos,
+        sliding_window=None,
+        tie_word_embeddings=False,
+    )

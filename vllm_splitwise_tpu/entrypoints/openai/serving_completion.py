@@ -111,6 +111,12 @@ class OpenAIServingCompletion(OpenAIServing):
         try:
             sampling_params = request.to_sampling_params()
             lora_request = self._maybe_get_lora(request)
+            from vllm_splitwise_tpu.layers.guided_decoding import \
+                get_guided_decoding_logits_processor
+            guided_processor = await get_guided_decoding_logits_processor(
+                request, self.tokenizer)
+            if guided_processor is not None:
+                sampling_params.logits_processors.append(guided_processor)
             prompt_is_tokens, prompts = parse_prompt_format(request.prompt)
 
             for i, prompt in enumerate(prompts):

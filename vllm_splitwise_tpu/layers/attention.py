@@ -32,6 +32,24 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def get_alibi_slopes(total_num_heads: int):
+    """Standard ALiBi slope schedule (geometric in 2^(-8/n); non-power-of-
+    two head counts interleave the next power's odd steps).  Matches the
+    reference's _get_alibi_slopes (models/bloom.py)."""
+    import math
+    closest = 2**math.floor(math.log2(total_num_heads))
+    base = 2**(-(2**-(math.log2(closest) - 3)))
+    powers = range(1, 1 + closest)
+    slopes = [base**p for p in powers]
+    if closest != total_num_heads:
+        extra_base = 2**(-(2**-(math.log2(2 * closest) - 3)))
+        num_remaining = min(closest, total_num_heads - closest)
+        extra = [extra_base**(2 * p + 1) for p in range(num_remaining)]
+        slopes.extend(extra)
+    import numpy as np
+    return np.asarray(slopes, dtype=np.float32)
+
+
 class Attention:
     """One attention layer's compute over the paged KV cache."""
 
@@ -43,6 +61,7 @@ class Attention:
         num_kv_heads: Optional[int] = None,
         sliding_window: Optional[int] = None,
         kv_scale: float = 1.0,
+        alibi_slopes=None,
     ) -> None:
         self.num_heads = num_heads
         self.head_dim = head_dim
@@ -50,6 +69,8 @@ class Attention:
         self.num_kv_heads = num_kv_heads or num_heads
         self.sliding_window = sliding_window
         self.kv_scale = kv_scale
+        self.alibi_slopes = None if alibi_slopes is None else \
+            jnp.asarray(alibi_slopes, dtype=jnp.float32)
         # Splitwise: set by the worker when phase-disaggregated
         # (layer_id, k_pages, v_pages) -> None.
         self.layer_id: Optional[int] = None
@@ -88,6 +109,7 @@ class Attention:
             scale=self.scale,
             sliding_window=self.sliding_window,
             start_positions=md.start_positions,
+            alibi_slopes=self.alibi_slopes,
         )
         return out.reshape(batch, seq_len, -1), (k_pages, v_pages)
 
@@ -108,10 +130,12 @@ class Attention:
         if _use_pallas() and self.head_dim % 128 == 0:
             out = paged_attention(q, k_pages, v_pages, md.block_tables,
                                   md.context_lens, scale=self.scale,
-                                  kv_scale=self.kv_scale)
+                                  kv_scale=self.kv_scale,
+                                  alibi_slopes=self.alibi_slopes)
         else:
             out = paged_attention_reference(q, k_pages, v_pages,
                                             md.block_tables, md.context_lens,
                                             scale=self.scale,
-                                            kv_scale=self.kv_scale)
+                                            kv_scale=self.kv_scale,
+                                            alibi_slopes=self.alibi_slopes)
         return out.reshape(batch, 1, -1), (k_pages, v_pages)

@@ -18,6 +18,7 @@ _MODEL_REGISTRY = {
     "GemmaForCausalLM": ("gemma", "GemmaForCausalLM"),
     "OPTForCausalLM": ("opt", "OPTForCausalLM"),
     "GPT2LMHeadModel": ("gpt2", "GPT2LMHeadModel"),
+    "GPT2ForCausalLM": ("gpt2", "GPT2LMHeadModel"),
     "GPTNeoXForCausalLM": ("gpt_neox", "GPTNeoXForCausalLM"),
     "GPTJForCausalLM": ("gpt_j", "GPTJForCausalLM"),
     "MixtralForCausalLM": ("mixtral", "MixtralForCausalLM"),

@@ -33,9 +33,13 @@ VOCAB_ALIGN = 128
 
 class LlamaForCausalLM:
 
-    # Subclasses (qwen2 etc.) tweak these.
+    # Subclasses (qwen2/gemma etc.) tweak these.
     qkv_bias: bool = False
     tie_word_embeddings_default: bool = False
+    # Multiplier applied to token embeddings (gemma: sqrt(hidden)).
+    embed_multiplier: float = 1.0
+    # Offset added to every norm weight at load time (gemma stores w-1).
+    norm_weight_offset: float = 0.0
 
     def __init__(self, config, dtype=jnp.bfloat16,
                  sliding_window: Optional[int] = None) -> None:
@@ -168,6 +172,9 @@ class LlamaForCausalLM:
     ) -> Tuple[jax.Array, List[KVCache]]:
         hidden = jnp.take(params["embed_tokens"], input_ids, axis=0,
                           mode="clip")
+        if self.embed_multiplier != 1.0:
+            hidden = hidden * jnp.asarray(self.embed_multiplier,
+                                          dtype=hidden.dtype)
         new_caches: List[KVCache] = []
         for i in range(self.num_layers):
             lp = params["layers"][i]
@@ -264,13 +271,18 @@ class LlamaForCausalLM:
                                        (0, self.padded_vocab - w.shape[1])))
                     params["lm_head"] = jnp.asarray(w, dtype=self.dtype)
             elif name == "norm.weight":
-                params["norm"] = jnp.asarray(w, dtype=self.dtype)
+                params["norm"] = jnp.asarray(
+                    np.asarray(w, dtype=np.float32) +
+                    self.norm_weight_offset, dtype=self.dtype)
             elif name.startswith("layers."):
                 rest = name.split(".", 2)
                 layer_idx = int(rest[1])
                 sub = rest[2]
                 if sub not in self._HF_LAYER_MAP:
                     continue
+                if "layernorm" in sub and self.norm_weight_offset:
+                    w = np.asarray(w, dtype=np.float32) + \
+                        self.norm_weight_offset
                 our_name, transpose = self._HF_LAYER_MAP[sub]
                 if isinstance(w, dict):
                     # Quantized param dict, already [in, out] internal

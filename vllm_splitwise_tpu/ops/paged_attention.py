@@ -44,22 +44,26 @@ def _paged_attention_kernel(
     q_ref,             # [1, 1, group_padded, head_dim] (VMEM block)
     k_pages_hbm,       # [num_kv_heads, num_pages, page_size, head_dim] (ANY)
     v_pages_hbm,       # same
-    # outputs
-    out_ref,           # [1, 1, group_padded, head_dim]
-    # scratch
-    k_vmem,            # [2, chunk_tokens, head_dim]
-    v_vmem,            # [2, chunk_tokens, head_dim]
-    sems,              # DMA sems [2, 2]
-    m_ref,             # [group_padded, 128] f32
-    l_ref,             # [group_padded, 128] f32
-    acc_ref,           # [group_padded, head_dim] f32
-    *,
+    *rest,             # [slopes_ref if has_alibi], out_ref, scratch...
     pages_per_seq: int,
     pages_per_chunk: int,
     page_size: int,
     scale: float,
     kv_scale: float,
+    has_alibi: bool = False,
 ):
+    if has_alibi:
+        slopes_ref = rest[0]   # [1, group_padded] f32
+        rest = rest[1:]
+    else:
+        slopes_ref = None
+    (out_ref,            # [1, 1, group_padded, head_dim]
+     k_vmem,             # [2, chunk_tokens, head_dim]
+     v_vmem,
+     sems,               # DMA sems [2, 2]
+     m_ref,              # [group_padded, 128] f32
+     l_ref,
+     acc_ref) = rest     # [group_padded, head_dim] f32
     b = pl.program_id(0)
     h = pl.program_id(1)
     i = pl.program_id(2)
@@ -133,6 +137,10 @@ def _paged_attention_kernel(
         # Mask out positions past the context length.
         token_pos = i * chunk_tokens + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
+        if slopes_ref is not None:
+            # ALiBi: bias = slope * (pos - (ctx_len-1)).
+            dist = (token_pos - (ctx_len - 1)).astype(jnp.float32)
+            s = s + slopes_ref[0][:, None] * dist
         s = jnp.where(token_pos < ctx_len, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_ref[:, 0:1]            # (group, 1)
@@ -181,6 +189,7 @@ def paged_attention(
     pages_per_chunk: int = 8,
     scale: Optional[float] = None,
     kv_scale: float = 1.0,
+    alibi_slopes: Optional[jax.Array] = None,  # [num_q_heads] f32
     interpret: bool = False,
 ) -> jax.Array:
     """Flash-style decode attention over a paged KV cache.
@@ -219,6 +228,7 @@ def paged_attention(
 
     grid = (batch, num_kv_heads, num_chunks)
 
+    has_alibi = alibi_slopes is not None
     kernel = functools.partial(
         _paged_attention_kernel,
         pages_per_seq=pages_per_seq,
@@ -226,21 +236,34 @@ def paged_attention(
         page_size=page_size,
         scale=scale,
         kv_scale=kv_scale,
+        has_alibi=has_alibi,
     )
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, group_padded, head_dim),
+            lambda b, h, i, *_: (b, h, 0, 0),
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [block_tables.reshape(-1), context_lens, q_view, k_pages,
+              v_pages]
+    if has_alibi:
+        slopes2d = jnp.zeros((num_kv_heads, group_padded),
+                             dtype=jnp.float32)
+        slopes2d = slopes2d.at[:, :group].set(
+            alibi_slopes.astype(jnp.float32).reshape(num_kv_heads, group))
+        in_specs.append(
+            pl.BlockSpec((1, group_padded), lambda b, h, i, *_: (h, 0)))
+        inputs.append(slopes2d)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, group_padded, head_dim),
-                    lambda b, h, i, *_: (b, h, 0, 0),
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, group_padded, head_dim),
                 lambda b, h, i, *_: (b, h, 0, 0),
@@ -259,7 +282,7 @@ def paged_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"), ),
         interpret=interpret,
-    )(block_tables.reshape(-1), context_lens, q_view, k_pages, v_pages)
+    )(*inputs)
 
     out = out[:, :, :group, :]
     return out.reshape(batch, num_q_heads, head_dim)
@@ -274,6 +297,7 @@ def paged_attention_reference(
     *,
     scale: Optional[float] = None,
     kv_scale: float = 1.0,
+    alibi_slopes: Optional[jax.Array] = None,  # [num_q_heads] f32
 ) -> jax.Array:
     """Plain-XLA oracle (and CPU fallback) for :func:`paged_attention`.
 
@@ -299,6 +323,14 @@ def paged_attention_reference(
 
     qv = q.reshape(batch, num_kv_heads, group, head_dim).astype(jnp.float32)
     s = jnp.einsum("bhgd,bhtd->bhgt", qv, k.astype(jnp.float32)) * scale
+    if alibi_slopes is not None:
+        # Decode query sits at position ctx_len-1; bias = slope * (pos -
+        # (ctx_len-1)).
+        slopes = alibi_slopes.astype(jnp.float32).reshape(
+            num_kv_heads, group)
+        dist = (jnp.arange(max_len)[None, :] -
+                (context_lens[:, None] - 1)).astype(jnp.float32)
+        s = s + slopes[None, :, :, None] * dist[:, None, None, :]
     mask = (jnp.arange(max_len)[None, :] < context_lens[:, None])
     s = jnp.where(mask[:, None, None, :], s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)

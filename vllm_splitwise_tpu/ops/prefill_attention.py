@@ -28,6 +28,7 @@ def prefill_attention(
     scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
     start_positions: Optional[jax.Array] = None,  # [B] absolute pos of q[0]
+    alibi_slopes: Optional[jax.Array] = None,     # [num_q_heads] f32
 ) -> jax.Array:
     """Causal self-attention over padded prompt batches.
 
@@ -59,6 +60,12 @@ def prefill_attention(
     causal = q_pos[:, :, None] >= k_pos[:, None, :]      # [B, Tq, Tk]
     valid = k_pos[:, None, :] < seq_lens[:, None, None]  # [B, 1->Tq, Tk]
     mask = jnp.logical_and(causal, valid)
+    if alibi_slopes is not None:
+        # ALiBi: bias = slope_h * (k_pos - q_pos) (<= 0 under causality).
+        slopes = alibi_slopes.astype(jnp.float32).reshape(
+            num_kv_heads, group)
+        dist = (k_pos[:, None, :] - q_pos[:, :, None]).astype(jnp.float32)
+        s = s + slopes[None, :, :, None, None] * dist[:, None, None, :, :]
     if sliding_window is not None:
         in_window = q_pos[:, :, None] - k_pos[:, None, :] < sliding_window
         mask = jnp.logical_and(mask, in_window)

@@ -120,10 +120,24 @@ class ModelRunner:
 
         def step(params, input_ids, positions, kv_caches, metadata,
                  sampling_tensors, seeds, sample_indices, *,
-                 needs_filtering, max_logprobs, is_prefill):
+                 needs_filtering, max_logprobs, is_prefill,
+                 return_prompt_logprobs=False):
             hidden, new_caches = model(params, input_ids, positions,
                                        kv_caches, metadata)
+            prompt_lp = None
             if is_prefill:
+                if return_prompt_logprobs:
+                    # Per-position logprobs over the whole prompt (echo /
+                    # prompt_logprobs): position i scores token i+1.
+                    all_logits = model.compute_logits(params, hidden)
+                    all_logits = all_logits[..., :vocab_size]
+                    all_lp = jax.nn.log_softmax(
+                        all_logits.astype(jnp.float32), axis=-1)
+                    next_ids = jnp.roll(input_ids, -1, axis=1)
+                    chosen_lp = jnp.take_along_axis(
+                        all_lp, next_ids[..., None], axis=-1)[..., 0]
+                    topk_lp, topk_ids = jax.lax.top_k(all_lp, max_logprobs)
+                    prompt_lp = (chosen_lp, topk_lp, topk_ids)
                 # Gather each sequence's last valid position.
                 batch = hidden.shape[0]
                 last = jnp.maximum(metadata.seq_lens - 1, 0)
@@ -138,12 +152,42 @@ class ModelRunner:
             out = sample(logits, sampling_tensors, seeds,
                          max_logprobs=max_logprobs,
                          needs_filtering=needs_filtering)
-            return out, new_caches
+            return out, prompt_lp, new_caches
+
+        def logits_step(params, input_ids, positions, kv_caches, metadata,
+                        sample_indices, *, is_prefill):
+            """Raw-logits variant: used when host-side logits processors
+            (guided decoding) must run between the model and the sampler."""
+            hidden, new_caches = model(params, input_ids, positions,
+                                       kv_caches, metadata)
+            if is_prefill:
+                batch = hidden.shape[0]
+                last = jnp.maximum(metadata.seq_lens - 1, 0)
+                hidden = hidden[jnp.arange(batch), last]
+            else:
+                hidden = hidden[:, 0]
+            logits = model.compute_logits(params, hidden)
+            logits = logits[..., :vocab_size].astype(jnp.float32)
+            return jnp.take(logits, sample_indices, axis=0,
+                            mode="clip"), new_caches
+
+        def sample_step(logits, sampling_tensors, seeds, *,
+                        needs_filtering, max_logprobs):
+            return sample(logits, sampling_tensors, seeds,
+                          max_logprobs=max_logprobs,
+                          needs_filtering=needs_filtering)
+
+        self._logits_fn = jax.jit(logits_step,
+                                  static_argnames=("is_prefill", ),
+                                  donate_argnums=(3, ))
+        self._sample_fn = jax.jit(sample_step,
+                                  static_argnames=("needs_filtering",
+                                                   "max_logprobs"))
 
         self._step_fn = jax.jit(
             step,
             static_argnames=("needs_filtering", "max_logprobs",
-                             "is_prefill"),
+                             "is_prefill", "return_prompt_logprobs"),
             donate_argnums=(3, ),
         )
 
@@ -409,15 +453,95 @@ class ModelRunner:
         (tensors, seeds, sample_indices, needs_filtering, max_logprobs,
          plan) = self._prepare_sample(seq_group_metadata_list, is_prompt)
 
-        out, kv_caches = self._step_fn(
+        has_processors = any(md.sampling_params.logits_processors
+                             for md in seq_group_metadata_list)
+        if has_processors:
+            return self._execute_with_host_processors(
+                seq_group_metadata_list, kv_caches, is_prompt, tensors,
+                seeds, sample_indices, needs_filtering, max_logprobs, plan,
+                (input_ids, positions, metadata))
+
+        want_prompt_lp = is_prompt and any(
+            md.sampling_params.prompt_logprobs is not None
+            for md in seq_group_metadata_list)
+        if want_prompt_lp:
+            max_logprobs = max(
+                max_logprobs,
+                _bucket(
+                    max((md.sampling_params.prompt_logprobs or 0) + 1
+                        for md in seq_group_metadata_list),
+                    self.LOGPROB_BUCKETS))
+
+        out, prompt_lp, kv_caches = self._step_fn(
             self.params, jnp.asarray(input_ids), jnp.asarray(positions),
             kv_caches, metadata, tensors, jnp.asarray(seeds),
             jnp.asarray(sample_indices),
             needs_filtering=needs_filtering, max_logprobs=max_logprobs,
-            is_prefill=is_prompt)
+            is_prefill=is_prompt, return_prompt_logprobs=want_prompt_lp)
 
         sampler_output = self._process_sampler_output(out, plan)
+        if prompt_lp is not None:
+            self._attach_prompt_logprobs(sampler_output, prompt_lp, plan,
+                                         seq_group_metadata_list)
         return sampler_output, kv_caches
+
+    def _execute_with_host_processors(self, seq_group_metadata_list,
+                                      kv_caches, is_prompt, tensors, seeds,
+                                      sample_indices, needs_filtering,
+                                      max_logprobs, plan, inputs):
+        """Slow path for guided decoding: raw logits come to the host,
+        per-row logits processors mutate them, sampling goes back through
+        the jitted sampler.  One extra device<->host round trip per step
+        for the affected batch only."""
+        input_ids, positions, metadata = inputs
+        logits, kv_caches = self._logits_fn(
+            self.params, jnp.asarray(input_ids), jnp.asarray(positions),
+            kv_caches, metadata, jnp.asarray(sample_indices),
+            is_prefill=is_prompt)
+        logits_np = np.asarray(logits).copy()
+
+        row = 0
+        for md, row_ids, parent_ids in plan:
+            procs = md.sampling_params.logits_processors
+            for r, parent in zip(row_ids, parent_ids):
+                if procs:
+                    out_tokens = md.seq_data[parent].output_token_ids
+                    for proc in procs:
+                        logits_np[r] = np.asarray(
+                            proc(out_tokens, logits_np[r]))
+            row += len(row_ids)
+
+        out = self._sample_fn(jnp.asarray(logits_np), tensors,
+                              jnp.asarray(seeds),
+                              needs_filtering=needs_filtering,
+                              max_logprobs=max_logprobs)
+        return self._process_sampler_output(out, plan), kv_caches
+
+    def _attach_prompt_logprobs(self, sampler_output, prompt_lp, plan,
+                                seq_group_metadata_list) -> None:
+        chosen_lp = np.asarray(prompt_lp[0])
+        topk_lp = np.asarray(prompt_lp[1])
+        topk_ids = np.asarray(prompt_lp[2])
+        for row, (group_out, md) in enumerate(
+                zip(sampler_output, seq_group_metadata_list)):
+            num = md.sampling_params.prompt_logprobs
+            if num is None:
+                continue
+            seq_id = next(iter(md.seq_data))
+            token_ids = md.seq_data[seq_id].get_token_ids()
+            # Position 0 has no conditional logprob (OpenAI semantics).
+            result: List[Optional[Dict[int, Logprob]]] = [None]
+            for i in range(1, len(token_ids)):
+                tok = token_ids[i]
+                # Logits at position i-1 predict token i.
+                entry: Dict[int, Logprob] = {
+                    tok: Logprob(float(chosen_lp[row, i - 1]))
+                }
+                for j in range(min(num, topk_lp.shape[-1])):
+                    entry.setdefault(int(topk_ids[row, i - 1, j]),
+                                     Logprob(float(topk_lp[row, i - 1, j])))
+                result.append(entry)
+            group_out.prompt_logprobs = result
 
     def _process_sampler_output(self, out: SamplerOutputArrays,
                                 plan) -> SamplerOutput:
