@@ -89,16 +89,28 @@ class Attention:
             return self._prefill(q, k, v, k_pages, v_pages, metadata)
         return self._decode(q, k, v, k_pages, v_pages, metadata)
 
+    def _pad_heads(self, x: jax.Array, cache_heads: int) -> jax.Array:
+        """Pad [tokens, layer_kv_heads, hd] to the cache's head count
+        (variable-GQA models — DeciLM — allocate the cache at the max)."""
+        if x.shape[1] == cache_heads:
+            return x
+        return jnp.pad(x, ((0, 0), (0, cache_heads - x.shape[1]), (0, 0)))
+
     def _prefill(self, q, k, v, k_pages, v_pages,
                  md: PrefillMetadata) -> Tuple[jax.Array, KVCache]:
         batch, seq_len, _ = q.shape
+        cache_heads = k_pages.shape[0]
         q = q.reshape(batch, seq_len, self.num_heads, self.head_dim)
         k = k.reshape(batch, seq_len, self.num_kv_heads, self.head_dim)
         v = v.reshape(batch, seq_len, self.num_kv_heads, self.head_dim)
 
         k_pages, v_pages = write_to_kv_cache(
-            k.reshape(batch * seq_len, self.num_kv_heads, self.head_dim),
-            v.reshape(batch * seq_len, self.num_kv_heads, self.head_dim),
+            self._pad_heads(
+                k.reshape(batch * seq_len, self.num_kv_heads,
+                          self.head_dim), cache_heads),
+            self._pad_heads(
+                v.reshape(batch * seq_len, self.num_kv_heads,
+                          self.head_dim), cache_heads),
             k_pages, v_pages, md.slot_mapping.reshape(-1))
 
         if self.kv_push_fn is not None:
@@ -116,24 +128,31 @@ class Attention:
     def _decode(self, q, k, v, k_pages, v_pages,
                 md: DecodeMetadata) -> Tuple[jax.Array, KVCache]:
         batch = q.shape[0]
+        cache_heads = k_pages.shape[0]
         q = q.reshape(batch, self.num_heads, self.head_dim)
         k = k.reshape(batch, self.num_kv_heads, self.head_dim)
         v = v.reshape(batch, self.num_kv_heads, self.head_dim)
 
-        k_pages, v_pages = write_to_kv_cache(k, v, k_pages, v_pages,
-                                             md.slot_mapping)
+        k_pages, v_pages = write_to_kv_cache(
+            self._pad_heads(k, cache_heads),
+            self._pad_heads(v, cache_heads), k_pages, v_pages,
+            md.slot_mapping)
+        k_view = k_pages[:self.num_kv_heads] \
+            if cache_heads != self.num_kv_heads else k_pages
+        v_view = v_pages[:self.num_kv_heads] \
+            if cache_heads != self.num_kv_heads else v_pages
 
         # Sliding-window contexts are capped by the runner via
         # context_lens/block_tables, so the kernel needs no window logic.
         # The Pallas kernel requires a lane-aligned head_dim; odd head
         # sizes (tiny test models) take the XLA path.
         if _use_pallas() and self.head_dim % 128 == 0:
-            out = paged_attention(q, k_pages, v_pages, md.block_tables,
+            out = paged_attention(q, k_view, v_view, md.block_tables,
                                   md.context_lens, scale=self.scale,
                                   kv_scale=self.kv_scale,
                                   alibi_slopes=self.alibi_slopes)
         else:
-            out = paged_attention_reference(q, k_pages, v_pages,
+            out = paged_attention_reference(q, k_view, v_view,
                                             md.block_tables, md.context_lens,
                                             scale=self.scale,
                                             kv_scale=self.kv_scale,

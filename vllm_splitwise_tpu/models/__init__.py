@@ -27,6 +27,9 @@ _MODEL_REGISTRY = {
     "Starcoder2ForCausalLM": ("starcoder2", "Starcoder2ForCausalLM"),
     "InternLM2ForCausalLM": ("internlm2", "InternLM2ForCausalLM"),
     "AquilaForCausalLM": ("llama", "LlamaForCausalLM"),
+    "AquilaModel": ("llama", "LlamaForCausalLM"),
+    "InternLMForCausalLM": ("llama", "LlamaForCausalLM"),
+    "YiForCausalLM": ("llama", "LlamaForCausalLM"),
     "BaiChuanForCausalLM": ("baichuan", "BaichuanForCausalLM"),
     "BaichuanForCausalLM": ("baichuan", "BaichuanForCausalLM"),
     "BloomForCausalLM": ("bloom", "BloomForCausalLM"),

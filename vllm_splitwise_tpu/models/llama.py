@@ -81,10 +81,10 @@ class LlamaForCausalLM:
 
     # ---- parameter pytree ----
 
-    def _layer_shapes(self) -> Dict[str, Tuple[int, ...]]:
-        h, nh, nkv, hd, im = (self.hidden_size, self.num_heads,
-                              self.num_kv_heads, self.head_dim,
-                              self.intermediate_size)
+    def _layer_shapes(self, nkv=None) -> Dict[str, Tuple[int, ...]]:
+        h, nh, hd, im = (self.hidden_size, self.num_heads, self.head_dim,
+                         self.intermediate_size)
+        nkv = nkv if nkv is not None else self.num_kv_heads
         shapes = {
             "input_layernorm": (h, ),
             "q_proj": (h, nh * hd),
@@ -118,7 +118,9 @@ class LlamaForCausalLM:
         for i in range(self.num_layers):
             lkeys = jax.random.split(keys[i], 16)
             layer = {}
-            for j, (name, shape) in enumerate(self._layer_shapes().items()):
+            layer_kv = self.attn[i].num_kv_heads
+            for j, (name, shape) in enumerate(
+                    self._layer_shapes(layer_kv).items()):
                 layer[name] = make(lkeys[j], shape)
             layers.append(layer)
         params = {
@@ -190,8 +192,9 @@ class LlamaForCausalLM:
                 v = v + lp["v_bias"]
 
             b, t, _ = q.shape
+            layer_kv_heads = self.attn[i].num_kv_heads
             q = q.reshape(b, t, self.num_heads, self.head_dim)
-            k = k.reshape(b, t, self.num_kv_heads, self.head_dim)
+            k = k.reshape(b, t, layer_kv_heads, self.head_dim)
             q, k = self.rope(positions, q, k)
             q = q.reshape(b, t, -1)
             k = k.reshape(b, t, -1)
