@@ -178,6 +178,10 @@ class Scheduler:
             seq_lens: List[int] = []
             num_curr_seqs = sum(
                 sg.get_max_num_running_seqs() for sg in self.running)
+            curr_loras = set(
+                sg.lora_int_id for sg in self.running
+                if getattr(sg, "lora_request", None)) if \
+                self.lora_enabled else None
 
             while self.waiting:
                 seq_group = self.waiting[0]
@@ -222,6 +226,15 @@ class Scheduler:
                 if (num_curr_seqs + num_new_seqs
                         > self.scheduler_config.max_num_seqs):
                     break
+
+                if curr_loras is not None:
+                    lora_id = seq_group.lora_int_id
+                    if (lora_id > 0 and lora_id not in curr_loras
+                            and len(curr_loras) >=
+                            self.lora_config.max_loras):
+                        break
+                    if lora_id > 0:
+                        curr_loras.add(lora_id)
 
                 num_paddings = num_batched_tokens - sum(new_seq_lens)
                 if num_paddings > self.scheduler_config.max_paddings:
@@ -346,6 +359,7 @@ class Scheduler:
                     sampling_params=seq_group.sampling_params,
                     block_tables=block_tables,
                     prefix_len=prefix_len,
+                    lora_request=getattr(seq_group, "lora_request", None),
                 ))
         # Blocks scheduled this step will have been written by the end of
         # the step: mark them computed for prefix caching.

@@ -138,7 +138,7 @@ class LLMEngine:
         seq = Sequence(seq_id, prompt or "", prompt_token_ids, block_size,
                        eos_token_id)
         seq_group = SequenceGroup(request_id, [seq], sampling_params,
-                                  arrival_time)
+                                  arrival_time, lora_request=lora_request)
         self.scheduler.add_seq_group(seq_group)
 
     def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:

@@ -51,7 +51,8 @@ class TPUExecutor(ExecutorBase):
 
         self.worker = Worker(model_config, parallel_config,
                              scheduler_config, cache_config, mesh=mesh,
-                             worker_type=WorkerType.MIXED)
+                             worker_type=WorkerType.MIXED,
+                             lora_config=lora_config)
         self.worker.load_model()
         self._init_cache()
 
@@ -89,6 +90,15 @@ class TPUExecutor(ExecutorBase):
             blocks_to_copy=blocks_to_copy,
             blocks_to_nw=blocks_to_nw,
         )
+
+    def add_lora(self, lora_request) -> bool:
+        return self.worker.add_lora(lora_request)
+
+    def remove_lora(self, lora_id: int) -> bool:
+        return self.worker.remove_lora(lora_id)
+
+    def list_loras(self):
+        return self.worker.list_loras()
 
     def check_health(self) -> None:
         # Single-process: if this code runs, the executor is alive.

@@ -171,6 +171,7 @@ class LlamaForCausalLM:
         positions: jax.Array,   # [B, T]
         kv_caches: List[KVCache],
         metadata,
+        lora=None,
     ) -> Tuple[jax.Array, List[KVCache]]:
         hidden = jnp.take(params["embed_tokens"], input_ids, axis=0,
                           mode="clip")
@@ -186,6 +187,15 @@ class LlamaForCausalLM:
             q = dense(x, lp["q_proj"])
             k = dense(x, lp["k_proj"])
             v = dense(x, lp["v_proj"])
+            if lora is not None:
+                from vllm_splitwise_tpu.lora.layers import lora_apply
+                idx = lora["idx"]
+                q = q + lora_apply(x, lora["q_proj_A"][:, i],
+                                   lora["q_proj_B"][:, i], idx)
+                k = k + lora_apply(x, lora["k_proj_A"][:, i],
+                                   lora["k_proj_B"][:, i], idx)
+                v = v + lora_apply(x, lora["v_proj_A"][:, i],
+                                   lora["v_proj_B"][:, i], idx)
             if self.qkv_bias:
                 q = q + lp["q_bias"]
                 k = k + lp["k_bias"]
@@ -208,8 +218,17 @@ class LlamaForCausalLM:
                          self.rms_eps)
             gate = dense(x, lp["gate_proj"])
             up = dense(x, lp["up_proj"])
-            hidden = residual + dense(self.act_fn(gate) * up,
-                                      lp["down_proj"])
+            if lora is not None:
+                gate = gate + lora_apply(x, lora["gate_proj_A"][:, i],
+                                         lora["gate_proj_B"][:, i], idx)
+                up = up + lora_apply(x, lora["up_proj_A"][:, i],
+                                     lora["up_proj_B"][:, i], idx)
+            inner = self.act_fn(gate) * up
+            down = dense(inner, lp["down_proj"])
+            if lora is not None:
+                down = down + lora_apply(inner, lora["down_proj_A"][:, i],
+                                         lora["down_proj_B"][:, i], idx)
+            hidden = residual + down
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
         return hidden, new_caches

@@ -235,14 +235,20 @@ class SequenceGroup:
         sampling_params: SamplingParams,
         arrival_time: float,
         prefix_pos: Optional[int] = None,
+        lora_request=None,
     ) -> None:
         self.request_id = request_id
         self.seqs_dict = {seq.seq_id: seq for seq in seqs}
         self.sampling_params = sampling_params
+        self.lora_request = lora_request
         self.metrics = RequestMetrics(arrival_time=arrival_time,
                                       last_token_time=arrival_time)
         self.prefix_pos = prefix_pos
         self.prompt_logprobs: Optional[PromptLogprobs] = None
+
+    @property
+    def lora_int_id(self) -> int:
+        return self.lora_request.lora_int_id if self.lora_request else 0
 
     @property
     def prompt(self) -> str:
@@ -341,12 +347,14 @@ class SequenceGroupMetadata:
         sampling_params: SamplingParams,
         block_tables: Dict[int, List[int]],
         prefix_len: int = 0,
+        lora_request=None,
     ) -> None:
         self.request_id = request_id
         self.is_prompt = is_prompt
         self.seq_data = seq_data
         self.sampling_params = sampling_params
         self.block_tables = block_tables
+        self.lora_request = lora_request
         # Number of leading prompt tokens whose KV is already cached
         # (prefix caching); the model only computes the remainder.
         self.prefix_len = prefix_len

@@ -95,7 +95,8 @@ class TokenizerGroup:
             try:
                 tok = get_tokenizer(lora_request.lora_local_path,
                                     **self.tokenizer_config)
-            except OSError:
+            except (OSError, ValueError):
+                # Adapter dir ships no tokenizer: use the base model's.
                 tok = self.tokenizer
             self.lora_tokenizers.put(lora_id, tok)
         return tok

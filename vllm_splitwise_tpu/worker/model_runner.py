@@ -84,6 +84,7 @@ class ModelRunner:
         cache_config: CacheConfig,
         mesh=None,
         is_driver_worker: bool = True,
+        lora_config=None,
     ) -> None:
         self.model_config = model_config
         self.parallel_config = parallel_config
@@ -91,6 +92,8 @@ class ModelRunner:
         self.cache_config = cache_config
         self.mesh = mesh
         self.is_driver_worker = is_driver_worker
+        self.lora_config = lora_config
+        self.lora_manager = None
 
         self.block_size = cache_config.block_size
         self.max_model_len = model_config.max_model_len
@@ -112,6 +115,12 @@ class ModelRunner:
                                        self.model.param_specs(), self.mesh)
         else:
             self.params = jax.device_put(host_params)
+        if self.lora_config is not None:
+            from vllm_splitwise_tpu.lora.worker_manager import \
+                WorkerLoRAManager
+            self.lora_manager = WorkerLoRAManager(self.model_config,
+                                                  self.lora_config,
+                                                  self.model)
         self._build_step_fns()
 
     def _build_step_fns(self) -> None:
@@ -119,11 +128,15 @@ class ModelRunner:
         vocab_size = self.model_config.get_vocab_size()
 
         def step(params, input_ids, positions, kv_caches, metadata,
-                 sampling_tensors, seeds, sample_indices, *,
+                 sampling_tensors, seeds, sample_indices, lora=None, *,
                  needs_filtering, max_logprobs, is_prefill,
                  return_prompt_logprobs=False):
-            hidden, new_caches = model(params, input_ids, positions,
-                                       kv_caches, metadata)
+            if lora is not None:
+                hidden, new_caches = model(params, input_ids, positions,
+                                           kv_caches, metadata, lora=lora)
+            else:
+                hidden, new_caches = model(params, input_ids, positions,
+                                           kv_caches, metadata)
             prompt_lp = None
             if is_prefill:
                 if return_prompt_logprobs:
@@ -472,10 +485,12 @@ class ModelRunner:
                         for md in seq_group_metadata_list),
                     self.LOGPROB_BUCKETS))
 
+        lora = self._prepare_lora(seq_group_metadata_list,
+                                  input_ids.shape[0])
         out, prompt_lp, kv_caches = self._step_fn(
             self.params, jnp.asarray(input_ids), jnp.asarray(positions),
             kv_caches, metadata, tensors, jnp.asarray(seeds),
-            jnp.asarray(sample_indices),
+            jnp.asarray(sample_indices), lora,
             needs_filtering=needs_filtering, max_logprobs=max_logprobs,
             is_prefill=is_prompt, return_prompt_logprobs=want_prompt_lp)
 
@@ -484,6 +499,30 @@ class ModelRunner:
             self._attach_prompt_logprobs(sampler_output, prompt_lp, plan,
                                          seq_group_metadata_list)
         return sampler_output, kv_caches
+
+    def _prepare_lora(self, seq_group_metadata_list, padded_batch):
+        """Build the per-step LoRA pytree: stacked adapter tensors + one
+        slot index per (padded) model row.  None when LoRA is off or no
+        scheduled group uses an adapter."""
+        if self.lora_manager is None:
+            return None
+        requests = [getattr(md, "lora_request", None)
+                    for md in seq_group_metadata_list]
+        if not any(requests):
+            return None
+        mapping = self.lora_manager.set_active_loras(requests)
+        idx = np.zeros((padded_batch, ), dtype=np.int32)
+        row = 0
+        is_prompt = seq_group_metadata_list[0].is_prompt
+        for md in seq_group_metadata_list:
+            lora_id = md.lora_request.lora_int_id if md.lora_request else 0
+            n_rows = 1 if is_prompt else len(md.seq_data)
+            for _ in range(n_rows):
+                idx[row] = mapping.get(lora_id, 0)
+                row += 1
+        lora = dict(self.lora_manager.stacks)
+        lora["idx"] = jnp.asarray(idx)
+        return lora
 
     def _execute_with_host_processors(self, seq_group_metadata_list,
                                       kv_caches, is_prompt, tensors, seeds,

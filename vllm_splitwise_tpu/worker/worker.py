@@ -38,6 +38,7 @@ class Worker:
         cache_config: CacheConfig,
         mesh=None,
         worker_type: WorkerType = WorkerType.MIXED,
+        lora_config=None,
     ) -> None:
         self.model_config = model_config
         self.parallel_config = parallel_config
@@ -45,10 +46,11 @@ class Worker:
         self.cache_config = cache_config
         self.mesh = mesh
         self.worker_type = worker_type
+        self.lora_config = lora_config
 
         self.model_runner = ModelRunner(model_config, parallel_config,
                                         scheduler_config, cache_config,
-                                        mesh=mesh)
+                                        mesh=mesh, lora_config=lora_config)
         self.cache_engine: Optional[CacheEngine] = None
         self.kv_caches = None
         # Splitwise: set by the executor when phase-disaggregated.
@@ -125,6 +127,21 @@ class Worker:
         """Pre-compile the common decode buckets (analog of the
         reference's CUDA-graph capture warmup, worker.py:237-242)."""
         pass  # Buckets compile lazily on first use; XLA caches them.
+
+    # ---- LoRA management (reference worker.py add_lora/remove_lora) ----
+
+    def add_lora(self, lora_request) -> bool:
+        assert self.model_runner.lora_manager is not None, \
+            "LoRA is not enabled."
+        return self.model_runner.lora_manager.add_lora(lora_request)
+
+    def remove_lora(self, lora_id: int) -> bool:
+        assert self.model_runner.lora_manager is not None
+        return self.model_runner.lora_manager.remove_lora(lora_id)
+
+    def list_loras(self):
+        assert self.model_runner.lora_manager is not None
+        return self.model_runner.lora_manager.list_loras()
 
     # ---- per-step execution ----
 
