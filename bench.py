@@ -45,11 +45,32 @@ def build(size: str, quant: str, seed: int = 0):
     model = LlamaForCausalLM(config, dtype=jnp.bfloat16)
     params = model.init_params(jax.random.PRNGKey(seed))
     if quant != "bf16":
-        from vllm_splitwise_tpu.layers.quantization import (GPTQConfig,
-                                                            Int8Config)
-        from vllm_splitwise_tpu.models.loader import quantize_dummy_params
-        qc = GPTQConfig(4, 128, False) if quant == "int4" else Int8Config()
-        quantize_dummy_params(params, qc, seed)
+        # Random quantized weights generated directly on device (7 ops)
+        # instead of host-side real quantization of 200+ matrices — the
+        # bench measures decode speed, not quantizer quality.
+        group = 128
+        stacked = params["layers"]
+        assert isinstance(stacked, dict)
+        key = jax.random.PRNGKey(seed)
+        for name, w in list(stacked.items()):
+            if w.ndim != 3:
+                continue
+            num_l, k, n = w.shape
+            key, k1 = jax.random.split(key)
+            if quant == "int4":
+                qweight = jax.random.randint(k1, (num_l, k // 2, n),
+                                             -128, 128, dtype=jnp.int8)
+                scales = jnp.full((num_l, k // group, n), 0.01,
+                                  dtype=jnp.float32)
+                zeros = jnp.full((num_l, k // group, n), 8.0,
+                                 dtype=jnp.float32)
+                stacked[name] = {"qweight": qweight, "scales": scales,
+                                 "zeros": zeros}
+            else:
+                qweight = jax.random.randint(k1, (num_l, k, n), -128, 128,
+                                             dtype=jnp.int8)
+                scales = jnp.full((num_l, 1, n), 0.001, dtype=jnp.float32)
+                stacked[name] = {"qweight": qweight, "scales": scales}
     return model, params, config
 
 
@@ -62,11 +83,15 @@ def measure_decode(model, params, config, batch, context, steps):
     num_pages = batch * pages_per_seq
     b = batch
 
-    kv_caches = [(jnp.zeros((model.num_kv_heads, num_pages, page_size,
-                             model.head_dim), dtype=jnp.bfloat16),
-                  jnp.zeros((model.num_kv_heads, num_pages, page_size,
-                             model.head_dim), dtype=jnp.bfloat16))
-                 for _ in range(model.num_layers)]
+    # Stacked caches drive the lax.scan layer loop: one layer body
+    # compiles instead of num_layers (compile time at 32 layers drops
+    # ~10x), and the donation graph stays two arrays.
+    kv_caches = (
+        jnp.zeros((model.num_layers, model.num_kv_heads, num_pages,
+                   page_size, model.head_dim), dtype=jnp.bfloat16),
+        jnp.zeros((model.num_layers, model.num_kv_heads, num_pages,
+                   page_size, model.head_dim), dtype=jnp.bfloat16),
+    )
 
     tables = np.zeros((b, pages_per_seq), dtype=np.int32)
     for i in range(b):

@@ -25,9 +25,10 @@ def test_tp2_greedy_matches_hf(tiny_checkpoint):
               num_gpu_blocks_override=64, max_num_seqs=8,
               max_paddings=512, swap_space=0.1, tensor_parallel_size=2)
 
-    # Weights actually sharded over the 2-device model axis.
+    # Weights actually sharded over the 2-device model axis (layers are
+    # stacked [L, H, O] for the scan path).
     q_proj = llm.llm_engine.executor.worker.model_runner.params["layers"][
-        0]["q_proj"]
+        "q_proj"]
     assert len(q_proj.sharding.device_set) == 2
 
     rng = np.random.RandomState(0)

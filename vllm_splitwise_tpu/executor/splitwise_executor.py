@@ -138,10 +138,14 @@ class SplitwiseExecutor(ExecutorBase):
         """Fill every prefill-pool cache page with `value` (test hook)."""
         import jax.numpy as jnp
         cache = self.prefill_worker.kv_caches
-        self.prefill_worker.kv_caches = [
-            (jnp.full_like(k, value), jnp.full_like(v, value))
-            for k, v in cache
-        ]
+        if isinstance(cache, tuple):
+            self.prefill_worker.kv_caches = (jnp.full_like(cache[0], value),
+                                             jnp.full_like(cache[1], value))
+        else:
+            self.prefill_worker.kv_caches = [
+                (jnp.full_like(k, value), jnp.full_like(v, value))
+                for k, v in cache
+            ]
         self.prefill_worker.cache_engine.device_cache = \
             self.prefill_worker.kv_caches
 
@@ -152,6 +156,10 @@ class SplitwiseExecutor(ExecutorBase):
 
     def check_decode_cache_pattern(self, value: float) -> bool:
         import numpy as np
+        cache = self.decode_worker.kv_caches
+        if isinstance(cache, tuple):
+            return bool((np.asarray(cache[0]) == value).all()
+                        and (np.asarray(cache[1]) == value).all())
         for k, v in self.decode_worker.kv_caches:
             if not (np.asarray(k) == value).all():
                 return False

@@ -132,7 +132,54 @@ class LlamaForCausalLM:
         if not self.tie_word_embeddings:
             params["lm_head"] = make(keys[-1], (self.hidden_size,
                                                 self.padded_vocab))
+        self._maybe_stack_layers(params)
         return params
+
+    # ---- layer stacking (scan support) ----
+    #
+    # When every layer is homogeneous (same shapes — i.e. not DeciLM's
+    # variable GQA), layer params stack into {name: [L, ...]} so the
+    # forward pass can lax.scan over layers: ONE layer body compiles
+    # instead of num_layers copies — 32-layer Llama compile time drops by
+    # an order of magnitude, which matters on every engine start.
+
+    def _maybe_stack_layers(self, params: Dict[str, Any]) -> None:
+        layers = params["layers"]
+        if not isinstance(layers, list) or not layers:
+            return
+        names = set(layers[0])
+        if any(set(lp) != names for lp in layers):
+            return
+        stacked: Dict[str, Any] = {}
+        for name in names:
+            vals = [lp[name] for lp in layers]
+            if isinstance(vals[0], dict):
+                sub_names = set(vals[0])
+                if any(set(v) != sub_names for v in vals):
+                    return
+                if any(v[k].shape != vals[0][k].shape for v in vals
+                       for k in sub_names):
+                    return
+                stacked[name] = {
+                    k: jnp.stack([v[k] for v in vals]) for k in sub_names
+                }
+            else:
+                if any(v.shape != vals[0].shape for v in vals):
+                    return
+                stacked[name] = jnp.stack(vals)
+        params["layers"] = stacked
+        self._stacked = True
+
+    @staticmethod
+    def _layer_slice(layers, i: int):
+        if isinstance(layers, list):
+            return layers[i]
+        return jax.tree_util.tree_map(lambda a: a[i], layers)
+
+    def _can_scan(self, params, lora) -> bool:
+        return (isinstance(params["layers"], dict)
+                and all(a.num_kv_heads == self.attn[0].num_kv_heads
+                        for a in self.attn))
 
     def param_specs(self) -> Dict[str, Any]:
         """PartitionSpec pytree matching init_params' structure."""
@@ -153,14 +200,32 @@ class LlamaForCausalLM:
                 "k_bias": P("model"),
                 "v_bias": P("model"),
             })
+        if self._layers_stacked:
+            # Stacked layers: prepend the layer axis (replicated).
+            layer_specs: Any = {
+                k: P(None, *tuple(v))
+                for k, v in layer_spec.items()
+            }
+        else:
+            layer_specs = [dict(layer_spec) for _ in range(self.num_layers)]
         specs = {
             "embed_tokens": P("model", None),
-            "layers": [dict(layer_spec) for _ in range(self.num_layers)],
+            "layers": layer_specs,
             "norm": P(),
         }
         if not self.tie_word_embeddings:
             specs["lm_head"] = P(None, "model")
         return specs
+
+    @property
+    def _layers_stacked(self) -> bool:
+        return getattr(self, "_stacked", False)
+
+    def supports_stacked_kv(self) -> bool:
+        """True when the worker should allocate the stacked
+        [L, kvh, pages, ps, hd] KV cache (scan-compatible)."""
+        return self._layers_stacked and all(
+            a.num_kv_heads == self.attn[0].num_kv_heads for a in self.attn)
 
     # ---- forward ----
 
@@ -178,9 +243,18 @@ class LlamaForCausalLM:
         if self.embed_multiplier != 1.0:
             hidden = hidden * jnp.asarray(self.embed_multiplier,
                                           dtype=hidden.dtype)
+        if (isinstance(kv_caches, tuple) and len(kv_caches) == 2
+                and not isinstance(kv_caches[0], tuple)
+                and getattr(kv_caches[0], "ndim", 0) == 5):
+            assert self._can_scan(params, lora), (
+                "stacked KV caches require stacked homogeneous layers")
+            hidden, caches = self._scan_layers(params, hidden, positions,
+                                               kv_caches, metadata, lora)
+            hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+            return hidden, caches
         new_caches: List[KVCache] = []
         for i in range(self.num_layers):
-            lp = params["layers"][i]
+            lp = self._layer_slice(params["layers"], i)
             residual = hidden
             x = rms_norm(hidden, lp["input_layernorm"], self.rms_eps)
 
@@ -232,6 +306,79 @@ class LlamaForCausalLM:
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
         return hidden, new_caches
+
+    def _scan_layers(self, params, hidden, positions, kv_caches, metadata,
+                     lora=None):
+        """lax.scan over the stacked layer axis: xs = (layer params,
+        per-layer KV pages [+ per-layer LoRA stacks]); carry = hidden."""
+        attn = self.attn[0]
+        layer_kv_heads = attn.num_kv_heads
+
+        lora_xs = None
+        lora_idx = None
+        if lora is not None:
+            from vllm_splitwise_tpu.lora.layers import lora_apply
+            lora_idx = lora["idx"]
+            # Stacks are [S, L, ...]; scan consumes the L axis in front.
+            lora_xs = {
+                k: jnp.moveaxis(v, 1, 0)
+                for k, v in lora.items() if k != "idx"
+            }
+
+        def body(h, xs):
+            lp, k_pages, v_pages, ll = xs
+            residual = h
+            x = rms_norm(h, lp["input_layernorm"], self.rms_eps)
+            q = dense(x, lp["q_proj"])
+            k = dense(x, lp["k_proj"])
+            v = dense(x, lp["v_proj"])
+            if ll is not None:
+                from vllm_splitwise_tpu.lora.layers import lora_apply
+                q = q + lora_apply(x, ll["q_proj_A"], ll["q_proj_B"],
+                                   lora_idx)
+                k = k + lora_apply(x, ll["k_proj_A"], ll["k_proj_B"],
+                                   lora_idx)
+                v = v + lora_apply(x, ll["v_proj_A"], ll["v_proj_B"],
+                                   lora_idx)
+            if self.qkv_bias:
+                q = q + lp["q_bias"]
+                k = k + lp["k_bias"]
+                v = v + lp["v_bias"]
+            b, t, _ = q.shape
+            q = q.reshape(b, t, self.num_heads, self.head_dim)
+            k = k.reshape(b, t, layer_kv_heads, self.head_dim)
+            q, k = self.rope(positions, q, k)
+            q = q.reshape(b, t, -1)
+            k = k.reshape(b, t, -1)
+            attn_out, (k_pages, v_pages) = attn(q, k, v,
+                                                (k_pages, v_pages),
+                                                metadata)
+            o = dense(attn_out, lp["o_proj"])
+            if ll is not None:
+                o = o + lora_apply(attn_out, ll["o_proj_A"],
+                                   ll["o_proj_B"], lora_idx)
+            h = residual + o
+            residual = h
+            x = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
+            gate = dense(x, lp["gate_proj"])
+            up = dense(x, lp["up_proj"])
+            if ll is not None:
+                gate = gate + lora_apply(x, ll["gate_proj_A"],
+                                         ll["gate_proj_B"], lora_idx)
+                up = up + lora_apply(x, ll["up_proj_A"], ll["up_proj_B"],
+                                     lora_idx)
+            inner = self.act_fn(gate) * up
+            down = dense(inner, lp["down_proj"])
+            if ll is not None:
+                down = down + lora_apply(inner, ll["down_proj_A"],
+                                         ll["down_proj_B"], lora_idx)
+            h = residual + down
+            return h, (k_pages, v_pages)
+
+        k_all, v_all = kv_caches
+        hidden, (k_all, v_all) = jax.lax.scan(
+            body, hidden, (params["layers"], k_all, v_all, lora_xs))
+        return hidden, (k_all, v_all)
 
     def compute_logits(self, params: Dict[str, Any],
                        hidden: jax.Array) -> jax.Array:
@@ -318,4 +465,5 @@ class LlamaForCausalLM:
                     w = w.T
                 layers[layer_idx][our_name] = jnp.asarray(w,
                                                           dtype=self.dtype)
+        self._maybe_stack_layers(params)
         return params

@@ -114,6 +114,25 @@ def quantize_dummy_params(params, quant_config: QuantizationConfig,
                 made = quant_config.make_dummy(rng, kin, kout,
                                                group_size=group)
                 node[key] = {k: jnp.asarray(v) for k, v in made.items()}
+            elif (getattr(val, "ndim", 0) == 3
+                  and not any(s in f"{path}.{key}"
+                              for s in _NEVER_QUANTIZE)):
+                # Stacked layer params [L, in, out] (scan models): one
+                # quantized dict per layer, components stacked back.
+                num_l, kin, kout = val.shape
+                group = _fit_group(kin, getattr(quant_config, "group_size",
+                                                128))
+                if group is None:
+                    continue
+                made = [
+                    quant_config.make_dummy(rng, kin, kout,
+                                            group_size=group)
+                    for _ in range(num_l)
+                ]
+                node[key] = {
+                    k: jnp.stack([jnp.asarray(m[k]) for m in made])
+                    for k in made[0]
+                }
 
     walk(params)
 

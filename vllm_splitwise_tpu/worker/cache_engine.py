@@ -36,11 +36,16 @@ class CacheEngine:
         model_config: ModelConfig,
         parallel_config: ParallelConfig,
         mesh=None,
+        stacked: bool = False,
     ) -> None:
         self.cache_config = cache_config
         self.model_config = model_config
         self.parallel_config = parallel_config
         self.mesh = mesh
+        # Stacked layout [L, kvh, pages, ps, hd] feeds lax.scan models
+        # (one array pair instead of a per-layer list; swap/copy plans
+        # apply across all layers in one op).
+        self.stacked = stacked
 
         self.num_layers = model_config.get_num_layers(parallel_config)
         # Full (unsharded) KV head count: the mesh shards the head axis.
@@ -52,41 +57,51 @@ class CacheEngine:
 
         self.dtype = _cache_dtype(cache_config, model_config)
 
-        self.device_cache: List[KVCache] = self._allocate_device_cache()
-        self.host_cache: List[Tuple[np.ndarray, np.ndarray]] = \
-            self._allocate_host_cache()
+        self.device_cache = self._allocate_device_cache()
+        self.host_cache = self._allocate_host_cache()
 
     def _page_shape(self, num_pages: int) -> Tuple[int, int, int, int]:
         return (self.num_kv_heads, num_pages, self.page_size, self.head_dim)
 
-    def _allocate_device_cache(self) -> List[KVCache]:
+    def _allocate_device_cache(self):
         shape = self._page_shape(self.num_device_pages)
+        if self.stacked:
+            shape = (self.num_layers, ) + shape
         sharding = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
             from vllm_splitwise_tpu.parallel.mesh import kv_cache_spec
             spec = kv_cache_spec()
             if self.num_kv_heads % self.mesh.shape.get("model", 1) != 0:
-                from jax.sharding import PartitionSpec as P
                 spec = P()  # replicate when KV heads don't divide TP
+            elif self.stacked:
+                spec = P(None, *tuple(spec))
             sharding = NamedSharding(self.mesh, spec)
 
         def alloc():
             z = jnp.zeros(shape, dtype=self.dtype)
             return jax.device_put(z, sharding) if sharding is not None else z
 
+        if self.stacked:
+            return (alloc(), alloc())
         return [(alloc(), alloc()) for _ in range(self.num_layers)]
 
     def _allocate_host_cache(self) -> List[Tuple[np.ndarray, np.ndarray]]:
         if not self.num_host_pages:
             return []
         shape = self._page_shape(self.num_host_pages)
+        if self.stacked:
+            shape = (self.num_layers, ) + shape
         np_dtype = np.dtype(jnp.dtype(self.dtype).name) \
             if jnp.dtype(self.dtype) != jnp.bfloat16 else np.dtype(np.uint16)
         if jnp.dtype(self.dtype) == jnp.bfloat16:
             # numpy has no bf16; store raw bits — swaps are pure copies.
             import ml_dtypes
             np_dtype = np.dtype(ml_dtypes.bfloat16)
+        if self.stacked:
+            return (np.zeros(shape, dtype=np_dtype),
+                    np.zeros(shape, dtype=np_dtype))
         return [(np.zeros(shape, dtype=np_dtype),
                  np.zeros(shape, dtype=np_dtype))
                 for _ in range(self.num_layers)]
@@ -94,6 +109,21 @@ class CacheEngine:
     # ---- per-step plans ----
 
     def swap_in(self, mapping: Dict[int, int]) -> None:
+        if self.stacked:
+            if not mapping:
+                return
+            k_all, v_all = self.device_cache
+            k_host, v_host = self.host_cache
+            src = sorted(mapping.keys())
+            dst = jnp.asarray([mapping[s] for s in src], dtype=jnp.int32)
+            k_vals = jnp.asarray(k_host[:, :, src])
+            v_vals = jnp.asarray(v_host[:, :, src])
+            k_all = k_all.at[:, :, dst].set(k_vals.astype(k_all.dtype),
+                                            mode="drop")
+            v_all = v_all.at[:, :, dst].set(v_vals.astype(v_all.dtype),
+                                            mode="drop")
+            self.device_cache = (k_all, v_all)
+            return
         for i in range(self.num_layers):
             k_pages, v_pages = self.device_cache[i]
             k_host, v_host = self.host_cache[i]
@@ -101,6 +131,22 @@ class CacheEngine:
                                                   v_host, mapping)
 
     def swap_out(self, mapping: Dict[int, int]) -> None:
+        if self.stacked:
+            if not mapping:
+                return
+            k_all, v_all = self.device_cache
+            k_host, v_host = self.host_cache
+            src = sorted(mapping.keys())
+            idx = jnp.asarray(src, dtype=jnp.int32)
+            k_gather = np.asarray(jnp.take(k_all, idx, axis=2,
+                                           mode="clip"))
+            v_gather = np.asarray(jnp.take(v_all, idx, axis=2,
+                                           mode="clip"))
+            for j, sp in enumerate(src):
+                d = mapping[sp]
+                k_host[:, :, d] = k_gather[:, :, j]
+                v_host[:, :, d] = v_gather[:, :, j]
+            return
         for i in range(self.num_layers):
             k_pages, v_pages = self.device_cache[i]
             k_host, v_host = self.host_cache[i]
@@ -117,6 +163,14 @@ class CacheEngine:
                 dsts.append(dst)
         src_arr = jnp.asarray(srcs, dtype=jnp.int32)
         dst_arr = jnp.asarray(dsts, dtype=jnp.int32)
+        if self.stacked:
+            k_all, v_all = self.device_cache
+            k_src = jnp.take(k_all, src_arr, axis=2, mode="clip")
+            v_src = jnp.take(v_all, src_arr, axis=2, mode="clip")
+            k_all = k_all.at[:, :, dst_arr].set(k_src, mode="drop")
+            v_all = v_all.at[:, :, dst_arr].set(v_src, mode="drop")
+            self.device_cache = (k_all, v_all)
+            return
         for i in range(self.num_layers):
             k_pages, v_pages = self.device_cache[i]
             self.device_cache[i] = copy_blocks(k_pages, v_pages, src_arr,

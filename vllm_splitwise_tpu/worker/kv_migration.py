@@ -77,6 +77,36 @@ class KVMigrationManager:
         dst_cache = self.decode_worker.kv_caches
         dst_sharding = self._dst_sharding()
 
+        if isinstance(src_cache, tuple):  # stacked [L, kvh, P, ps, hd]
+            k_src, v_src = src_cache
+            k_dst, v_dst = dst_cache
+            k_pages = jnp.take(k_src, idx, axis=2, mode="clip")
+            v_pages = jnp.take(v_src, idx, axis=2, mode="clip")
+            if dst_sharding is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                spec = P(None, *tuple(dst_sharding.spec))
+                dst_sharding = NamedSharding(self.decode_worker.mesh, spec)
+                k_pages = jax.device_put(k_pages, dst_sharding)
+                v_pages = jax.device_put(v_pages, dst_sharding)
+            elif self.decode_worker.mesh is None and \
+                    self.prefill_worker.device != self.decode_worker.device:
+                k_pages = jax.device_put(k_pages, self.decode_worker.device)
+                v_pages = jax.device_put(v_pages, self.decode_worker.device)
+            new_stacked = (
+                k_dst.at[:, :, idx].set(k_pages.astype(k_dst.dtype),
+                                        mode="drop"),
+                v_dst.at[:, :, idx].set(v_pages.astype(v_dst.dtype),
+                                        mode="drop"),
+            )
+            self.decode_worker.kv_caches = new_stacked
+            if self.decode_worker.cache_engine is not None:
+                self.decode_worker.cache_engine.device_cache = new_stacked
+            self.num_migrations += 1
+            self.num_pages_moved += len(all_pages)
+            self.last_migration_seconds = time.perf_counter() - start
+            return
+
         new_dst: List = []
         for (k_src, v_src), (k_dst, v_dst) in zip(src_cache, dst_cache):
             k_pages = gather_pages(k_src, idx)

@@ -99,7 +99,8 @@ class Worker:
             self.cache_config.block_size) + 1
         probe_config = _clone_cache_config(self.cache_config, probe_pages)
         probe_engine = CacheEngine(probe_config, self.model_config,
-                                   self.parallel_config, mesh=self.mesh)
+                                   self.parallel_config, mesh=self.mesh,
+                                   stacked=self._stacked_kv)
         probe_caches = probe_engine.device_cache
         probe_caches = self.model_runner.profile_run(probe_caches)
         del probe_caches, probe_engine
@@ -117,10 +118,18 @@ class Worker:
             num_host)
         return num_device, num_host
 
+    @property
+    def _stacked_kv(self) -> bool:
+        model = self.model_runner.model
+        fn = getattr(model, "supports_stacked_kv", None)
+        return bool(fn and fn())
+
     def init_cache_engine(self, cache_config: CacheConfig) -> None:
         self.cache_config = cache_config
         self.cache_engine = CacheEngine(cache_config, self.model_config,
-                                        self.parallel_config, mesh=self.mesh)
+                                        self.parallel_config,
+                                        mesh=self.mesh,
+                                        stacked=self._stacked_kv)
         self.kv_caches = self.cache_engine.device_cache
 
     def warm_up_model(self) -> None:
