@@ -43,34 +43,59 @@ def build(size: str, quant: str, seed: int = 0):
                          max_position_embeddings=4096,
                          tie_word_embeddings=False)
     model = LlamaForCausalLM(config, dtype=jnp.bfloat16)
-    params = model.init_params(jax.random.PRNGKey(seed))
-    if quant != "bf16":
-        # Random quantized weights generated directly on device (7 ops)
-        # instead of host-side real quantization of 200+ matrices — the
-        # bench measures decode speed, not quantizer quality.
-        group = 128
-        stacked = params["layers"]
-        assert isinstance(stacked, dict)
-        key = jax.random.PRNGKey(seed)
-        for name, w in list(stacked.items()):
-            if w.ndim != 3:
-                continue
-            num_l, k, n = w.shape
-            key, k1 = jax.random.split(key)
-            if quant == "int4":
-                qweight = jax.random.randint(k1, (num_l, k // 2, n),
-                                             -128, 128, dtype=jnp.int8)
-                scales = jnp.full((num_l, k // group, n), 0.01,
-                                  dtype=jnp.float32)
-                zeros = jnp.full((num_l, k // group, n), 8.0,
-                                 dtype=jnp.float32)
-                stacked[name] = {"qweight": qweight, "scales": scales,
-                                 "zeros": zeros}
-            else:
-                qweight = jax.random.randint(k1, (num_l, k, n), -128, 128,
-                                             dtype=jnp.int8)
-                scales = jnp.full((num_l, 1, n), 0.001, dtype=jnp.float32)
-                stacked[name] = {"qweight": qweight, "scales": scales}
+    if quant == "bf16":
+        params = model.init_params(jax.random.PRNGKey(seed))
+        return model, params, config
+
+    # Build quantized params DIRECTLY (never materializing the 13.5 GB
+    # dense weights on a 16 GB chip): random int4/int8 payloads generated
+    # on device, one op per stacked tensor.
+    group = 128
+    num_l = layers
+    hd = model.head_dim
+    key = jax.random.PRNGKey(seed)
+
+    def q(shape_in, shape_out):
+        nonlocal key
+        key, k1 = jax.random.split(key)
+        if quant == "int4":
+            return {
+                "qweight": jax.random.randint(
+                    k1, (num_l, shape_in // 2, shape_out), -128, 128,
+                    dtype=jnp.int8),
+                "scales": jnp.full((num_l, shape_in // group, shape_out),
+                                   0.01, dtype=jnp.float32),
+                "zeros": jnp.full((num_l, shape_in // group, shape_out),
+                                  8.0, dtype=jnp.float32),
+            }
+        return {
+            "qweight": jax.random.randint(k1, (num_l, shape_in, shape_out),
+                                          -128, 128, dtype=jnp.int8),
+            "scales": jnp.full((num_l, 1, shape_out), 0.001,
+                               dtype=jnp.float32),
+        }
+
+    key, k1, k2 = jax.random.split(key, 3)
+    params = {
+        "embed_tokens": (jax.random.normal(
+            k1, (model.padded_vocab, h), dtype=jnp.bfloat16) * 0.02),
+        "lm_head": (jax.random.normal(
+            k2, (h, model.padded_vocab), dtype=jnp.bfloat16) * 0.02),
+        "norm": jnp.ones((h, ), jnp.bfloat16),
+        "layers": {
+            "input_layernorm": jnp.ones((num_l, h), jnp.bfloat16),
+            "post_attention_layernorm": jnp.ones((num_l, h),
+                                                 jnp.bfloat16),
+            "q_proj": q(h, heads * hd),
+            "k_proj": q(h, kv * hd),
+            "v_proj": q(h, kv * hd),
+            "o_proj": q(heads * hd, h),
+            "gate_proj": q(h, inter),
+            "up_proj": q(h, inter),
+            "down_proj": q(inter, h),
+        },
+    }
+    model._stacked = True
     return model, params, config
 
 

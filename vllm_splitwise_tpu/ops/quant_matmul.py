@@ -102,8 +102,8 @@ def quant_matmul_int4_reference(x, qweight, scales, zeros, group_size):
 def _int4_matmul_kernel(
     x_ref,        # [bm, 2G] bf16
     q_ref,        # [G, bn] int8 (pack2G block)
-    s_ref,        # [2, bn] f32/bf16 (scales of the two groups)
-    z_ref,        # [2, bn]
+    s_ref,        # [8, bn] f32 (rows 0/1 = the two groups; 8-row padded
+    z_ref,        # [8, bn]      to satisfy Mosaic sublane tiling)
     o_ref,        # [bm, bn]
     acc_ref,      # [bm, bn] f32 scratch
     *,
@@ -117,7 +117,8 @@ def _int4_matmul_kernel(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    p = q_ref[...].astype(jnp.uint8)
+    # Mosaic has no direct u8->bf16 cast; widen to i32 first.
+    p = q_ref[...].astype(jnp.uint8).astype(jnp.int32)
     lo = (p & 0xF).astype(jnp.bfloat16)       # group 2b   rows [0, G)
     hi = (p >> 4).astype(jnp.bfloat16)        # group 2b+1 rows [G, 2G)
 
@@ -167,9 +168,7 @@ def quant_matmul_int4(
 
     if block_m == 0:
         block_m = 128 if m >= 128 else max(8, _round_up(m, 8))
-    block_n = min(block_n, n)
-    if n % block_n != 0:
-        block_n = n  # fall back to one N tile for odd widths
+    block_n = _pick_block(n, block_n)
 
     bk = 2 * group_size
     grid = (_cdiv(m, block_m), n // block_n, k // bk)
@@ -178,6 +177,18 @@ def quant_matmul_int4(
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
 
+    # Mosaic requires >=8 sublanes per block: lay the two group rows of
+    # each k-block into an 8-row band (rows 2..7 unused).
+    num_blocks = k // bk
+    s8 = jnp.zeros((num_blocks, 8, n), dtype=jnp.float32)
+    s8 = s8.at[:, :2].set(scales.astype(jnp.float32).reshape(
+        num_blocks, 2, n))
+    z8 = jnp.zeros((num_blocks, 8, n), dtype=jnp.float32)
+    z8 = z8.at[:, :2].set(zeros.astype(jnp.float32).reshape(
+        num_blocks, 2, n))
+    s8 = s8.reshape(num_blocks * 8, n)
+    z8 = z8.reshape(num_blocks * 8, n)
+
     out = pl.pallas_call(
         functools.partial(_int4_matmul_kernel, group_size=group_size,
                           out_dtype=x.dtype),
@@ -185,8 +196,8 @@ def quant_matmul_int4(
         in_specs=[
             pl.BlockSpec((block_m, bk), lambda i, j, kb: (i, kb)),
             pl.BlockSpec((group_size, block_n), lambda i, j, kb: (kb, j)),
-            pl.BlockSpec((2, block_n), lambda i, j, kb: (kb, j)),
-            pl.BlockSpec((2, block_n), lambda i, j, kb: (kb, j)),
+            pl.BlockSpec((8, block_n), lambda i, j, kb: (kb, j)),
+            pl.BlockSpec((8, block_n), lambda i, j, kb: (kb, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kb: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m + m_pad, n), x.dtype),
@@ -194,8 +205,15 @@ def quant_matmul_int4(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(x.astype(jnp.bfloat16), qweight, scales, zeros)
+    )(x.astype(jnp.bfloat16), qweight, s8, z8)
     return out[:m] if m_pad else out
+
+
+def _pick_block(n: int, preferred: int) -> int:
+    for cand in (preferred, 512, 256, 128):
+        if cand <= n and n % cand == 0:
+            return cand
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -211,7 +229,7 @@ def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, out_dtype):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w = q_ref[...].astype(jnp.bfloat16)
+    w = q_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
     x = x_ref[...]
     acc_ref[...] += jax.lax.dot_general(
         x, w, dimension_numbers=(((1, ), (0, )), ((), ())),
@@ -244,12 +262,8 @@ def quant_matmul_int8(
 
     if block_m == 0:
         block_m = 128 if m >= 128 else max(8, _round_up(m, 8))
-    block_n = min(block_n, n)
-    if n % block_n != 0:
-        block_n = n
-    block_k = min(block_k, k)
-    if k % block_k != 0:
-        block_k = k
+    block_n = _pick_block(n, block_n)
+    block_k = _pick_block(k, block_k)
 
     grid = (_cdiv(m, block_m), n // block_n, k // block_k)
     m_pad = _round_up(m, block_m) - m

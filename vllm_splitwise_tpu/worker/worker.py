@@ -86,6 +86,12 @@ class Worker:
         stats = self.device.memory_stats() or {}
         limit = stats.get("bytes_limit")
         if limit is None:
+            if self.device.platform in ("tpu", "axon"):
+                # Some transports (axon tunnel) expose no memory stats:
+                # size the cache analytically from the chip's known HBM
+                # and the measured parameter bytes.
+                return self._estimate_blocks_from_specs(
+                    hbm_utilization, block_bytes, num_host)
             logger.info(
                 "Backend exposes no memory stats; defaulting to %d KV pages",
                 _DEFAULT_CPU_PAGES)
@@ -123,6 +129,41 @@ class Worker:
         model = self.model_runner.model
         fn = getattr(model, "supports_stacked_kv", None)
         return bool(fn and fn())
+
+    # Public per-chip HBM capacities (GiB); conservative where unsure.
+    _HBM_BY_KIND = {
+        "TPU v4": 32,
+        "TPU v5 lite": 16,
+        "TPU v5e": 16,
+        "TPU v5": 95,
+        "TPU v5p": 95,
+        "TPU v6 lite": 32,
+        "TPU v6e": 32,
+    }
+
+    def _estimate_blocks_from_specs(self, hbm_utilization: float,
+                                    block_bytes: int,
+                                    num_host: int) -> Tuple[int, int]:
+        kind = self.device.device_kind
+        total = None
+        for name, gib in self._HBM_BY_KIND.items():
+            if kind.startswith(name):
+                total = gib * (1 << 30)
+        if total is None:
+            total = 16 * (1 << 30)
+            logger.warning("Unknown TPU kind %r; assuming 16 GiB HBM", kind)
+        params = self.model_runner.params
+        param_bytes = sum(
+            x.nbytes for x in jax.tree_util.tree_leaves(params))
+        # Activation + compiler workspace reserve: 8% of HBM.
+        reserve = int(0.08 * total)
+        usable = int(total * hbm_utilization) - param_bytes - reserve
+        num_device = max(int(usable // block_bytes), 0)
+        logger.info(
+            "Spec-based memory estimate (%s): HBM=%.1f GiB params=%.2f GiB "
+            "-> %d device KV pages", kind, total / 2**30,
+            param_bytes / 2**30, num_device)
+        return num_device, num_host
 
     def init_cache_engine(self, cache_config: CacheConfig) -> None:
         self.cache_config = cache_config
