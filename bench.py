@@ -14,7 +14,13 @@ tok/s/stream, BASELINE.md).
 """
 import argparse
 import json
+import sys
 import time
+
+
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 import jax
 import jax.numpy as jnp
@@ -59,14 +65,15 @@ def build(size: str, quant: str, seed: int = 0):
         nonlocal key
         key, k1 = jax.random.split(key)
         if quant == "int4":
+            nb = shape_in // (2 * group)
             return {
                 "qweight": jax.random.randint(
                     k1, (num_l, shape_in // 2, shape_out), -128, 128,
                     dtype=jnp.int8),
-                "scales": jnp.full((num_l, shape_in // group, shape_out),
-                                   0.01, dtype=jnp.float32),
-                "zeros": jnp.full((num_l, shape_in // group, shape_out),
-                                  8.0, dtype=jnp.float32),
+                "scales_p8": jnp.full((num_l, nb * 8, shape_out), 0.01,
+                                      dtype=jnp.float32),
+                "zeros_p8": jnp.full((num_l, nb * 8, shape_out), 8.0,
+                                     dtype=jnp.float32),
             }
         return {
             "qweight": jax.random.randint(k1, (num_l, shape_in, shape_out),
@@ -112,10 +119,10 @@ def measure_decode(model, params, config, batch, context, steps):
     # compiles instead of num_layers (compile time at 32 layers drops
     # ~10x), and the donation graph stays two arrays.
     kv_caches = (
-        jnp.zeros((model.num_layers, model.num_kv_heads, num_pages,
-                   page_size, model.head_dim), dtype=jnp.bfloat16),
-        jnp.zeros((model.num_layers, model.num_kv_heads, num_pages,
-                   page_size, model.head_dim), dtype=jnp.bfloat16),
+        jnp.zeros((model.num_layers, num_pages, page_size,
+                   model.num_kv_heads, model.head_dim), dtype=jnp.bfloat16),
+        jnp.zeros((model.num_layers, num_pages, page_size,
+                   model.num_kv_heads, model.head_dim), dtype=jnp.bfloat16),
     )
 
     tables = np.zeros((b, pages_per_seq), dtype=np.int32)
@@ -156,9 +163,11 @@ def measure_decode(model, params, config, batch, context, steps):
     ctx = jnp.full((b, ), context + 1, dtype=jnp.int32)
     seeds = jnp.zeros((b, ), jnp.uint32)
 
+    _log("compiling decode step...")
     tokens, ctx, kv_caches = step(params, tokens, ctx, kv_caches, tables_j,
                                   tensors, seeds)  # compile
     jax.block_until_ready(tokens)
+    _log("compile done; timing...")
 
     start = time.perf_counter()
     for _ in range(steps):
@@ -184,7 +193,14 @@ def main():
 
     size = args.size or ("tiny" if args.smoke else "7b")
 
+    from vllm_splitwise_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    _log(f"building {size} {args.quant} params...")
     model, params, config = build(size, args.quant)
+    import jax as _jax
+    _jax.block_until_ready(_jax.tree_util.tree_leaves(params)[0])
+    _log("params ready")
     toks, stream = measure_decode(model, params, config, args.batch,
                                   args.context, args.steps)
     del params

@@ -10,8 +10,9 @@ from vllm_splitwise_tpu.ops.kv_cache import (copy_blocks, gather_pages,
 
 
 def make_cache(rng, kvh=2, pages=8, page_size=4, hd=8):
-    k = jnp.asarray(rng.randn(kvh, pages, page_size, hd), dtype=jnp.float32)
-    v = jnp.asarray(rng.randn(kvh, pages, page_size, hd), dtype=jnp.float32)
+    # Page-major layout: [pages, page_size, kvh, hd].
+    k = jnp.asarray(rng.randn(pages, page_size, kvh, hd), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(pages, page_size, kvh, hd), dtype=jnp.float32)
     return k, v
 
 
@@ -27,18 +28,18 @@ def test_write_to_kv_cache():
 
     k_new, v_new = write_to_kv_cache(k, v, k_pages, v_pages, slots)
 
-    k_np = np.asarray(k_pages).reshape(kvh, pages * page_size, hd).copy()
+    k_np = np.asarray(k_pages).reshape(pages * page_size, kvh, hd).copy()
     for t, s in enumerate([8, 9, 10, 20]):
-        k_np[:, s] = np.asarray(k)[t]
+        k_np[s] = np.asarray(k)[t]
     np.testing.assert_array_equal(
-        np.asarray(k_new).reshape(kvh, pages * page_size, hd), k_np)
+        np.asarray(k_new).reshape(pages * page_size, kvh, hd), k_np)
     # Padding token wrote nowhere: v cache differs from oracle only at
     # written slots.
-    v_np = np.asarray(v_pages).reshape(kvh, pages * page_size, hd).copy()
+    v_np = np.asarray(v_pages).reshape(pages * page_size, kvh, hd).copy()
     for t, s in enumerate([8, 9, 10, 20]):
-        v_np[:, s] = np.asarray(v)[t]
+        v_np[s] = np.asarray(v)[t]
     np.testing.assert_array_equal(
-        np.asarray(v_new).reshape(kvh, pages * page_size, hd), v_np)
+        np.asarray(v_new).reshape(pages * page_size, kvh, hd), v_np)
 
 
 def test_copy_blocks():
@@ -47,13 +48,13 @@ def test_copy_blocks():
     src = jnp.asarray([0, 3], dtype=jnp.int32)
     dst = jnp.asarray([5, 6], dtype=jnp.int32)
     k_new, v_new = copy_blocks(k_pages, v_pages, src, dst)
-    np.testing.assert_array_equal(np.asarray(k_new)[:, 5],
-                                  np.asarray(k_pages)[:, 0])
-    np.testing.assert_array_equal(np.asarray(v_new)[:, 6],
-                                  np.asarray(v_pages)[:, 3])
+    np.testing.assert_array_equal(np.asarray(k_new)[5],
+                                  np.asarray(k_pages)[0])
+    np.testing.assert_array_equal(np.asarray(v_new)[6],
+                                  np.asarray(v_pages)[3])
     # Untouched pages unchanged.
-    np.testing.assert_array_equal(np.asarray(k_new)[:, 1],
-                                  np.asarray(k_pages)[:, 1])
+    np.testing.assert_array_equal(np.asarray(k_new)[1],
+                                  np.asarray(k_pages)[1])
 
 
 def test_gather_scatter_roundtrip():
@@ -63,10 +64,10 @@ def test_gather_scatter_roundtrip():
     vals = gather_pages(k_pages, idx)
     zeroed = jnp.zeros_like(k_pages)
     restored = scatter_pages(zeroed, idx, vals)
-    np.testing.assert_array_equal(np.asarray(restored)[:, 4],
-                                  np.asarray(k_pages)[:, 4])
-    np.testing.assert_array_equal(np.asarray(restored)[:, 0],
-                                  np.zeros_like(np.asarray(k_pages)[:, 0]))
+    np.testing.assert_array_equal(np.asarray(restored)[4],
+                                  np.asarray(k_pages)[4])
+    np.testing.assert_array_equal(np.asarray(restored)[0],
+                                  np.zeros_like(np.asarray(k_pages)[0]))
 
 
 def test_swap_out_in_roundtrip():
@@ -77,13 +78,13 @@ def test_swap_out_in_roundtrip():
 
     mapping = {2: 0, 5: 1}  # device page -> host page
     swap_out_blocks(k_pages, v_pages, k_host, v_host, mapping)
-    np.testing.assert_array_equal(k_host[:, 0], np.asarray(k_pages)[:, 2])
-    np.testing.assert_array_equal(v_host[:, 1], np.asarray(v_pages)[:, 5])
+    np.testing.assert_array_equal(k_host[0], np.asarray(k_pages)[2])
+    np.testing.assert_array_equal(v_host[1], np.asarray(v_pages)[5])
 
     # Swap back into different device pages.
     back = {0: 7, 1: 6}  # host page -> device page
     k_new, v_new = swap_in_blocks(k_pages, v_pages, k_host, v_host, back)
-    np.testing.assert_array_equal(np.asarray(k_new)[:, 7],
-                                  np.asarray(k_pages)[:, 2])
-    np.testing.assert_array_equal(np.asarray(v_new)[:, 6],
-                                  np.asarray(v_pages)[:, 5])
+    np.testing.assert_array_equal(np.asarray(k_new)[7],
+                                  np.asarray(k_pages)[2])
+    np.testing.assert_array_equal(np.asarray(v_new)[6],
+                                  np.asarray(v_pages)[5])

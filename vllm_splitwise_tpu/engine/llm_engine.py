@@ -58,6 +58,9 @@ class LLMEngine:
         self.lora_config = lora_config
         self.log_stats = log_stats
 
+        from vllm_splitwise_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()
+
         self.seq_counter = Counter()
         self._init_tokenizer()
 

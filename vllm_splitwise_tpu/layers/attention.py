@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from vllm_splitwise_tpu.models.input_metadata import (DecodeMetadata,
                                                       PrefillMetadata)
-from vllm_splitwise_tpu.ops.kv_cache import write_to_kv_cache
+from vllm_splitwise_tpu.ops.kv_cache import (write_to_kv_cache,
+                                             write_to_kv_cache_stacked)
 from vllm_splitwise_tpu.ops.paged_attention import (paged_attention,
                                                     paged_attention_reference)
 from vllm_splitwise_tpu.ops.prefill_attention import prefill_attention
@@ -83,11 +84,14 @@ class Attention:
         v: jax.Array,
         kv_cache: KVCache,
         metadata,
+        layer_index=None,  # traced scalar when kv_cache is stacked 5D
     ) -> Tuple[jax.Array, KVCache]:
         k_pages, v_pages = kv_cache
         if isinstance(metadata, PrefillMetadata):
-            return self._prefill(q, k, v, k_pages, v_pages, metadata)
-        return self._decode(q, k, v, k_pages, v_pages, metadata)
+            return self._prefill(q, k, v, k_pages, v_pages, metadata,
+                                 layer_index)
+        return self._decode(q, k, v, k_pages, v_pages, metadata,
+                            layer_index)
 
     def _pad_heads(self, x: jax.Array, cache_heads: int) -> jax.Array:
         """Pad [tokens, layer_kv_heads, hd] to the cache's head count
@@ -96,22 +100,35 @@ class Attention:
             return x
         return jnp.pad(x, ((0, 0), (0, cache_heads - x.shape[1]), (0, 0)))
 
+    @staticmethod
+    def _cache_heads(pages: jax.Array) -> int:
+        # Page-major layout: [(L,) P, PS, KVH, HD].
+        return pages.shape[-2]
+
     def _prefill(self, q, k, v, k_pages, v_pages,
-                 md: PrefillMetadata) -> Tuple[jax.Array, KVCache]:
+                 md: PrefillMetadata,
+                 layer_index=None) -> Tuple[jax.Array, KVCache]:
         batch, seq_len, _ = q.shape
-        cache_heads = k_pages.shape[0]
+        stacked = k_pages.ndim == 5
+        cache_heads = self._cache_heads(k_pages)
         q = q.reshape(batch, seq_len, self.num_heads, self.head_dim)
         k = k.reshape(batch, seq_len, self.num_kv_heads, self.head_dim)
         v = v.reshape(batch, seq_len, self.num_kv_heads, self.head_dim)
 
-        k_pages, v_pages = write_to_kv_cache(
-            self._pad_heads(
-                k.reshape(batch * seq_len, self.num_kv_heads,
-                          self.head_dim), cache_heads),
-            self._pad_heads(
-                v.reshape(batch * seq_len, self.num_kv_heads,
-                          self.head_dim), cache_heads),
-            k_pages, v_pages, md.slot_mapping.reshape(-1))
+        k_flat = self._pad_heads(
+            k.reshape(batch * seq_len, self.num_kv_heads, self.head_dim),
+            cache_heads)
+        v_flat = self._pad_heads(
+            v.reshape(batch * seq_len, self.num_kv_heads, self.head_dim),
+            cache_heads)
+        if stacked:
+            k_pages, v_pages = write_to_kv_cache_stacked(
+                k_flat, v_flat, k_pages, v_pages,
+                md.slot_mapping.reshape(-1), layer_index)
+        else:
+            k_pages, v_pages = write_to_kv_cache(
+                k_flat, v_flat, k_pages, v_pages,
+                md.slot_mapping.reshape(-1))
 
         if self.kv_push_fn is not None:
             self.kv_push_fn(self.layer_id, k_pages, v_pages)
@@ -126,21 +143,32 @@ class Attention:
         return out.reshape(batch, seq_len, -1), (k_pages, v_pages)
 
     def _decode(self, q, k, v, k_pages, v_pages,
-                md: DecodeMetadata) -> Tuple[jax.Array, KVCache]:
+                md: DecodeMetadata,
+                layer_index=None) -> Tuple[jax.Array, KVCache]:
         batch = q.shape[0]
-        cache_heads = k_pages.shape[0]
+        stacked = k_pages.ndim == 5
+        cache_heads = self._cache_heads(k_pages)
         q = q.reshape(batch, self.num_heads, self.head_dim)
         k = k.reshape(batch, self.num_kv_heads, self.head_dim)
         v = v.reshape(batch, self.num_kv_heads, self.head_dim)
 
-        k_pages, v_pages = write_to_kv_cache(
-            self._pad_heads(k, cache_heads),
-            self._pad_heads(v, cache_heads), k_pages, v_pages,
-            md.slot_mapping)
-        k_view = k_pages[:self.num_kv_heads] \
-            if cache_heads != self.num_kv_heads else k_pages
-        v_view = v_pages[:self.num_kv_heads] \
-            if cache_heads != self.num_kv_heads else v_pages
+        if stacked:
+            k_pages, v_pages = write_to_kv_cache_stacked(
+                self._pad_heads(k, cache_heads),
+                self._pad_heads(v, cache_heads), k_pages, v_pages,
+                md.slot_mapping, layer_index)
+            k_view, v_view = k_pages, v_pages
+            assert cache_heads == self.num_kv_heads, (
+                "stacked caches require homogeneous KV heads")
+        else:
+            k_pages, v_pages = write_to_kv_cache(
+                self._pad_heads(k, cache_heads),
+                self._pad_heads(v, cache_heads), k_pages, v_pages,
+                md.slot_mapping)
+            k_view = k_pages[..., :self.num_kv_heads, :] \
+                if cache_heads != self.num_kv_heads else k_pages
+            v_view = v_pages[..., :self.num_kv_heads, :] \
+                if cache_heads != self.num_kv_heads else v_pages
 
         # Sliding-window contexts are capped by the runner via
         # context_lens/block_tables, so the kernel needs no window logic.
@@ -150,11 +178,13 @@ class Attention:
             out = paged_attention(q, k_view, v_view, md.block_tables,
                                   md.context_lens, scale=self.scale,
                                   kv_scale=self.kv_scale,
-                                  alibi_slopes=self.alibi_slopes)
+                                  alibi_slopes=self.alibi_slopes,
+                                  layer_index=layer_index)
         else:
             out = paged_attention_reference(q, k_view, v_view,
                                             md.block_tables, md.context_lens,
                                             scale=self.scale,
                                             kv_scale=self.kv_scale,
-                                            alibi_slopes=self.alibi_slopes)
+                                            alibi_slopes=self.alibi_slopes,
+                                            layer_index=layer_index)
         return out.reshape(batch, 1, -1), (k_pages, v_pages)

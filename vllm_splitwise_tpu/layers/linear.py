@@ -71,7 +71,8 @@ def linear(x: jax.Array,
     return y
 
 
-def dense(x: jax.Array, w, bias: Optional[jax.Array] = None) -> jax.Array:
+def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
+          layer_index=None) -> jax.Array:
     """The universal projection: y = x @ W (+ b) where W is either a plain
     [in, out] array or a quantized param dict (pack2G int4 / int8 /
     dense-fallback — see ops/quant_matmul.py).  Models call this instead
@@ -79,20 +80,45 @@ def dense(x: jax.Array, w, bias: Optional[jax.Array] = None) -> jax.Array:
     property (the role of the reference's LinearMethodBase plug-ins).
     """
     if isinstance(w, dict):
-        from vllm_splitwise_tpu.ops.quant_matmul import (quant_matmul_int4,
-                                                         quant_matmul_int8)
+        from vllm_splitwise_tpu.ops.quant_matmul import (
+            quant_matmul_int4, quant_matmul_int4_stacked, quant_matmul_int8,
+            quant_matmul_int8_stacked)
         lead = x.shape[:-1]
         k = x.shape[-1]
         x2 = x.reshape(-1, k)
         if "act_perm" in w:
             # GPTQ desc_act: activations follow the weight-row reorder.
-            x2 = jnp.take(x2, w["act_perm"], axis=1)
+            perm = w["act_perm"]
+            if perm.ndim == 2:  # stacked [L, K]: same perm every layer
+                perm = perm[0]
+            x2 = jnp.take(x2, perm, axis=1)
         if "weight_dense" in w:
             y = jnp.dot(x2, w["weight_dense"].astype(x.dtype))
+        elif "zeros_p8" in w:
+            group_size = 4 * k // w["scales_p8"].shape[-2]
+            if w["qweight"].ndim == 3:
+                # Stacked scan layout: kernel indexes the [L, ...] stack.
+                y = quant_matmul_int4_stacked(x2, w["qweight"],
+                                              w["scales_p8"],
+                                              w["zeros_p8"], layer_index,
+                                              group_size=group_size)
+            else:
+                # Unrolled slice of a stacked dict: un-band the scales.
+                nb = w["scales_p8"].shape[-2] // 8
+                n_out = w["scales_p8"].shape[-1]
+                s_raw = w["scales_p8"].reshape(nb, 8, n_out)[:, :2].reshape(
+                    nb * 2, n_out)
+                z_raw = w["zeros_p8"].reshape(nb, 8, n_out)[:, :2].reshape(
+                    nb * 2, n_out)
+                y = quant_matmul_int4(x2, w["qweight"], s_raw, z_raw,
+                                      group_size=group_size)
         elif "zeros" in w:
-            group_size = k // w["scales"].shape[0]
+            group_size = k // w["scales"].shape[-1 - 1]
             y = quant_matmul_int4(x2, w["qweight"], w["scales"], w["zeros"],
                                   group_size=group_size)
+        elif w["qweight"].ndim == 3:
+            y = quant_matmul_int8_stacked(x2, w["qweight"], w["scales"],
+                                          layer_index)
         else:
             y = quant_matmul_int8(x2, w["qweight"], w["scales"])
         y = y.reshape(*lead, -1)

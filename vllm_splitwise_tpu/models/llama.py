@@ -160,9 +160,22 @@ class LlamaForCausalLM:
                 if any(v[k].shape != vals[0][k].shape for v in vals
                        for k in sub_names):
                     return
-                stacked[name] = {
+                sub = {
                     k: jnp.stack([v[k] for v in vals]) for k in sub_names
                 }
+                if "zeros" in sub:
+                    # int4: convert to the kernel's 8-row-banded scale
+                    # layout once, here (the stacked kernel reads it
+                    # directly; no per-step padding).
+                    from vllm_splitwise_tpu.ops.quant_matmul import \
+                        pad_scales_p8
+                    k_dim = sub["qweight"].shape[1] * 2
+                    group = k_dim // sub["scales"].shape[1]
+                    sub["scales_p8"] = pad_scales_p8(sub.pop("scales"),
+                                                     group)
+                    sub["zeros_p8"] = pad_scales_p8(sub.pop("zeros"),
+                                                    group)
+                stacked[name] = sub
             else:
                 if any(v.shape != vals[0].shape for v in vals):
                     return
@@ -325,13 +338,26 @@ class LlamaForCausalLM:
                 for k, v in lora.items() if k != "idx"
             }
 
-        def body(h, xs):
-            lp, k_pages, v_pages, ll = xs
+        layers_all = params["layers"]
+        quant = {k: v for k, v in layers_all.items()
+                 if isinstance(v, dict)}
+        xs_layers = {k: v for k, v in layers_all.items()
+                     if not isinstance(v, dict)}
+
+        def body(carry, xs):
+            h, k_pages, v_pages = carry
+            lp, li, ll = xs
+
+            def proj(x_in, name):
+                if name in quant:
+                    return dense(x_in, quant[name], layer_index=li)
+                return dense(x_in, lp[name])
+
             residual = h
             x = rms_norm(h, lp["input_layernorm"], self.rms_eps)
-            q = dense(x, lp["q_proj"])
-            k = dense(x, lp["k_proj"])
-            v = dense(x, lp["v_proj"])
+            q = proj(x, "q_proj")
+            k = proj(x, "k_proj")
+            v = proj(x, "v_proj")
             if ll is not None:
                 from vllm_splitwise_tpu.lora.layers import lora_apply
                 q = q + lora_apply(x, ll["q_proj_A"], ll["q_proj_B"],
@@ -352,32 +378,36 @@ class LlamaForCausalLM:
             k = k.reshape(b, t, -1)
             attn_out, (k_pages, v_pages) = attn(q, k, v,
                                                 (k_pages, v_pages),
-                                                metadata)
-            o = dense(attn_out, lp["o_proj"])
+                                                metadata, layer_index=li)
+            o = proj(attn_out, "o_proj")
             if ll is not None:
                 o = o + lora_apply(attn_out, ll["o_proj_A"],
                                    ll["o_proj_B"], lora_idx)
             h = residual + o
             residual = h
             x = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
-            gate = dense(x, lp["gate_proj"])
-            up = dense(x, lp["up_proj"])
+            gate = proj(x, "gate_proj")
+            up = proj(x, "up_proj")
             if ll is not None:
                 gate = gate + lora_apply(x, ll["gate_proj_A"],
                                          ll["gate_proj_B"], lora_idx)
                 up = up + lora_apply(x, ll["up_proj_A"], ll["up_proj_B"],
                                      lora_idx)
             inner = self.act_fn(gate) * up
-            down = dense(inner, lp["down_proj"])
+            down = proj(inner, "down_proj")
             if ll is not None:
                 down = down + lora_apply(inner, ll["down_proj_A"],
                                          ll["down_proj_B"], lora_idx)
             h = residual + down
-            return h, (k_pages, v_pages)
+            return (h, k_pages, v_pages), None
 
+        # The stacked caches ride the CARRY (in-place scatter/DMA per
+        # layer) — as scan xs/ys XLA would copy the full cache twice per
+        # step, which measured ~2x 6.7 GB of HBM traffic on 7B.
         k_all, v_all = kv_caches
-        hidden, (k_all, v_all) = jax.lax.scan(
-            body, hidden, (params["layers"], k_all, v_all, lora_xs))
+        (hidden, k_all, v_all), _ = jax.lax.scan(
+            body, (hidden, k_all, v_all),
+            (xs_layers, jnp.arange(self.num_layers), lora_xs))
         return hidden, (k_all, v_all)
 
     def compute_logits(self, params: Dict[str, Any],

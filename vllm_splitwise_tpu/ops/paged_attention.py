@@ -1,27 +1,24 @@
-"""Pallas TPU paged-attention decode kernel.
+"""Pallas TPU paged-attention decode kernel (page-major KV layout).
 
 TPU-native replacement for the reference's PagedAttention V1/V2 CUDA
-kernels (csrc/attention/attention_kernels.cu:427-604).  Design differences
-are deliberate:
+kernels (csrc/attention/attention_kernels.cu:427-604).  Design notes:
 
-* KV pages live in HBM with layout ``[num_kv_heads, num_pages, page_size,
-  head_dim]`` — head-major so one (page, head) slice is a contiguous
-  ``(page_size, head_dim)`` tile; with page_size=16, head_dim=128 and bf16
-  that is exactly one TPU tile.
-* The grid is ``(batch, num_kv_heads, num_page_chunks)``; page indices and
-  context lengths are scalar-prefetched so the kernel can issue page DMAs
-  before compute, double-buffered across chunks to overlap HBM reads with
-  the MXU (this kernel is HBM-bandwidth-bound: the roofline is
-  bytes-of-KV-read / HBM bandwidth).
-* Online-softmax (flash) accumulation across chunks replaces the
-  reference's V2 two-pass partitioned reduction: TPU grid steps over the
-  chunk dimension run sequentially per (batch, head), so running max/sum
-  accumulators live in VMEM scratch — no second reduction pass is needed.
-* GQA is handled by blocking queries per KV head: q is viewed as
-  ``[batch, num_kv_heads, group, head_dim]`` and each grid cell computes a
-  ``(group, chunk_tokens)`` score tile.
-* fp8/int8 KV caches dequantize in-kernel (scale applied after the load),
-  doubling effective cache capacity and halving the bandwidth bound.
+* KV pages are PAGE-MAJOR: ``[num_pages, page_size, num_kv_heads,
+  head_dim]`` (stacked models prepend a layer axis).  One page is one
+  CONTIGUOUS block of page_size*kvh*hd elements, so the kernel issues ONE
+  DMA per page covering every head — the previous head-major layout
+  needed kvh separate 4 KB DMAs per page and was DMA-issue-bound
+  (measured 25x off the bandwidth roofline at 7B decode shapes).
+* Grid is ``(batch, num_page_chunks)``; page indices, context lengths and
+  the (optional) layer index are scalar-prefetched; chunks are
+  double-buffered so page DMAs overlap compute.
+* Online-softmax (flash) accumulation across chunks; all heads of a
+  sequence are processed in one grid cell via a batched dot_general.
+* GQA: q is viewed [batch, kvh, group, hd]; scores are [kvh, group,
+  chunk_tokens] per cell.
+* A stacked cache ``[L, P, PS, KVH, HD]`` with ``layer_index`` lets
+  lax.scan models attend without slicing (= copying) a layer's cache.
+* fp8/int8 KV caches dequantize in-kernel via ``kv_scale``.
 """
 from __future__ import annotations
 
@@ -40,55 +37,64 @@ def _paged_attention_kernel(
     # scalar-prefetch
     block_tables_ref,  # [B * pages_per_seq] int32
     context_lens_ref,  # [B] int32
+    layer_ref,         # [1] int32
     # inputs
-    q_ref,             # [1, 1, group_padded, head_dim] (VMEM block)
-    k_pages_hbm,       # [num_kv_heads, num_pages, page_size, head_dim] (ANY)
-    v_pages_hbm,       # same
+    q_ref,             # [1, kvh, group_padded, head_dim] VMEM block
+    k_pages_hbm,       # [(L,) P, PS, KVH, HD] (ANY)
+    v_pages_hbm,
     *rest,             # [slopes_ref if has_alibi], out_ref, scratch...
     pages_per_seq: int,
     pages_per_chunk: int,
     page_size: int,
+    num_kv_heads: int,
+    group: int,
     scale: float,
     kv_scale: float,
     has_alibi: bool = False,
+    stacked: bool = False,
 ):
     if has_alibi:
-        slopes_ref = rest[0]   # [1, group_padded] f32
+        slopes_ref = rest[0]   # [kvh, group_padded] f32
         rest = rest[1:]
     else:
         slopes_ref = None
-    (out_ref,            # [1, 1, group_padded, head_dim]
-     k_vmem,             # [2, chunk_tokens, head_dim]
+    (out_ref,          # [1, kvh, group_padded, head_dim]
+     k_vmem,           # [2, chunk_tokens, kvh, head_dim]
      v_vmem,
-     sems,               # DMA sems [2, 2]
-     m_ref,              # [group_padded, 128] f32
+     sems,             # DMA sems [2, 2]
+     m_ref,            # [kvh, group_padded, 128] f32
      l_ref,
-     acc_ref) = rest     # [group_padded, head_dim] f32
-    b = pl.program_id(0)
-    h = pl.program_id(1)
-    i = pl.program_id(2)
-    num_chunks = pl.num_programs(2)
+     acc_ref) = rest   # [kvh, group_padded, head_dim] f32
+    layer = layer_ref[0]
 
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    num_chunks = pl.num_programs(1)
     chunk_tokens = pages_per_chunk * page_size
     ctx_len = context_lens_ref[b]
+    group_padded = acc_ref.shape[1]
 
     def chunk_needed(chunk):
         return chunk * chunk_tokens < ctx_len
 
     def make_dmas(chunk, slot):
-        """One DMA per page for K and V (pages are scattered in HBM)."""
+        """ONE DMA per page: page-major pages are contiguous."""
         dmas = []
         for p in range(pages_per_chunk):  # static unroll
             page_idx = block_tables_ref[b * pages_per_seq +
                                         chunk * pages_per_chunk + p]
             dst = pl.ds(p * page_size, page_size)
+            if stacked:
+                k_src = k_pages_hbm.at[layer, page_idx]
+                v_src = v_pages_hbm.at[layer, page_idx]
+            else:
+                k_src = k_pages_hbm.at[page_idx]
+                v_src = v_pages_hbm.at[page_idx]
             dmas.append(
-                pltpu.make_async_copy(k_pages_hbm.at[h, page_idx],
-                                      k_vmem.at[slot, dst, :],
+                pltpu.make_async_copy(k_src, k_vmem.at[slot, dst],
                                       sems.at[slot, 0]))
             dmas.append(
-                pltpu.make_async_copy(v_pages_hbm.at[h, page_idx],
-                                      v_vmem.at[slot, dst, :],
+                pltpu.make_async_copy(v_src, v_vmem.at[slot, dst],
                                       sems.at[slot, 1]))
         return dmas
 
@@ -103,7 +109,6 @@ def _paged_attention_kernel(
     slot = jax.lax.rem(i, 2)
     next_slot = jax.lax.rem(i + 1, 2)
 
-    # Warm-up: the first needed chunk issues its own DMA.
     @pl.when(jnp.logical_and(i == 0, chunk_needed(0)))
     def _():
         start_chunk(0, 0)
@@ -114,7 +119,6 @@ def _paged_attention_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Prefetch the next chunk while computing this one.
     @pl.when(jnp.logical_and(i + 1 < num_chunks, chunk_needed(i + 1)))
     def _():
         start_chunk(i + 1, next_slot)
@@ -123,42 +127,42 @@ def _paged_attention_kernel(
     def _():
         wait_chunk(i, slot)
 
-        q = q_ref[0, 0].astype(jnp.float32)  # (group, head_dim)
-        k = k_vmem[slot]                     # (chunk_tokens, head_dim)
+        q = q_ref[0].astype(jnp.float32)     # [kvh, gp, hd]
+        # Mosaic batched matmuls need batch dims leading on BOTH sides:
+        # relayout the chunk to [kvh, tok, hd] once per chunk.
+        k = jnp.swapaxes(k_vmem[slot], 0, 1)  # [kvh, tok, hd]
         if k.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
             k = k.astype(jnp.float32) * kv_scale
-        # (group, chunk_tokens) scores on the MXU.
         s = jax.lax.dot_general(
             q, k.astype(jnp.float32),
-            dimension_numbers=(((1, ), (1, )), ((), ())),
+            dimension_numbers=(((2, ), (2, )), ((0, ), (0, ))),
             preferred_element_type=jnp.float32,
         ) * scale
 
-        # Mask out positions past the context length.
         token_pos = i * chunk_tokens + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1)
+            jnp.int32, s.shape, 2)
         if slopes_ref is not None:
-            # ALiBi: bias = slope * (pos - (ctx_len-1)).
             dist = (token_pos - (ctx_len - 1)).astype(jnp.float32)
-            s = s + slopes_ref[0][:, None] * dist
+            s = s + slopes_ref[...][:, :, None] * dist
         s = jnp.where(token_pos < ctx_len, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_ref[:, 0:1]            # (group, 1)
-        l_prev = l_ref[:, 0:1]
+        m_prev = m_ref[:, :, 0:1]            # [kvh, gp, 1]
+        l_prev = l_ref[:, :, 0:1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)   # (group, 1)
-        p = jnp.exp(s - m_new)            # (group, chunk_tokens)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)               # [kvh, gp, tok]
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-        v = v_vmem[slot]
+        v = jnp.swapaxes(v_vmem[slot], 0, 1)  # [kvh, tok, hd]
         if v.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
             v = v.astype(jnp.float32) * kv_scale
+        # [kvh, gp, tok] x [kvh, tok, hd] -> [kvh, gp, hd]
         pv = jax.lax.dot_general(
             p, v.astype(jnp.float32),
-            dimension_numbers=(((1, ), (0, )), ((), ())),
+            dimension_numbers=(((2, ), (1, )), ((0, ), (0, ))),
             preferred_element_type=jnp.float32,
-        )  # (group, head_dim)
+        )
 
         acc_ref[...] = acc_ref[...] * alpha + pv
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -166,10 +170,9 @@ def _paged_attention_kernel(
 
     @pl.when(i == num_chunks - 1)
     def _():
-        l = l_ref[:, 0:1]
-        # Guard fully-masked (padding) rows against 0/0.
+        l = l_ref[:, :, 0:1]
         out = acc_ref[...] / jnp.maximum(l, 1e-20)
-        out_ref[0, 0] = out.astype(out_ref.dtype)
+        out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -181,7 +184,7 @@ def _round_up(x: int, m: int) -> int:
     static_argnames=("pages_per_chunk", "scale", "kv_scale", "interpret"))
 def paged_attention(
     q: jax.Array,             # [B, num_q_heads, head_dim]
-    k_pages: jax.Array,       # [num_kv_heads, num_pages, page_size, head_dim]
+    k_pages: jax.Array,       # [(L,) num_pages, page_size, kvh, head_dim]
     v_pages: jax.Array,
     block_tables: jax.Array,  # [B, pages_per_seq] int32
     context_lens: jax.Array,  # [B] int32
@@ -190,18 +193,23 @@ def paged_attention(
     scale: Optional[float] = None,
     kv_scale: float = 1.0,
     alibi_slopes: Optional[jax.Array] = None,  # [num_q_heads] f32
+    layer_index: Optional[jax.Array] = None,   # scalar i32 (stacked cache)
     interpret: bool = False,
 ) -> jax.Array:
-    """Flash-style decode attention over a paged KV cache.
+    """Flash-style decode attention over a page-major paged KV cache.
 
     Returns [B, num_q_heads, head_dim] in q's dtype.  ``block_tables``
-    entries past a sequence's context length may be garbage (they are
-    never read: chunks fully past the context are skipped, and partial
-    chunks are masked).  NOTE: garbage entries must still be < num_pages;
-    use 0-padding.
+    entries past a sequence's context length may be garbage but must be
+    < num_pages (0-pad).  A stacked cache [L, P, PS, KVH, HD] with
+    ``layer_index`` serves lax.scan models without slice copies.
     """
     batch, num_q_heads, head_dim = q.shape
-    num_kv_heads, num_pages, page_size, head_dim_k = k_pages.shape
+    stacked = k_pages.ndim == 5
+    if stacked:
+        assert layer_index is not None
+        _, num_pages, page_size, num_kv_heads, head_dim_k = k_pages.shape
+    else:
+        num_pages, page_size, num_kv_heads, head_dim_k = k_pages.shape
     assert head_dim == head_dim_k
     assert num_q_heads % num_kv_heads == 0
     group = num_q_heads // num_kv_heads
@@ -210,23 +218,21 @@ def paged_attention(
     if scale is None:
         scale = 1.0 / (head_dim**0.5)
 
-    # Pad the chunk count so it divides pages_per_seq.
     if pages_per_seq % pages_per_chunk != 0:
         pad = _round_up(pages_per_seq, pages_per_chunk) - pages_per_seq
         block_tables = jnp.pad(block_tables, ((0, 0), (0, pad)))
         pages_per_seq += pad
     num_chunks = pages_per_seq // pages_per_chunk
 
-    # Pad the GQA group to the f32 sublane tile (8) for clean VPU shapes.
+    # Pad the GQA group to the f32 sublane tile.
     group_padded = max(_round_up(group, 8), 8)
     q_view = q.reshape(batch, num_kv_heads, group, head_dim)
     if group_padded != group:
-        q_view = jnp.pad(q_view, ((0, 0), (0, 0), (0, group_padded - group),
-                                  (0, 0)))
+        q_view = jnp.pad(q_view, ((0, 0), (0, 0),
+                                  (0, group_padded - group), (0, 0)))
 
     chunk_tokens = pages_per_chunk * page_size
-
-    grid = (batch, num_kv_heads, num_chunks)
+    grid = (batch, num_chunks)
 
     has_alibi = alibi_slopes is not None
     kernel = functools.partial(
@@ -234,53 +240,62 @@ def paged_attention(
         pages_per_seq=pages_per_seq,
         pages_per_chunk=pages_per_chunk,
         page_size=page_size,
+        num_kv_heads=num_kv_heads,
+        group=group,
         scale=scale,
         kv_scale=kv_scale,
         has_alibi=has_alibi,
+        stacked=stacked,
     )
 
     in_specs = [
         pl.BlockSpec(
-            (1, 1, group_padded, head_dim),
-            lambda b, h, i, *_: (b, h, 0, 0),
+            (1, num_kv_heads, group_padded, head_dim),
+            lambda b, i, *_: (b, 0, 0, 0),
         ),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
     ]
-    inputs = [block_tables.reshape(-1), context_lens, q_view, k_pages,
-              v_pages]
+    layer_arr = (jnp.asarray([layer_index], dtype=jnp.int32).reshape(1)
+                 if stacked else jnp.zeros((1, ), dtype=jnp.int32))
+    inputs = [block_tables.reshape(-1), context_lens, layer_arr, q_view,
+              k_pages, v_pages]
     if has_alibi:
         slopes2d = jnp.zeros((num_kv_heads, group_padded),
                              dtype=jnp.float32)
         slopes2d = slopes2d.at[:, :group].set(
             alibi_slopes.astype(jnp.float32).reshape(num_kv_heads, group))
         in_specs.append(
-            pl.BlockSpec((1, group_padded), lambda b, h, i, *_: (h, 0)))
+            pl.BlockSpec((num_kv_heads, group_padded),
+                         lambda b, i, *_: (0, 0)))
         inputs.append(slopes2d)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, 1, group_padded, head_dim),
-                lambda b, h, i, *_: (b, h, 0, 0),
+                (1, num_kv_heads, group_padded, head_dim),
+                lambda b, i, *_: (b, 0, 0, 0),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, chunk_tokens, head_dim), k_pages.dtype),
-                pltpu.VMEM((2, chunk_tokens, head_dim), v_pages.dtype),
+                pltpu.VMEM((2, chunk_tokens, num_kv_heads, head_dim),
+                           k_pages.dtype),
+                pltpu.VMEM((2, chunk_tokens, num_kv_heads, head_dim),
+                           v_pages.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
-                pltpu.VMEM((group_padded, 128), jnp.float32),
-                pltpu.VMEM((group_padded, 128), jnp.float32),
-                pltpu.VMEM((group_padded, head_dim), jnp.float32),
+                pltpu.VMEM((num_kv_heads, group_padded, 128), jnp.float32),
+                pltpu.VMEM((num_kv_heads, group_padded, 128), jnp.float32),
+                pltpu.VMEM((num_kv_heads, group_padded, head_dim),
+                           jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
             (batch, num_kv_heads, group_padded, head_dim), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"), ),
+            dimension_semantics=("parallel", "arbitrary"), ),
         interpret=interpret,
     )(*inputs)
 
@@ -298,25 +313,32 @@ def paged_attention_reference(
     scale: Optional[float] = None,
     kv_scale: float = 1.0,
     alibi_slopes: Optional[jax.Array] = None,  # [num_q_heads] f32
+    layer_index: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Plain-XLA oracle (and CPU fallback) for :func:`paged_attention`.
 
     Gathers every sequence's pages into a dense [B, T, ...] view — memory
     hungry but simple; used for correctness tests and non-TPU backends.
     """
+    if k_pages.ndim == 5:
+        assert layer_index is not None
+        k_pages = jax.lax.dynamic_index_in_dim(k_pages, layer_index,
+                                               keepdims=False)
+        v_pages = jax.lax.dynamic_index_in_dim(v_pages, layer_index,
+                                               keepdims=False)
     batch, num_q_heads, head_dim = q.shape
-    num_kv_heads, _, page_size, _ = k_pages.shape
+    num_pages, page_size, num_kv_heads, _ = k_pages.shape
     group = num_q_heads // num_kv_heads
     pages_per_seq = block_tables.shape[1]
     max_len = pages_per_seq * page_size
     if scale is None:
         scale = 1.0 / (head_dim**0.5)
 
-    # [kvh, B, pages, page_size, hd] -> [B, kvh, T, hd]
-    k = jnp.take(k_pages, block_tables.reshape(-1), axis=1)
-    k = k.reshape(num_kv_heads, batch, max_len, head_dim).swapaxes(0, 1)
-    v = jnp.take(v_pages, block_tables.reshape(-1), axis=1)
-    v = v.reshape(num_kv_heads, batch, max_len, head_dim).swapaxes(0, 1)
+    # [B*pages, ps, kvh, hd] -> [B, T, kvh, hd] -> [B, kvh, T, hd]
+    k = jnp.take(k_pages, block_tables.reshape(-1), axis=0, mode="clip")
+    k = k.reshape(batch, max_len, num_kv_heads, head_dim).swapaxes(1, 2)
+    v = jnp.take(v_pages, block_tables.reshape(-1), axis=0, mode="clip")
+    v = v.reshape(batch, max_len, num_kv_heads, head_dim).swapaxes(1, 2)
     if k.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
         k = k.astype(jnp.float32) * kv_scale
         v = v.astype(jnp.float32) * kv_scale
@@ -324,8 +346,6 @@ def paged_attention_reference(
     qv = q.reshape(batch, num_kv_heads, group, head_dim).astype(jnp.float32)
     s = jnp.einsum("bhgd,bhtd->bhgt", qv, k.astype(jnp.float32)) * scale
     if alibi_slopes is not None:
-        # Decode query sits at position ctx_len-1; bias = slope * (pos -
-        # (ctx_len-1)).
         slopes = alibi_slopes.astype(jnp.float32).reshape(
             num_kv_heads, group)
         dist = (jnp.arange(max_len)[None, :] -

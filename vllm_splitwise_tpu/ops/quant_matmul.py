@@ -294,3 +294,206 @@ def _cdiv(a: int, b: int) -> int:
 
 def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
+
+
+# ---------------------------------------------------------------------------
+# Stacked (scan-model) variants: the kernel reads layer `layer_index` of
+# the FULL [L, ...] weight stack via scalar-prefetch-driven index maps, so
+# scan bodies never slice (= copy) a layer's weights out of HBM.
+# ---------------------------------------------------------------------------
+
+
+def pad_scales_p8(scales: jnp.ndarray, group_size: int) -> jnp.ndarray:
+    """[.., K/G, N] raw scales -> [.., K/(2G)*8, N] 8-row-banded layout
+    consumed by the kernels (rows 0/1 of each band = the block's two
+    groups).  Applied ONCE at load time."""
+    *lead, rows, n = scales.shape
+    nb = rows // 2
+    out = jnp.zeros((*lead, nb, 8, n), dtype=jnp.float32)
+    out = out.at[..., :2, :].set(
+        scales.astype(jnp.float32).reshape(*lead, nb, 2, n))
+    return out.reshape(*lead, nb * 8, n)
+
+
+def _int4_matmul_kernel_stacked(
+    layer_ref,    # [1] int32 (scalar prefetch)
+    x_ref,        # [bm, 2G]
+    q_ref,        # [1, G, bn] int8
+    s_ref,        # [1, 8, bn] f32
+    z_ref,        # [1, 8, bn] f32
+    o_ref,        # [bm, bn]
+    acc_ref,
+    *,
+    group_size: int,
+    out_dtype,
+):
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = q_ref[0].astype(jnp.uint8).astype(jnp.int32)
+    lo = (p & 0xF).astype(jnp.bfloat16)
+    hi = (p >> 4).astype(jnp.bfloat16)
+    s0 = s_ref[0, 0:1, :].astype(jnp.bfloat16)
+    s1 = s_ref[0, 1:2, :].astype(jnp.bfloat16)
+    z0 = z_ref[0, 0:1, :].astype(jnp.bfloat16)
+    z1 = z_ref[0, 1:2, :].astype(jnp.bfloat16)
+    w = jnp.concatenate([(lo - z0) * s0, (hi - z1) * s1], axis=0)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w, dimension_numbers=(((1, ), (0, )), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kb == num_kb - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "block_m", "block_n",
+                              "interpret"))
+def quant_matmul_int4_stacked(
+    x: jax.Array,          # [M, K]
+    qweight: jax.Array,    # [L, K/2, N] int8 pack2G
+    scales_p8: jax.Array,  # [L, K/(2G)*8, N] (pad_scales_p8 layout)
+    zeros_p8: jax.Array,
+    layer_index: jax.Array,  # scalar i32
+    *,
+    group_size: int,
+    block_m: int = 0,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    m, k = x.shape
+    num_layers, kk, n = qweight.shape
+    assert kk * 2 == k
+
+    if not (_use_pallas() or interpret):
+        qw = jax.lax.dynamic_index_in_dim(qweight, layer_index,
+                                          keepdims=False)
+        s8 = jax.lax.dynamic_index_in_dim(scales_p8, layer_index,
+                                          keepdims=False)
+        z8 = jax.lax.dynamic_index_in_dim(zeros_p8, layer_index,
+                                          keepdims=False)
+        nb = k // (2 * group_size)
+        s = s8.reshape(nb, 8, n)[:, :2].reshape(nb * 2, n)
+        z = z8.reshape(nb, 8, n)[:, :2].reshape(nb * 2, n)
+        return quant_matmul_int4_reference(x, qw, s, z, group_size)
+
+    if block_m == 0:
+        block_m = 128 if m >= 128 else max(8, _round_up(m, 8))
+    block_n = _pick_block(n, block_n)
+    bk = 2 * group_size
+    grid = (_cdiv(m, block_m), n // block_n, k // bk)
+
+    m_pad = _round_up(m, block_m) - m
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+
+    layer_arr = jnp.asarray([layer_index], dtype=jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_int4_matmul_kernel_stacked,
+                          group_size=group_size, out_dtype=x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, bk), lambda i, j, kb, L: (i, kb)),
+                pl.BlockSpec((1, group_size, block_n),
+                             lambda i, j, kb, L: (L[0], kb, j)),
+                pl.BlockSpec((1, 8, block_n),
+                             lambda i, j, kb, L: (L[0], kb, j)),
+                pl.BlockSpec((1, 8, block_n),
+                             lambda i, j, kb, L: (L[0], kb, j)),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n),
+                                   lambda i, j, kb, L: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m + m_pad, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(layer_arr, x.astype(jnp.bfloat16), qweight, scales_p8, zeros_p8)
+    return out[:m] if m_pad else out
+
+
+def _int8_matmul_kernel_stacked(layer_ref, x_ref, q_ref, s_ref, o_ref,
+                                acc_ref, *, out_dtype):
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[0].astype(jnp.int32).astype(jnp.bfloat16)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w, dimension_numbers=(((1, ), (0, )), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kb == num_kb - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] *
+                      s_ref[0, 0:1, :].astype(jnp.float32)).astype(
+                          out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret"))
+def quant_matmul_int8_stacked(
+    x: jax.Array,        # [M, K]
+    qweight: jax.Array,  # [L, K, N] int8
+    scales: jax.Array,   # [L, 1, N]
+    layer_index: jax.Array,
+    *,
+    block_m: int = 0,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    m, k = x.shape
+    _, _, n = qweight.shape
+    if not (_use_pallas() or interpret):
+        qw = jax.lax.dynamic_index_in_dim(qweight, layer_index,
+                                          keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(scales, layer_index,
+                                         keepdims=False)
+        w = qw.astype(jnp.float32) * s.astype(jnp.float32)
+        return jnp.dot(x.astype(jnp.float32), w).astype(x.dtype)
+
+    if block_m == 0:
+        block_m = 128 if m >= 128 else max(8, _round_up(m, 8))
+    block_n = _pick_block(n, block_n)
+    block_k = _pick_block(k, block_k)
+    grid = (_cdiv(m, block_m), n // block_n, k // block_k)
+    m_pad = _round_up(m, block_m) - m
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+
+    layer_arr = jnp.asarray([layer_index], dtype=jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_int8_matmul_kernel_stacked, out_dtype=x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_k),
+                             lambda i, j, kb, L: (i, kb)),
+                pl.BlockSpec((1, block_k, block_n),
+                             lambda i, j, kb, L: (L[0], kb, j)),
+                pl.BlockSpec((1, 1, block_n),
+                             lambda i, j, kb, L: (L[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n),
+                                   lambda i, j, kb, L: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m + m_pad, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(layer_arr, x.astype(jnp.bfloat16), qweight, scales)
+    return out[:m] if m_pad else out

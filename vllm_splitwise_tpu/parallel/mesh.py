@@ -130,6 +130,6 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def kv_cache_spec() -> P:
-    """KV pages shard over KV heads on the model axis:
-    [num_kv_heads, num_pages, page_size, head_dim]."""
-    return P(MODEL_AXIS, None, None, None)
+    """KV pages shard over KV heads on the model axis (page-major layout
+    [num_pages, page_size, num_kv_heads, head_dim])."""
+    return P(None, None, MODEL_AXIS, None)

@@ -181,3 +181,16 @@ STR_DTYPE_TO_JAX = {
     "int8": "int8",
     "auto": "auto",
 }
+
+
+def enable_compilation_cache(path: str = "/root/.cache/jax_comp") -> None:
+    """Persistent XLA compilation cache: engine restarts and repeated
+    bench runs skip the multi-minute first-compile of the big jitted
+    steps (especially costly through remote-compile transports)."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax
+        pass

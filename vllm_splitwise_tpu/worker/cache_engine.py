@@ -61,7 +61,8 @@ class CacheEngine:
         self.host_cache = self._allocate_host_cache()
 
     def _page_shape(self, num_pages: int) -> Tuple[int, int, int, int]:
-        return (self.num_kv_heads, num_pages, self.page_size, self.head_dim)
+        # Page-major: one page = one contiguous [ps, kvh, hd] block.
+        return (num_pages, self.page_size, self.num_kv_heads, self.head_dim)
 
     def _allocate_device_cache(self):
         shape = self._page_shape(self.num_device_pages)
@@ -116,12 +117,12 @@ class CacheEngine:
             k_host, v_host = self.host_cache
             src = sorted(mapping.keys())
             dst = jnp.asarray([mapping[s] for s in src], dtype=jnp.int32)
-            k_vals = jnp.asarray(k_host[:, :, src])
-            v_vals = jnp.asarray(v_host[:, :, src])
-            k_all = k_all.at[:, :, dst].set(k_vals.astype(k_all.dtype),
-                                            mode="drop")
-            v_all = v_all.at[:, :, dst].set(v_vals.astype(v_all.dtype),
-                                            mode="drop")
+            k_vals = jnp.asarray(k_host[:, src])
+            v_vals = jnp.asarray(v_host[:, src])
+            k_all = k_all.at[:, dst].set(k_vals.astype(k_all.dtype),
+                                         mode="drop")
+            v_all = v_all.at[:, dst].set(v_vals.astype(v_all.dtype),
+                                         mode="drop")
             self.device_cache = (k_all, v_all)
             return
         for i in range(self.num_layers):
@@ -138,14 +139,14 @@ class CacheEngine:
             k_host, v_host = self.host_cache
             src = sorted(mapping.keys())
             idx = jnp.asarray(src, dtype=jnp.int32)
-            k_gather = np.asarray(jnp.take(k_all, idx, axis=2,
+            k_gather = np.asarray(jnp.take(k_all, idx, axis=1,
                                            mode="clip"))
-            v_gather = np.asarray(jnp.take(v_all, idx, axis=2,
+            v_gather = np.asarray(jnp.take(v_all, idx, axis=1,
                                            mode="clip"))
             for j, sp in enumerate(src):
                 d = mapping[sp]
-                k_host[:, :, d] = k_gather[:, :, j]
-                v_host[:, :, d] = v_gather[:, :, j]
+                k_host[:, d] = k_gather[:, j]
+                v_host[:, d] = v_gather[:, j]
             return
         for i in range(self.num_layers):
             k_pages, v_pages = self.device_cache[i]
@@ -165,10 +166,10 @@ class CacheEngine:
         dst_arr = jnp.asarray(dsts, dtype=jnp.int32)
         if self.stacked:
             k_all, v_all = self.device_cache
-            k_src = jnp.take(k_all, src_arr, axis=2, mode="clip")
-            v_src = jnp.take(v_all, src_arr, axis=2, mode="clip")
-            k_all = k_all.at[:, :, dst_arr].set(k_src, mode="drop")
-            v_all = v_all.at[:, :, dst_arr].set(v_src, mode="drop")
+            k_src = jnp.take(k_all, src_arr, axis=1, mode="clip")
+            v_src = jnp.take(v_all, src_arr, axis=1, mode="clip")
+            k_all = k_all.at[:, dst_arr].set(k_src, mode="drop")
+            v_all = v_all.at[:, dst_arr].set(v_src, mode="drop")
             self.device_cache = (k_all, v_all)
             return
         for i in range(self.num_layers):

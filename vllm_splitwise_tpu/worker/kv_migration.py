@@ -77,11 +77,11 @@ class KVMigrationManager:
         dst_cache = self.decode_worker.kv_caches
         dst_sharding = self._dst_sharding()
 
-        if isinstance(src_cache, tuple):  # stacked [L, kvh, P, ps, hd]
+        if isinstance(src_cache, tuple):  # stacked [L, P, ps, kvh, hd]
             k_src, v_src = src_cache
             k_dst, v_dst = dst_cache
-            k_pages = jnp.take(k_src, idx, axis=2, mode="clip")
-            v_pages = jnp.take(v_src, idx, axis=2, mode="clip")
+            k_pages = jnp.take(k_src, idx, axis=1, mode="clip")
+            v_pages = jnp.take(v_src, idx, axis=1, mode="clip")
             if dst_sharding is not None:
                 from jax.sharding import NamedSharding
                 from jax.sharding import PartitionSpec as P
@@ -94,10 +94,10 @@ class KVMigrationManager:
                 k_pages = jax.device_put(k_pages, self.decode_worker.device)
                 v_pages = jax.device_put(v_pages, self.decode_worker.device)
             new_stacked = (
-                k_dst.at[:, :, idx].set(k_pages.astype(k_dst.dtype),
-                                        mode="drop"),
-                v_dst.at[:, :, idx].set(v_pages.astype(v_dst.dtype),
-                                        mode="drop"),
+                k_dst.at[:, idx].set(k_pages.astype(k_dst.dtype),
+                                     mode="drop"),
+                v_dst.at[:, idx].set(v_pages.astype(v_dst.dtype),
+                                     mode="drop"),
             )
             self.decode_worker.kv_caches = new_stacked
             if self.decode_worker.cache_engine is not None:
