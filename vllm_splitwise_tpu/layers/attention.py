@@ -133,12 +133,37 @@ class Attention:
         if self.kv_push_fn is not None:
             self.kv_push_fn(self.layer_id, k_pages, v_pages)
 
+        prefix_kv = None
+        if md.block_tables is not None:
+            # Prefix caching: suffix queries must also attend over the
+            # cached prefix pages (the reference's prefix-prefill Triton
+            # kernel role, layers/attention/ops/prefix_prefill.py).
+            pages_k = k_pages
+            pages_v = v_pages
+            if stacked:
+                pages_k = jax.lax.dynamic_index_in_dim(
+                    pages_k, layer_index, keepdims=False)
+                pages_v = jax.lax.dynamic_index_in_dim(
+                    pages_v, layer_index, keepdims=False)
+            bsz, max_pages = md.block_tables.shape
+            page_size = pages_k.shape[1]
+            pk = jnp.take(pages_k, md.block_tables.reshape(-1), axis=0,
+                          mode="clip")
+            pv = jnp.take(pages_v, md.block_tables.reshape(-1), axis=0,
+                          mode="clip")
+            pk = pk.reshape(bsz, max_pages * page_size, cache_heads,
+                            self.head_dim)[:, :, :self.num_kv_heads]
+            pv = pv.reshape(bsz, max_pages * page_size, cache_heads,
+                            self.head_dim)[:, :, :self.num_kv_heads]
+            prefix_kv = (pk, pv, md.prefix_lens)
+
         out = prefill_attention(
             q, k, v, md.seq_lens,
             scale=self.scale,
             sliding_window=self.sliding_window,
             start_positions=md.start_positions,
             alibi_slopes=self.alibi_slopes,
+            prefix_kv=prefix_kv,
         )
         return out.reshape(batch, seq_len, -1), (k_pages, v_pages)
 

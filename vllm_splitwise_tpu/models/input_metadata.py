@@ -14,10 +14,14 @@ import jax
 
 
 class PrefillMetadata(NamedTuple):
-    seq_lens: jax.Array        # [B] i32 — valid prompt lengths
+    seq_lens: jax.Array        # [B] i32 — valid (computed) prompt lengths
     slot_mapping: jax.Array    # [B, T] i32 — flat KV slot per token, -1 pad
     # Chunked prefill / prefix caching: absolute position of q[:, 0].
     start_positions: Optional[jax.Array] = None  # [B] i32
+    # Prefix caching: cached-prefix pages to attend over (None when no
+    # scheduled sequence reuses a prefix).
+    block_tables: Optional[jax.Array] = None     # [B, max_pages] i32
+    prefix_lens: Optional[jax.Array] = None      # [B] i32
 
 
 class DecodeMetadata(NamedTuple):

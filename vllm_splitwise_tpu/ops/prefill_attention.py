@@ -29,6 +29,9 @@ def prefill_attention(
     sliding_window: Optional[int] = None,
     start_positions: Optional[jax.Array] = None,  # [B] absolute pos of q[0]
     alibi_slopes: Optional[jax.Array] = None,     # [num_q_heads] f32
+    # Prefix caching: (k_prefix [B, Tp, kvh, hd], v_prefix, prefix_lens
+    # [B]) — queries also attend over these cached-context positions.
+    prefix_kv=None,
 ) -> jax.Array:
     """Causal self-attention over padded prompt batches.
 
@@ -71,6 +74,35 @@ def prefill_attention(
         mask = jnp.logical_and(mask, in_window)
 
     s = jnp.where(mask[:, None, None, :, :], s, DEFAULT_MASK_VALUE)
+
+    if prefix_kv is not None:
+        k_pre, v_pre, prefix_lens = prefix_kv
+        kf_pre = k_pre.astype(jnp.float32)
+        vf_pre = v_pre.astype(jnp.float32)
+        pre_len = kf_pre.shape[1]
+        s_pre = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf_pre) * scale
+        pre_pos = jnp.arange(pre_len)[None, :]
+        pre_valid = pre_pos < prefix_lens[:, None]        # [B, Tp]
+        # Cached positions always precede the suffix queries (causal by
+        # construction); sliding windows additionally bound the reach.
+        pre_mask = jnp.broadcast_to(pre_valid[:, None, :],
+                                    (batch, q_len, pre_len))
+        if sliding_window is not None:
+            in_window = (q_pos[:, :, None] - pre_pos[:, None, :]
+                         < sliding_window)
+            pre_mask = jnp.logical_and(pre_mask, in_window)
+        if alibi_slopes is not None:
+            slopes = alibi_slopes.astype(jnp.float32).reshape(
+                num_kv_heads, group)
+            dist_pre = (pre_pos[:, None, :] -
+                        q_pos[:, :, None]).astype(jnp.float32)
+            s_pre = s_pre + slopes[None, :, :, None, None] * \
+                dist_pre[:, None, None, :, :]
+        s_pre = jnp.where(pre_mask[:, None, None, :, :], s_pre,
+                          DEFAULT_MASK_VALUE)
+        s = jnp.concatenate([s_pre, s], axis=-1)
+        vf = jnp.concatenate([vf_pre, vf], axis=1)
+
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", p, vf)
     return out.reshape(batch, q_len, num_q_heads, head_dim).astype(q.dtype)

@@ -214,6 +214,7 @@ class ModelRunner:
         rows_tokens: List[List[int]] = []
         rows_slots: List[List[int]] = []
         start_positions: List[int] = []
+        prefix_tables: List[List[int]] = []
 
         for md in seq_group_metadata_list:
             assert len(md.seq_data) == 1, \
@@ -234,6 +235,11 @@ class ModelRunner:
             rows_tokens.append(tokens)
             rows_slots.append(slots)
             start_positions.append(prefix_len)
+            # Pages holding the cached prefix (attended over alongside
+            # the fresh suffix when prefix caching kicks in).
+            prefix_tables.append(
+                block_table[:cdiv(prefix_len, self.block_size)]
+                if prefix_len else [])
 
         batch = _bucket(len(seq_lens), self.PREFILL_BATCH_BUCKETS)
         t_pad = _bucket(max(seq_lens), self.PREFILL_LEN_BUCKETS)
@@ -252,10 +258,27 @@ class ModelRunner:
             padded_lens[i] = n
             padded_starts[i] = start
 
+        bt_arr = None
+        pl_arr = None
+        if any(start_positions):
+            max_prefix_pages = _bucket(
+                max(len(t) for t in prefix_tables),
+                [4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048])
+            bt = np.zeros((batch, max_prefix_pages), dtype=np.int32)
+            plens = np.zeros((batch, ), dtype=np.int32)
+            for i, (tbl, start) in enumerate(
+                    zip(prefix_tables, start_positions)):
+                bt[i, :len(tbl)] = tbl
+                plens[i] = start
+            bt_arr = jnp.asarray(bt)
+            pl_arr = jnp.asarray(plens)
+
         metadata = PrefillMetadata(
             seq_lens=jnp.asarray(padded_lens),
             slot_mapping=jnp.asarray(slot_mapping),
             start_positions=jnp.asarray(padded_starts),
+            block_tables=bt_arr,
+            prefix_lens=pl_arr,
         )
         return input_ids, positions, metadata, seq_lens
 
