@@ -106,11 +106,11 @@ def build(size: str, quant: str, seed: int = 0):
     return model, params, config
 
 
-def measure_decode(model, params, config, batch, context, steps):
+def measure_decode(model, params, config, batch, context, steps,
+                   page_size=32):
     from vllm_splitwise_tpu.layers.sampler import SamplingTensors, sample
     from vllm_splitwise_tpu.models.input_metadata import DecodeMetadata
 
-    page_size = 16
     pages_per_seq = -(-context // page_size) + 8
     num_pages = batch * pages_per_seq
     b = batch
@@ -184,6 +184,7 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--context", type=int, default=768)
     parser.add_argument("--steps", type=int, default=64)
+    parser.add_argument("--page-size", type=int, default=16)
     parser.add_argument("--size", choices=list(_SHAPES), default=None)
     parser.add_argument("--quant", choices=["int4", "int8", "bf16"],
                         default="int4")
@@ -202,7 +203,8 @@ def main():
     _jax.block_until_ready(_jax.tree_util.tree_leaves(params)[0])
     _log("params ready")
     toks, stream = measure_decode(model, params, config, args.batch,
-                                  args.context, args.steps)
+                                  args.context, args.steps,
+                                  page_size=args.page_size)
     del params
 
     speedup = None
@@ -210,7 +212,9 @@ def main():
         try:
             model_b, params_b, config_b = build(size, "bf16")
             toks_b, _ = measure_decode(model_b, params_b, config_b,
-                                       args.batch, args.context, args.steps)
+                                       args.batch, args.context,
+                                       args.steps,
+                                       page_size=args.page_size)
             del params_b
             speedup = toks / toks_b
         except Exception:  # bf16 leg OOM on small chips — fall back.

@@ -170,10 +170,29 @@ class LLMEngine:
                 scheduler_outputs.blocks_to_copy,
                 scheduler_outputs.blocks_to_nw,
             )
+            self._record_migration_times(scheduler_outputs)
         else:
             output = []
 
         return self._process_model_outputs(output, scheduler_outputs)
+
+    def _record_migration_times(self, scheduler_outputs) -> None:
+        """Splitwise request-lifetime instrumentation (the reference
+        tracks Migration{Begin,End} in its benchmark harness,
+        benchmarks/benchmark_utils.py:10-75; we stamp it on the request
+        metrics directly)."""
+        if not (self.parallel_config.sep_prompt_token
+                and scheduler_outputs.prompt_run
+                and scheduler_outputs.blocks_to_nw):
+            return
+        km = getattr(self.executor, "kv_migration", None)
+        if km is None:
+            return
+        now = time.time()
+        for sg in scheduler_outputs.scheduled_seq_groups:
+            sg.metrics.migration_begin_time = \
+                now - km.last_migration_seconds
+            sg.metrics.migration_end_time = now
 
     def _process_model_outputs(
             self, output: SamplerOutput,
