@@ -1,57 +1,89 @@
-"""Paged-attention kernel microbenchmark (reference role:
-benchmarks/kernels/benchmark_paged_attention.py) + roofline report."""
+"""Paged-attention decode kernel microbenchmark (reference role:
+benchmarks/kernels/benchmark_paged_attention.py) + roofline report.
+
+Mirrors the engine's real decode configuration: a STACKED page-major KV
+cache [L, P, PS, KVH, HD] attended layer-by-layer inside one jitted
+lax.scan, with the layer index varying per iteration.  The multi-GB stack
+cannot be VMEM-hoisted and no two iterations are identical, which defeats
+the two tunneled-transport measurement hazards (result dedup and
+loop-invariant hoisting) that make naive repeat-timing loops report
+impossible bandwidths.
+"""
 import argparse
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
-from vllm_splitwise_tpu.ops.paged_attention import paged_attention
+sys.path.insert(0, ".")
 
 V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec)
 
 
 def main(args):
+    from vllm_splitwise_tpu.ops.paged_attention import paged_attention
+
     rng = np.random.RandomState(0)
-    pages_per_seq = -(-args.context // args.page_size)
-    num_pages = args.batch * pages_per_seq
+    b, ps, L = args.batch, args.page_size, args.layers
+    pages_per_seq = -(-args.context // ps)
+    num_pages = b * pages_per_seq
 
-    q = jnp.asarray(rng.standard_normal(
-        (args.batch, args.num_heads, args.head_dim)), dtype=jnp.bfloat16)
-    shape = (args.num_kv_heads, num_pages, args.page_size, args.head_dim)
-    k_pages = jnp.asarray(rng.standard_normal(shape), dtype=jnp.bfloat16)
-    v_pages = jnp.asarray(rng.standard_normal(shape), dtype=jnp.bfloat16)
+    shape = (L, num_pages, ps, args.num_kv_heads, args.head_dim)
+    k_pages = jnp.asarray(rng.standard_normal(shape) * 0.1,
+                          dtype=jnp.bfloat16)
+    v_pages = jnp.asarray(rng.standard_normal(shape) * 0.1,
+                          dtype=jnp.bfloat16)
     tables = jnp.asarray(
-        np.arange(num_pages, dtype=np.int32).reshape(args.batch,
-                                                     pages_per_seq))
-    ctx = jnp.full((args.batch, ), args.context, dtype=jnp.int32)
+        np.arange(num_pages, dtype=np.int32).reshape(b, pages_per_seq))
+    ctx = jnp.full((b, ), args.context, dtype=jnp.int32)
 
-    out = paged_attention(q, k_pages, v_pages, tables, ctx)
-    jax.block_until_ready(out)
+    qs_a = jnp.asarray(rng.standard_normal(
+        (L, b, args.num_heads, args.head_dim)), dtype=jnp.bfloat16)
+    qs_b = jnp.asarray(rng.standard_normal(
+        (L, b, args.num_heads, args.head_dim)), dtype=jnp.bfloat16)
 
-    start = time.perf_counter()
-    for _ in range(args.iters):
-        out = paged_attention(q, k_pages, v_pages, tables, ctx)
-    jax.block_until_ready(out)
-    elapsed = (time.perf_counter() - start) / args.iters
+    @jax.jit
+    def run(qs):
+        def body(carry, inp):
+            q_l, layer = inp
+            q = q_l + carry * 1e-30      # serialize on the previous output
+            out = paged_attention(q, k_pages, v_pages, tables, ctx,
+                                  pages_per_chunk=args.pages_per_chunk,
+                                  layer_index=layer)
+            return out.astype(jnp.float32).max(), None
+        acc, _ = lax.scan(body, jnp.float32(0),
+                          (qs, jnp.arange(L, dtype=jnp.int32)))
+        return acc
 
-    kv_bytes = (2 * args.batch * args.context * args.num_kv_heads *
+    r = run(qs_a)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = run(qs_b)
+    jax.block_until_ready(r)
+    elapsed = (time.perf_counter() - t0) / L
+
+    kv_bytes = (2 * b * args.context * args.num_kv_heads *
                 args.head_dim * 2)
     bw = kv_bytes / elapsed / 1e9
-    print(f"latency: {elapsed*1e6:.1f} us")
-    print(f"KV bytes/step: {kv_bytes/1e6:.2f} MB")
+    print(f"latency: {elapsed*1e6:.1f} us/layer "
+          f"(b{b} ctx{args.context} kvh{args.num_kv_heads} "
+          f"ps{ps} chunk{args.pages_per_chunk})")
+    print(f"KV bytes/layer: {kv_bytes/1e6:.2f} MB")
     print(f"achieved read BW: {bw:.1f} GB/s "
           f"({100*bw/V5E_HBM_GBPS:.1f}% of v5e HBM roofline)")
 
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=64)
-    parser.add_argument("--context", type=int, default=1024)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--context", type=int, default=768)
     parser.add_argument("--num-heads", type=int, default=32)
     parser.add_argument("--num-kv-heads", type=int, default=32)
     parser.add_argument("--head-dim", type=int, default=128)
     parser.add_argument("--page-size", type=int, default=16)
-    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--pages-per-chunk", type=int, default=8)
+    parser.add_argument("--layers", type=int, default=32)
     main(parser.parse_args())

@@ -1,0 +1,77 @@
+"""Stacked (layer-indexed) quant-matmul microbenchmark.
+
+Measures the kernel the decode step actually runs: a lax.scan over L
+layers reading each layer's weights from a [L, ...] HBM stack.  The scan
+chains iterations (next x depends on the previous output) so results are
+robust against two measurement hazards on tunneled transports:
+
+* unobserved dispatches being elided entirely;
+* XLA hoisting loop-invariant weights into VMEM (a single-matmul
+  microbench shows "50 TB/s" because the weight never leaves VMEM —
+  the [L, ...] stack cannot be hoisted, matching the real model).
+"""
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+sys.path.insert(0, ".")
+
+V5E_HBM_GBPS = 819.0
+
+
+def main(args):
+    from vllm_splitwise_tpu.ops.quant_matmul import (
+        quant_matmul_int4_stacked, pack_sz_bands)
+
+    m, k, n, g, L = args.m, args.k, args.n, args.group_size, args.layers
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+
+    qw = jax.random.randint(key, (L, k // 2, n), -128, 128, dtype=jnp.int8)
+    sz = pack_sz_bands(jnp.full((L, k // g, n), 0.01, jnp.float32),
+                       jnp.full((L, k // g, n), 8.0, jnp.float32), g)
+
+    xs_a = jnp.asarray(rng.standard_normal((L, m, k)), dtype=jnp.bfloat16)
+    xs_b = jnp.asarray(rng.standard_normal((L, m, k)), dtype=jnp.bfloat16)
+
+    @jax.jit
+    def run(xs):
+        def body(carry, inp):
+            x_l, l = inp
+            x = x_l + carry * 1e-30        # serialize: depends on prev out
+            out = quant_matmul_int4_stacked(x, qw, sz, l, group_size=g)
+            return out.astype(jnp.float32).max(), None
+        acc, _ = lax.scan(body, jnp.float32(0),
+                          (xs, jnp.arange(L, dtype=jnp.int32)))
+        return acc
+
+    r = run(xs_a)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = run(xs_b)
+    jax.block_until_ready(r)
+    t = (time.perf_counter() - t0) / L
+
+    w_bytes = (k // 2) * n
+    sz_bytes = int(sz.shape[1]) * n * 4 // 1
+    bw = (w_bytes + sz_bytes) / t / 1e9
+    bw_w = w_bytes / t / 1e9
+    print(f"int4_stacked {m}x{k}x{n} g{g} L{L}: {t*1e6:7.1f} us/layer  "
+          f"stream {bw:6.1f} GB/s ({100*bw/V5E_HBM_GBPS:5.1f}% roofline; "
+          f"weights-only {bw_w:6.1f} GB/s)  "
+          f"[w {w_bytes/2**20:.1f} MiB + s/z {sz_bytes/2**20:.1f} MiB]")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--m", type=int, default=8)
+    p.add_argument("--k", type=int, default=4096)
+    p.add_argument("--n", type=int, default=11008)
+    p.add_argument("--group-size", type=int, default=128)
+    p.add_argument("--layers", type=int, default=32)
+    main(p.parse_args())

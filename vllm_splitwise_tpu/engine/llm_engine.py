@@ -442,6 +442,7 @@ class LLMEngine:
         time_to_first_tokens: List[float] = []
         time_per_output_tokens: List[float] = []
         time_e2e_requests: List[float] = []
+        time_kv_migrations: List[float] = []
         if scheduler_outputs is not None:
             prompt_run = scheduler_outputs.prompt_run
             if prompt_run:
@@ -458,6 +459,10 @@ class LLMEngine:
                 if seq_group.is_finished():
                     time_e2e_requests.append(
                         wall - seq_group.metrics.arrival_time)
+                mb = getattr(seq_group.metrics, "migration_begin_time", None)
+                me = getattr(seq_group.metrics, "migration_end_time", None)
+                if prompt_run and mb is not None and me is not None:
+                    time_kv_migrations.append(me - mb)
 
         return Stats(
             now=now,
@@ -470,6 +475,7 @@ class LLMEngine:
             time_to_first_tokens=time_to_first_tokens,
             time_per_output_tokens=time_per_output_tokens,
             time_e2e_requests=time_e2e_requests,
+            time_kv_migrations=time_kv_migrations,
         )
 
     def check_health(self) -> None:

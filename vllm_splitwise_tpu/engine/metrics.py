@@ -71,6 +71,12 @@ class Metrics:
             labelnames=labelnames,
             buckets=[1.0, 2.5, 5.0, 10.0, 15.0, 20.0, 30.0, 40.0, 50.0,
                      60.0])
+        self.histogram_kv_migration = Histogram(
+            "vllm:kv_migration_seconds",
+            "Histogram of splitwise prefill->decode KV migration time.",
+            labelnames=labelnames,
+            buckets=[0.0005, 0.001, 0.0025, 0.005, 0.01, 0.025, 0.05,
+                     0.1, 0.25, 0.5, 1.0])
 
 
 @dataclass
@@ -86,6 +92,7 @@ class Stats:
     time_to_first_tokens: List[float]
     time_per_output_tokens: List[float]
     time_e2e_requests: List[float]
+    time_kv_migrations: List[float]
 
 
 class StatLogger:
@@ -133,6 +140,8 @@ class StatLogger:
             for e2e in stats.time_e2e_requests:
                 m.histogram_e2e_request_latency.labels(
                     **self.labels).observe(e2e)
+            for mig in stats.time_kv_migrations:
+                m.histogram_kv_migration.labels(**self.labels).observe(mig)
 
         now = time.monotonic()
         if self._should_log(now):

@@ -94,24 +94,25 @@ def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
             x2 = jnp.take(x2, perm, axis=1)
         if "weight_dense" in w:
             y = jnp.dot(x2, w["weight_dense"].astype(x.dtype))
-        elif "zeros_p8" in w:
-            group_size = 4 * k // w["scales_p8"].shape[-2]
+        elif "sz_bands" in w:
+            from vllm_splitwise_tpu.ops.quant_matmul import (
+                infer_group_size, unpack_sz_bands)
+            if "sz_group" in w:
+                group_size = int(w["sz_group"].shape[-2])
+            else:
+                group_size = infer_group_size(k, w["sz_bands"].shape[-2])
             if w["qweight"].ndim == 3:
                 # Stacked scan layout: kernel indexes the [L, ...] stack.
                 y = quant_matmul_int4_stacked(x2, w["qweight"],
-                                              w["scales_p8"],
-                                              w["zeros_p8"], layer_index,
+                                              w["sz_bands"], layer_index,
                                               group_size=group_size)
             else:
-                # Unrolled slice of a stacked dict: un-band the scales.
-                nb = w["scales_p8"].shape[-2] // 8
-                n_out = w["scales_p8"].shape[-1]
-                s_raw = w["scales_p8"].reshape(nb, 8, n_out)[:, :2].reshape(
-                    nb * 2, n_out)
-                z_raw = w["zeros_p8"].reshape(nb, 8, n_out)[:, :2].reshape(
-                    nb * 2, n_out)
-                y = quant_matmul_int4(x2, w["qweight"], s_raw, z_raw,
-                                      group_size=group_size)
+                # Unrolled slice of a stacked dict: un-band the scales
+                # and drop any phantom padding block.
+                s_raw, z_raw = unpack_sz_bands(w["sz_bands"], k,
+                                               group_size)
+                y = quant_matmul_int4(x2, w["qweight"][:k // 2], s_raw,
+                                      z_raw, group_size=group_size)
         elif "zeros" in w:
             group_size = k // w["scales"].shape[-1 - 1]
             y = quant_matmul_int4(x2, w["qweight"], w["scales"], w["zeros"],

@@ -164,17 +164,23 @@ class LlamaForCausalLM:
                     k: jnp.stack([v[k] for v in vals]) for k in sub_names
                 }
                 if "zeros" in sub:
-                    # int4: convert to the kernel's 8-row-banded scale
+                    # int4: convert to the kernel's banded scale/zero
                     # layout once, here (the stacked kernel reads it
                     # directly; no per-step padding).
-                    from vllm_splitwise_tpu.ops.quant_matmul import \
-                        pad_scales_p8
+                    from vllm_splitwise_tpu.ops.quant_matmul import (
+                        pack_sz_bands, pad_qweight_even)
                     k_dim = sub["qweight"].shape[1] * 2
                     group = k_dim // sub["scales"].shape[1]
-                    sub["scales_p8"] = pad_scales_p8(sub.pop("scales"),
-                                                     group)
-                    sub["zeros_p8"] = pad_scales_p8(sub.pop("zeros"),
+                    sub["sz_bands"] = pack_sz_bands(sub.pop("scales"),
+                                                    sub.pop("zeros"),
                                                     group)
+                    sub["qweight"] = pad_qweight_even(sub["qweight"],
+                                                      group)
+                    # Zero-byte static group-size marker: the band row
+                    # count alone cannot disambiguate G for odd block
+                    # counts (K=768 fits both G=96 and G=128).
+                    sub["sz_group"] = jnp.zeros((1, group, 0),
+                                                jnp.float32)
                 stacked[name] = sub
             else:
                 if any(v.shape != vals[0].shape for v in vals):
