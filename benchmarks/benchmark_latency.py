@@ -29,8 +29,10 @@ def main(args):
         ignore_eos=True,
         max_tokens=args.output_len,
     )
+    vocab = llm.llm_engine.model_config.get_vocab_size()
     dummy_prompt_token_ids = np.random.randint(
-        10, 10000, size=(args.batch_size, args.input_len)).tolist()
+        10, min(10000, vocab), size=(args.batch_size,
+                                     args.input_len)).tolist()
 
     def run_to_completion(profile_dir=None):
         if profile_dir:

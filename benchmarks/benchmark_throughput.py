@@ -8,11 +8,13 @@ import time
 
 
 def sample_requests(num: int, input_len: int, output_len: int,
-                    dataset=None, tokenizer=None, seed: int = 0):
+                    dataset=None, tokenizer=None, seed: int = 0,
+                    vocab_size: int = 10000):
     random.seed(seed)
     if dataset is None:
+        hi = min(10000, vocab_size)
         return [(None,
-                 [random.randint(10, 10000) for _ in range(input_len)],
+                 [random.randint(10, hi - 1) for _ in range(input_len)],
                  output_len) for _ in range(num)]
     # ShareGPT-style dataset: [{"conversations": [{"value": ...}, ...]}]
     with open(dataset) as f:
@@ -42,9 +44,10 @@ def main(args):
               max_model_len=args.max_model_len,
               kv_cache_dtype=args.kv_cache_dtype)
 
-    requests = sample_requests(args.num_prompts, args.input_len,
-                               args.output_len, args.dataset,
-                               llm.get_tokenizer(), args.seed)
+    requests = sample_requests(
+        args.num_prompts, args.input_len, args.output_len, args.dataset,
+        llm.get_tokenizer(), args.seed,
+        vocab_size=llm.llm_engine.model_config.get_vocab_size())
     for prompt, prompt_ids, out_len in requests:
         llm._add_request(prompt if prompt_ids is None else None,
                          SamplingParams(n=args.n,

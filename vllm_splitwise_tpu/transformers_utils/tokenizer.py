@@ -151,6 +151,9 @@ def detokenize_incrementally(
         # First call: convert the whole prefix.
         new_tokens = tokenizer.convert_ids_to_tokens(
             all_input_ids, skip_special_tokens=skip_special_tokens)
+        # Out-of-vocab ids decode to None on fast tokenizers; never let a
+        # bad id crash the streaming path.
+        new_tokens = [t if t is not None else "" for t in new_tokens]
         output_tokens = new_tokens
         prefix_offset = max(
             len(output_tokens) - INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET, 0)
@@ -161,6 +164,7 @@ def detokenize_incrementally(
             return [], "", prefix_offset, read_offset
         new_tokens = tokenizer.convert_ids_to_tokens(
             [new_token_id], skip_special_tokens=skip_special_tokens)
+        new_tokens = [t if t is not None else "" for t in new_tokens]
         output_tokens = prev_tokens + new_tokens
 
     # Fast path for plain tokenizers; slow path handles added vocab.
