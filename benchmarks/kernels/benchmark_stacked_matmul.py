@@ -36,11 +36,15 @@ def main(args):
     sz = pack_sz_bands(jnp.full((L, k // g, n), 0.01, jnp.float32),
                        jnp.full((L, k // g, n), 8.0, jnp.float32), g)
 
-    xs_a = jnp.asarray(rng.standard_normal((L, m, k)), dtype=jnp.bfloat16)
-    xs_b = jnp.asarray(rng.standard_normal((L, m, k)), dtype=jnp.bfloat16)
+    kxa, kxb = jax.random.split(jax.random.PRNGKey(1))
+    xs_a = jax.random.normal(kxa, (L, m, k), dtype=jnp.bfloat16)
+    xs_b = jax.random.normal(kxb, (L, m, k), dtype=jnp.bfloat16)
+    jax.block_until_ready((qw, xs_a, xs_b))
 
+    # Weights must be jit ARGUMENTS: closure-captured GB-scale constants
+    # stall remote compilation.
     @jax.jit
-    def run(xs):
+    def run(xs, qw, sz):
         def body(carry, inp):
             x_l, l = inp
             x = x_l + carry * 1e-30        # serialize: depends on prev out
@@ -50,10 +54,10 @@ def main(args):
                           (xs, jnp.arange(L, dtype=jnp.int32)))
         return acc
 
-    r = run(xs_a)
+    r = run(xs_a, qw, sz)
     jax.block_until_ready(r)
     t0 = time.perf_counter()
-    r = run(xs_b)
+    r = run(xs_b, qw, sz)
     jax.block_until_ready(r)
     t = (time.perf_counter() - t0) / L
 

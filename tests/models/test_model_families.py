@@ -161,6 +161,11 @@ SMOKE_CASES = {
         hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
         num_key_value_heads=2, intermediate_size=128, vocab_size=256,
         rms_norm_eps=1e-6, max_position_embeddings=512),
+    "qwen1": lambda: _make_ns(
+        "vllm_splitwise_tpu.models.qwen.QWenLMHeadModel",
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=256, layer_norm_epsilon=1e-6,
+        rotary_emb_base=10000.0, seq_length=512, vocab_size=256),
     "chatglm": lambda: _make_ns(
         "vllm_splitwise_tpu.models.chatglm.ChatGLMForCausalLM",
         hidden_size=64, num_layers=2, num_attention_heads=4,
