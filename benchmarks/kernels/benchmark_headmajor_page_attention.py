@@ -90,10 +90,10 @@ def _hm_kernel(
         for d in make_dmas(i, slot):
             d.wait()
 
-        q = q_ref[0].astype(jnp.float32)     # [kvh, gp, hd]
+        q = q_ref[0]                         # [kvh, gp, hd] bf16
         k = k_vmem[slot]                     # [kvh, tok, hd] — no relayout
         s = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
+            q, k,
             dimension_numbers=(((2, ), (2, )), ((0, ), (0, ))),
             preferred_element_type=jnp.float32) * scale
 
@@ -111,7 +111,7 @@ def _hm_kernel(
 
         v = v_vmem[slot]                     # [kvh, tok, hd]
         pv = jax.lax.dot_general(
-            p, v.astype(jnp.float32),
+            p.astype(v.dtype), v,
             dimension_numbers=(((2, ), (1, )), ((0, ), (0, ))),
             preferred_element_type=jnp.float32)
 

@@ -127,14 +127,16 @@ def _paged_attention_kernel(
     def _():
         wait_chunk(i, slot)
 
-        q = q_ref[0].astype(jnp.float32)     # [kvh, gp, hd]
+        # Feed the MXU bf16 operands with f32 ACCUMULATION — explicit
+        # f32 casts of the 2 MB K/V chunks are pure VPU overhead.
+        q = q_ref[0]                          # [kvh, gp, hd] bf16
         # Mosaic batched matmuls need batch dims leading on BOTH sides:
         # relayout the chunk to [kvh, tok, hd] once per chunk.
         k = jnp.swapaxes(k_vmem[slot], 0, 1)  # [kvh, tok, hd]
         if k.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
-            k = k.astype(jnp.float32) * kv_scale
+            k = (k.astype(jnp.float32) * kv_scale).astype(q.dtype)
         s = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
+            q, k,
             dimension_numbers=(((2, ), (2, )), ((0, ), (0, ))),
             preferred_element_type=jnp.float32,
         ) * scale
@@ -156,10 +158,11 @@ def _paged_attention_kernel(
 
         v = jnp.swapaxes(v_vmem[slot], 0, 1)  # [kvh, tok, hd]
         if v.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
-            v = v.astype(jnp.float32) * kv_scale
-        # [kvh, gp, tok] x [kvh, tok, hd] -> [kvh, gp, hd]
+            v = (v.astype(jnp.float32) * kv_scale).astype(q.dtype)
+        # [kvh, gp, tok] x [kvh, tok, hd] -> [kvh, gp, hd]; cast the
+        # SMALL probs tile to bf16 rather than the 2 MB V chunk to f32.
         pv = jax.lax.dot_general(
-            p, v.astype(jnp.float32),
+            p.astype(v.dtype), v,
             dimension_numbers=(((2, ), (1, )), ((0, ), (0, ))),
             preferred_element_type=jnp.float32,
         )
