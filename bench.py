@@ -121,10 +121,10 @@ def measure_decode(model, params, config, batch, context, steps,
     # compiles instead of num_layers (compile time at 32 layers drops
     # ~10x), and the donation graph stays two arrays.
     kv_caches = (
-        jnp.zeros((model.num_layers, num_pages, page_size,
-                   model.num_kv_heads, model.head_dim), dtype=jnp.bfloat16),
-        jnp.zeros((model.num_layers, num_pages, page_size,
-                   model.num_kv_heads, model.head_dim), dtype=jnp.bfloat16),
+        jnp.zeros((model.num_layers, num_pages, model.num_kv_heads,
+                   page_size, model.head_dim), dtype=jnp.bfloat16),
+        jnp.zeros((model.num_layers, num_pages, model.num_kv_heads,
+                   page_size, model.head_dim), dtype=jnp.bfloat16),
     )
 
     tables = np.zeros((b, pages_per_seq), dtype=np.int32)
@@ -180,6 +180,27 @@ def measure_decode(model, params, config, batch, context, steps,
     return steps * b / elapsed, steps / elapsed
 
 
+def _run_leg(quant, size, batch, context, args):
+    """Run one measurement leg in a fresh process; returns tok/s or None."""
+    import os
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__), "--quant", quant,
+           "--size", size, "--batch", str(batch), "--context",
+           str(context), "--steps", str(args.steps), "--page-size",
+           str(args.page_size), "--no-compare"]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=1500)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return float(json.loads(line)["value"])
+        except (ValueError, KeyError):
+            continue
+    return None
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
@@ -212,41 +233,29 @@ def main():
     # North-star ratio: int4 vs bf16 at the SAME config.  The 7B bf16 leg
     # (13.5 GB weights) does not fit next to the full-context KV cache on
     # a 16 GB chip, so the comparison walks down a fallback ladder until
-    # both legs fit, re-measuring the int4 leg at the compare config for
-    # a fair ratio (the headline tok/s stays at the requested config).
+    # both legs fit.  Each leg runs in a SUBPROCESS: a fresh process gets
+    # a clean HBM arena (the parent's residual allocations otherwise OOM
+    # the 14 GB bf16 leg even at small contexts).
     speedup = None
     cmp_cfg = None
     if args.quant != "bf16" and not args.no_compare:
-        ladder = [(args.batch, args.context), (args.batch, 256),
+        ladder = [(args.batch, min(args.context, 256)),
                   (args.batch, 128), (max(1, args.batch // 2), 128)]
         seen = set()
         for cb, cc in ladder:
             if (cb, cc) in seen:
                 continue
             seen.add((cb, cc))
-            try:
-                _log(f"bf16 compare leg at b{cb} ctx{cc}...")
-                model_b, params_b, config_b = build(size, "bf16")
-                toks_b, _ = measure_decode(model_b, params_b, config_b,
-                                           cb, cc, args.steps,
-                                           page_size=args.page_size)
-                del params_b, model_b
-            except Exception as e:  # OOM — try the next rung.
-                _log(f"bf16 leg failed at b{cb} ctx{cc}: "
-                     f"{type(e).__name__}")
-                try:
-                    del params_b, model_b
-                except NameError:
-                    pass
+            _log(f"bf16 compare leg at b{cb} ctx{cc} (subprocess)...")
+            toks_b = _run_leg("bf16", size, cb, cc, args)
+            if toks_b is None:
+                _log(f"bf16 leg failed at b{cb} ctx{cc}")
                 continue
-            if (cb, cc) == (args.batch, args.context):
-                toks_q = toks
-            else:
-                model_q, params_q, config_q = build(size, args.quant)
-                toks_q, _ = measure_decode(model_q, params_q, config_q,
-                                           cb, cc, args.steps,
-                                           page_size=args.page_size)
-                del params_q, model_q
+            _log(f"{args.quant} compare leg at b{cb} ctx{cc} "
+                 f"(subprocess)...")
+            toks_q = _run_leg(args.quant, size, cb, cc, args)
+            if toks_q is None:
+                continue
             speedup = toks_q / toks_b
             cmp_cfg = (cb, cc)
             break

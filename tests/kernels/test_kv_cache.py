@@ -10,9 +10,9 @@ from vllm_splitwise_tpu.ops.kv_cache import (copy_blocks, gather_pages,
 
 
 def make_cache(rng, kvh=2, pages=8, page_size=4, hd=8):
-    # Page-major layout: [pages, page_size, kvh, hd].
-    k = jnp.asarray(rng.randn(pages, page_size, kvh, hd), dtype=jnp.float32)
-    v = jnp.asarray(rng.randn(pages, page_size, kvh, hd), dtype=jnp.float32)
+    # Head-major page interior: [pages, kvh, page_size, hd].
+    k = jnp.asarray(rng.randn(pages, kvh, page_size, hd), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(pages, kvh, page_size, hd), dtype=jnp.float32)
     return k, v
 
 
@@ -28,18 +28,21 @@ def test_write_to_kv_cache():
 
     k_new, v_new = write_to_kv_cache(k, v, k_pages, v_pages, slots)
 
-    k_np = np.asarray(k_pages).reshape(pages * page_size, kvh, hd).copy()
+    def flat_tokens(pages_arr):
+        # [pages, kvh, ps, hd] -> [pages*ps, kvh, hd]
+        a = np.asarray(pages_arr).transpose(0, 2, 1, 3)
+        return a.reshape(pages * page_size, kvh, hd)
+
+    k_np = flat_tokens(k_pages).copy()
     for t, s in enumerate([8, 9, 10, 20]):
         k_np[s] = np.asarray(k)[t]
-    np.testing.assert_array_equal(
-        np.asarray(k_new).reshape(pages * page_size, kvh, hd), k_np)
+    np.testing.assert_array_equal(flat_tokens(k_new), k_np)
     # Padding token wrote nowhere: v cache differs from oracle only at
     # written slots.
-    v_np = np.asarray(v_pages).reshape(pages * page_size, kvh, hd).copy()
+    v_np = flat_tokens(v_pages).copy()
     for t, s in enumerate([8, 9, 10, 20]):
         v_np[s] = np.asarray(v)[t]
-    np.testing.assert_array_equal(
-        np.asarray(v_new).reshape(pages * page_size, kvh, hd), v_np)
+    np.testing.assert_array_equal(flat_tokens(v_new), v_np)
 
 
 def test_copy_blocks():

@@ -18,9 +18,9 @@ def make_inputs(seed, batch, num_q_heads, num_kv_heads, head_dim, page_size,
     rng = np.random.RandomState(seed)
     q = jnp.asarray(rng.randn(batch, num_q_heads, head_dim), dtype=dtype)
     k_pages = jnp.asarray(
-        rng.randn(num_pages, page_size, num_kv_heads, head_dim), dtype=dtype)
+        rng.randn(num_pages, num_kv_heads, page_size, head_dim), dtype=dtype)
     v_pages = jnp.asarray(
-        rng.randn(num_pages, page_size, num_kv_heads, head_dim), dtype=dtype)
+        rng.randn(num_pages, num_kv_heads, page_size, head_dim), dtype=dtype)
     # Unique random page assignment per sequence.
     perm = rng.permutation(num_pages)[:batch * pages_per_seq]
     block_tables = jnp.asarray(perm.reshape(batch, pages_per_seq),

@@ -63,10 +63,11 @@ def make_kv_caches(num_layers: int,
                    num_pages=32,
                    page_size=16,
                    dtype=jnp.float32) -> List[Tuple[jax.Array, jax.Array]]:
-    # Page-major layout [pages, page_size, kvh, head_dim].
-    return [(jnp.zeros((num_pages, page_size, num_kv_heads, head_dim),
+    # Page-major layout with head-major interior
+    # [pages, kvh, page_size, head_dim].
+    return [(jnp.zeros((num_pages, num_kv_heads, page_size, head_dim),
                        dtype=dtype),
-             jnp.zeros((num_pages, page_size, num_kv_heads, head_dim),
+             jnp.zeros((num_pages, num_kv_heads, page_size, head_dim),
                        dtype=dtype)) for _ in range(num_layers)]
 
 

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from vllm_splitwise_tpu.models.input_metadata import (DecodeMetadata,
                                                       PrefillMetadata)
-from vllm_splitwise_tpu.ops.kv_cache import (write_to_kv_cache,
+from vllm_splitwise_tpu.ops.kv_cache import (write_prefill_rows,
+                                             write_to_kv_cache,
                                              write_to_kv_cache_stacked)
 from vllm_splitwise_tpu.ops.paged_attention import (paged_attention,
                                                     paged_attention_reference)
@@ -102,8 +103,8 @@ class Attention:
 
     @staticmethod
     def _cache_heads(pages: jax.Array) -> int:
-        # Page-major layout: [(L,) P, PS, KVH, HD].
-        return pages.shape[-2]
+        # Head-major page interior: [(L,) P, KVH, PS, HD].
+        return pages.shape[-3]
 
     def _prefill(self, q, k, v, k_pages, v_pages,
                  md: PrefillMetadata,
@@ -122,13 +123,16 @@ class Attention:
             v.reshape(batch * seq_len, self.num_kv_heads, self.head_dim),
             cache_heads)
         if stacked:
-            k_pages, v_pages = write_to_kv_cache_stacked(
-                k_flat, v_flat, k_pages, v_pages,
-                md.slot_mapping.reshape(-1), layer_index)
+            k_pages, v_pages = write_prefill_rows(
+                k_flat, v_flat, k_pages, v_pages, md.slot_mapping,
+                layer_index)
         else:
-            k_pages, v_pages = write_to_kv_cache(
-                k_flat, v_flat, k_pages, v_pages,
-                md.slot_mapping.reshape(-1))
+            # Non-stacked models: route through the same page-tile
+            # writer via a single-layer view.
+            k5, v5 = write_prefill_rows(
+                k_flat, v_flat, k_pages[None], v_pages[None],
+                md.slot_mapping, jnp.int32(0))
+            k_pages, v_pages = k5[0], v5[0]
 
         if self.kv_push_fn is not None:
             self.kv_push_fn(self.layer_id, k_pages, v_pages)
@@ -146,16 +150,21 @@ class Attention:
                 pages_v = jax.lax.dynamic_index_in_dim(
                     pages_v, layer_index, keepdims=False)
             bsz, max_pages = md.block_tables.shape
-            page_size = pages_k.shape[1]
-            pk = jnp.take(pages_k, md.block_tables.reshape(-1), axis=0,
-                          mode="clip")
-            pv = jnp.take(pages_v, md.block_tables.reshape(-1), axis=0,
-                          mode="clip")
-            pk = pk.reshape(bsz, max_pages * page_size, cache_heads,
-                            self.head_dim)[:, :, :self.num_kv_heads]
-            pv = pv.reshape(bsz, max_pages * page_size, cache_heads,
-                            self.head_dim)[:, :, :self.num_kv_heads]
-            prefix_kv = (pk, pv, md.prefix_lens)
+            page_size = pages_k.shape[-2]
+
+            def to_tokens(pages):
+                g = jnp.take(pages, md.block_tables.reshape(-1), axis=0,
+                             mode="clip")
+                g = g.reshape(bsz, max_pages, cache_heads, page_size,
+                              self.head_dim)
+                # [b, pages, kvh, ps, hd] -> [b, T, kvh, hd]
+                g = g.transpose(0, 1, 3, 2, 4).reshape(
+                    bsz, max_pages * page_size, cache_heads,
+                    self.head_dim)
+                return g[:, :, :self.num_kv_heads]
+
+            prefix_kv = (to_tokens(pages_k), to_tokens(pages_v),
+                         md.prefix_lens)
 
         out = prefill_attention(
             q, k, v, md.seq_lens,
@@ -190,9 +199,9 @@ class Attention:
                 self._pad_heads(k, cache_heads),
                 self._pad_heads(v, cache_heads), k_pages, v_pages,
                 md.slot_mapping)
-            k_view = k_pages[..., :self.num_kv_heads, :] \
+            k_view = k_pages[..., :self.num_kv_heads, :, :] \
                 if cache_heads != self.num_kv_heads else k_pages
-            v_view = v_pages[..., :self.num_kv_heads, :] \
+            v_view = v_pages[..., :self.num_kv_heads, :, :] \
                 if cache_heads != self.num_kv_heads else v_pages
 
         # Sliding-window contexts are capped by the runner via

@@ -5,12 +5,14 @@ TPU-native equivalents of the reference's cache CUDA kernels
 reshape_and_cache:155): token KV scatter into pages, page-to-page copies
 (copy-on-write), and device<->host page swaps.
 
-Layout: ``pages[num_pages, page_size, num_kv_heads, head_dim]`` — one
-page is one CONTIGUOUS block, so the attention kernel issues one DMA per
-page, token rows are whole [kvh, hd] slabs, and every op here works on
-leading (untiled) dimensions where XLA's gather/scatter/DUS are
-efficient and in-place.  Stacked (lax.scan) models prepend a layer axis.
-A "slot" is a flat token position: slot = page_idx * page_size + offset.
+Layout: ``pages[num_pages, num_kv_heads, page_size, head_dim]`` — one
+page is one CONTIGUOUS block with a HEAD-MAJOR interior, so the
+attention kernel issues one DMA per page AND needs no per-chunk
+relayout (see ops/paged_attention.py).  The cost lands here instead: a
+token's K/V is a strided [kvh, 1, hd] slab, so writes scatter per-head
+rows rather than contiguous token rows.  Stacked (lax.scan) models
+prepend a layer axis.  A "slot" is a flat token position:
+slot = page_idx * page_size + offset.
 """
 from __future__ import annotations
 
@@ -24,34 +26,33 @@ import numpy as np
 def write_to_kv_cache(
     k: jax.Array,            # [num_tokens, num_kv_heads, head_dim]
     v: jax.Array,
-    k_pages: jax.Array,      # [num_pages, page_size, kvh, head_dim]
+    k_pages: jax.Array,      # [num_pages, kvh, page_size, head_dim]
     v_pages: jax.Array,
     slot_mapping: jax.Array,  # [num_tokens] int32, -1 = padding (dropped)
 ) -> Tuple[jax.Array, jax.Array]:
     """Scatter freshly computed K/V vectors into their cache slots.
 
     Functional: returns the updated page arrays (donate them under jit so
-    XLA updates in place).  Token rows are contiguous leading-dim rows of
-    the flattened [slots, kvh, hd] view — a plain row scatter.
+    XLA updates in place).  Head-major pages make a token a strided
+    [kvh, 1, hd] slab: scattered via (page, offset) advanced indexing.
     """
-    num_pages, page_size, num_kv_heads, head_dim = k_pages.shape
-    total_slots = num_pages * page_size
+    num_pages, num_kv_heads, page_size, head_dim = k_pages.shape
 
     k = k.astype(k_pages.dtype)
     v = v.astype(v_pages.dtype)
 
-    k_flat = k_pages.reshape(total_slots, num_kv_heads, head_dim)
-    v_flat = v_pages.reshape(total_slots, num_kv_heads, head_dim)
-    slots = jnp.where(slot_mapping < 0, total_slots, slot_mapping)
-    k_flat = k_flat.at[slots].set(k, mode="drop")
-    v_flat = v_flat.at[slots].set(v, mode="drop")
-    return (k_flat.reshape(k_pages.shape), v_flat.reshape(v_pages.shape))
+    slots = slot_mapping
+    pages = jnp.where(slots < 0, num_pages, slots // page_size)
+    offs = jnp.where(slots < 0, 0, slots % page_size)
+    k_pages = k_pages.at[pages, :, offs].set(k, mode="drop")
+    v_pages = v_pages.at[pages, :, offs].set(v, mode="drop")
+    return k_pages, v_pages
 
 
 def write_to_kv_cache_stacked(
     k: jax.Array,             # [num_tokens, num_kv_heads, head_dim]
     v: jax.Array,
-    k_all: jax.Array,         # [L, num_pages, ps, num_kv_heads, head_dim]
+    k_all: jax.Array,         # [L, num_pages, num_kv_heads, ps, head_dim]
     v_all: jax.Array,
     slot_mapping: jax.Array,  # [num_tokens] int32, -1 = padding
     layer: jax.Array,         # scalar int32
@@ -59,53 +60,102 @@ def write_to_kv_cache_stacked(
     """Scatter K/V into layer `layer` of a STACKED cache without slicing
     out the layer.
 
-    Decode-size writes are one dynamic-update-slice per token — the
-    dynamic offsets (layer, page, off) all index UNTILED dimensions, so
-    XLA updates the loop-carried cache buffer in place.  Prefill-size
-    writes use a flat row scatter.
+    Decode-size writes are one dynamic-update-slice per token at
+    (layer, page, 0, off, 0); prefill-size writes use a (layer, page,
+    offset) advanced-index scatter over [kvh, hd] slabs.
     """
-    num_layers, num_pages, page_size, num_kv_heads, head_dim = k_all.shape
+    num_layers, num_pages, num_kv_heads, page_size, head_dim = k_all.shape
     num_tokens = k.shape[0]
     k = k.astype(k_all.dtype)
     v = v.astype(v_all.dtype)
     layer = jnp.asarray(layer, jnp.int32)
-    total_slots = num_pages * page_size
 
-    if num_tokens > 64:
-        k_flat = k_all.reshape(num_layers, total_slots, num_kv_heads,
-                               head_dim)
-        v_flat = v_all.reshape(num_layers, total_slots, num_kv_heads,
-                               head_dim)
-        slots = jnp.where(slot_mapping < 0, total_slots, slot_mapping)
-        layer_b = jnp.broadcast_to(layer, slots.shape)
-        k_flat = k_flat.at[layer_b, slots].set(k, mode="drop")
-        v_flat = v_flat.at[layer_b, slots].set(v, mode="drop")
-        return (k_flat.reshape(k_all.shape), v_flat.reshape(v_all.shape))
+    # Head-major pages make a token a STRIDED [kvh, 1, hd] slab; both a
+    # per-token tiled-dim dynamic_update_slice and a strided-window
+    # scatter lower to slab copies on TPU (13x slower end-to-end).  So
+    # every write is a PAGE-granularity read-modify-write instead:
+    # gather the touched pages (contiguous windows on untiled leading
+    # dims), merge the token rows in registers, scatter whole pages
+    # back.  Each touched page must carry at most ONE token per call —
+    # decode does by construction (one token per sequence, sequences own
+    # disjoint pages); prefill rows are split into per-offset waves by
+    # the caller (write_prefill_rows).
+    slots = slot_mapping
+    pages = jnp.where(slots < 0, num_pages, slots // page_size)
+    offs = jnp.where(slots < 0, 0, slots % page_size)
+    layer_b = jnp.broadcast_to(layer, slots.shape)
 
-    def body(i, carry):
-        ka, va = carry
-        slot = slot_mapping[i]
-        valid = slot >= 0
-        slot = jnp.clip(slot, 0, total_slots - 1)
-        page = slot // page_size
-        off = slot % page_size
-        upd_k = k[i][None, None, None]   # [1, 1, 1, kvh, hd]
-        upd_v = v[i][None, None, None]
-        old_k = jax.lax.dynamic_slice(
-            ka, (layer, page, off, 0, 0),
-            (1, 1, 1, num_kv_heads, head_dim))
-        old_v = jax.lax.dynamic_slice(
-            va, (layer, page, off, 0, 0),
-            (1, 1, 1, num_kv_heads, head_dim))
-        upd_k = jnp.where(valid, upd_k, old_k)
-        upd_v = jnp.where(valid, upd_v, old_v)
-        ka = jax.lax.dynamic_update_slice(ka, upd_k,
-                                          (layer, page, off, 0, 0))
-        va = jax.lax.dynamic_update_slice(va, upd_v,
-                                          (layer, page, off, 0, 0))
-        return ka, va
+    def rmw(all_pages, rows):
+        old = all_pages.at[layer_b, pages].get(mode="fill", fill_value=0)
+        #                                  [T, kvh, ps, hd]
+        off_iota = jax.lax.broadcasted_iota(jnp.int32, old.shape, 2)
+        tile = jnp.where(off_iota == offs[:, None, None, None],
+                         rows[:, :, None, :], old)
+        return all_pages.at[layer_b, pages].set(tile, mode="drop")
 
-    return jax.lax.fori_loop(0, num_tokens, body, (k_all, v_all))
+    return rmw(k_all, k), rmw(v_all, v)
+
+
+def write_prefill_rows(
+    k: jax.Array,             # [B*T_pad, num_kv_heads, head_dim]
+    v: jax.Array,
+    k_all: jax.Array,         # [L, num_pages, kvh, ps, head_dim]
+    v_all: jax.Array,
+    slot_rows: jax.Array,     # [B, T_pad] int32; each row CONSECUTIVE
+    layer: jax.Array,         # scalar int32       slots (-1 = padding)
+) -> Tuple[jax.Array, jax.Array]:
+    """Prefill-size write: build whole page tiles from each sequence's
+    consecutive slot run and write them with page-granularity
+    read-modify-write (one gather/scatter of contiguous [kvh, ps, hd]
+    windows; no strided scatters — see write_to_kv_cache_stacked).
+
+    Relies on the prompt-write invariant that every row of ``slot_rows``
+    is ``start + arange(T_pad)`` (masked with -1): consecutive slots walk
+    pages monotonically, so tile (b, j) covers exactly one page.
+    """
+    num_layers, num_pages, num_kv_heads, page_size, head_dim = k_all.shape
+    bsz, t_pad = slot_rows.shape
+    k = k.astype(k_all.dtype).reshape(bsz, t_pad, num_kv_heads, head_dim)
+    v = v.astype(v_all.dtype).reshape(bsz, t_pad, num_kv_heads, head_dim)
+    layer = jnp.asarray(layer, jnp.int32)
+
+    npr = t_pad // page_size + 1        # page tiles per row
+    first = slot_rows[:, 0]             # start slot (may be -1: empty)
+    shift = jnp.where(first < 0, 0, first % page_size)    # [B]
+
+    # token_idx[b, j, off] = index (within the row) of the token that
+    # lands at offset `off` of the row's j-th touched page.
+    j_iota = jnp.arange(npr, dtype=jnp.int32)[None, :, None]
+    off_iota = jnp.arange(page_size, dtype=jnp.int32)[None, None, :]
+    token_idx = j_iota * page_size + off_iota - shift[:, None, None]
+    in_range = (token_idx >= 0) & (token_idx < t_pad)
+    tclip = jnp.clip(token_idx, 0, t_pad - 1)
+    slot_at = jnp.take_along_axis(
+        slot_rows[:, None, :].repeat(npr, axis=1), tclip, axis=2)
+    valid = in_range & (slot_at >= 0)                     # [B, npr, ps]
+
+    page_ids = jnp.where(valid, slot_at // page_size, -1)
+    # One page id per tile (or -1 if the tile is empty).
+    tile_page = jnp.max(page_ids, axis=2)                 # [B, npr]
+    flat_pages = jnp.where(tile_page < 0, num_pages,
+                           tile_page).reshape(-1)
+    layer_b = jnp.broadcast_to(layer, flat_pages.shape)
+
+    def rmw(all_pages, rows):
+        # rows: [B, T_pad, kvh, hd]
+        vals = jnp.take_along_axis(
+            rows[:, None], tclip[..., None, None], axis=2)
+        # vals: [B, npr, ps, kvh, hd] -> head-major tile
+        vals = vals.transpose(0, 1, 3, 2, 4)
+        old = all_pages.at[layer_b, flat_pages].get(mode="fill",
+                                                    fill_value=0)
+        old = old.reshape(bsz, npr, num_kv_heads, page_size, head_dim)
+        tile = jnp.where(valid[:, :, None, :, None], vals, old)
+        return all_pages.at[layer_b, flat_pages].set(
+            tile.reshape(bsz * npr, num_kv_heads, page_size, head_dim),
+            mode="drop")
+
+    return rmw(k_all, k), rmw(v_all, v)
 
 
 def copy_blocks(

@@ -3,12 +3,15 @@
 TPU-native replacement for the reference's PagedAttention V1/V2 CUDA
 kernels (csrc/attention/attention_kernels.cu:427-604).  Design notes:
 
-* KV pages are PAGE-MAJOR: ``[num_pages, page_size, num_kv_heads,
-  head_dim]`` (stacked models prepend a layer axis).  One page is one
-  CONTIGUOUS block of page_size*kvh*hd elements, so the kernel issues ONE
-  DMA per page covering every head — the previous head-major layout
-  needed kvh separate 4 KB DMAs per page and was DMA-issue-bound
-  (measured 25x off the bandwidth roofline at 7B decode shapes).
+* KV pages are PAGE-MAJOR with a HEAD-MAJOR interior:
+  ``[num_pages, num_kv_heads, page_size, head_dim]`` (stacked models
+  prepend a layer axis).  One page is one CONTIGUOUS block of
+  kvh*page_size*hd elements, so the kernel issues ONE DMA per page
+  covering every head (a fully head-major cache needed kvh separate 4 KB
+  DMAs per page and ran 25x off the bandwidth roofline); the head-major
+  interior lands in VMEM as [kvh, tokens, hd] directly, so the batched
+  dot_generals need NO per-chunk relayout (a token-major page interior
+  spent ~6 us/grid-cell relayouting 2 MB chunks — measured 40% slower).
 * Grid is ``(batch, num_page_chunks)``; page indices, context lengths and
   the (optional) layer index are scalar-prefetched; chunks are
   double-buffered so page DMAs overlap compute.
@@ -16,7 +19,7 @@ kernels (csrc/attention/attention_kernels.cu:427-604).  Design notes:
   sequence are processed in one grid cell via a batched dot_general.
 * GQA: q is viewed [batch, kvh, group, hd]; scores are [kvh, group,
   chunk_tokens] per cell.
-* A stacked cache ``[L, P, PS, KVH, HD]`` with ``layer_index`` lets
+* A stacked cache ``[L, P, KVH, PS, HD]`` with ``layer_index`` lets
   lax.scan models attend without slicing (= copying) a layer's cache.
 * fp8/int8 KV caches dequantize in-kernel via ``kv_scale``.
 """
@@ -40,7 +43,7 @@ def _paged_attention_kernel(
     layer_ref,         # [1] int32
     # inputs
     q_ref,             # [1, kvh, group_padded, head_dim] VMEM block
-    k_pages_hbm,       # [(L,) P, PS, KVH, HD] (ANY)
+    k_pages_hbm,       # [(L,) P, KVH, PS, HD] (ANY)
     v_pages_hbm,
     *rest,             # [slopes_ref if has_alibi], out_ref, scratch...
     pages_per_seq: int,
@@ -59,7 +62,7 @@ def _paged_attention_kernel(
     else:
         slopes_ref = None
     (out_ref,          # [1, kvh, group_padded, head_dim]
-     k_vmem,           # [2, chunk_tokens, kvh, head_dim]
+     k_vmem,           # [2, kvh, chunk_tokens, head_dim]
      v_vmem,
      sems,             # DMA sems [2, 2]
      m_ref,            # [kvh, group_padded, 128] f32
@@ -78,7 +81,9 @@ def _paged_attention_kernel(
         return chunk * chunk_tokens < ctx_len
 
     def make_dmas(chunk, slot):
-        """ONE DMA per page: page-major pages are contiguous."""
+        """ONE DMA per page: the contiguous [kvh, ps, hd] page lands in
+        the [kvh, chunk_tokens, hd] VMEM buffer as a strided
+        rectangular copy — no in-kernel relayout needed."""
         dmas = []
         for p in range(pages_per_chunk):  # static unroll
             page_idx = block_tables_ref[b * pages_per_seq +
@@ -91,10 +96,10 @@ def _paged_attention_kernel(
                 k_src = k_pages_hbm.at[page_idx]
                 v_src = v_pages_hbm.at[page_idx]
             dmas.append(
-                pltpu.make_async_copy(k_src, k_vmem.at[slot, dst],
+                pltpu.make_async_copy(k_src, k_vmem.at[slot, :, dst],
                                       sems.at[slot, 0]))
             dmas.append(
-                pltpu.make_async_copy(v_src, v_vmem.at[slot, dst],
+                pltpu.make_async_copy(v_src, v_vmem.at[slot, :, dst],
                                       sems.at[slot, 1]))
         return dmas
 
@@ -130,9 +135,7 @@ def _paged_attention_kernel(
         # Feed the MXU bf16 operands with f32 ACCUMULATION — explicit
         # f32 casts of the 2 MB K/V chunks are pure VPU overhead.
         q = q_ref[0]                          # [kvh, gp, hd] bf16
-        # Mosaic batched matmuls need batch dims leading on BOTH sides:
-        # relayout the chunk to [kvh, tok, hd] once per chunk.
-        k = jnp.swapaxes(k_vmem[slot], 0, 1)  # [kvh, tok, hd]
+        k = k_vmem[slot]                      # [kvh, tok, hd]
         if k.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
             k = (k.astype(jnp.float32) * kv_scale).astype(q.dtype)
         s = jax.lax.dot_general(
@@ -156,7 +159,7 @@ def _paged_attention_kernel(
         p = jnp.exp(s - m_new)               # [kvh, gp, tok]
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-        v = jnp.swapaxes(v_vmem[slot], 0, 1)  # [kvh, tok, hd]
+        v = v_vmem[slot]                      # [kvh, tok, hd]
         if v.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
             v = (v.astype(jnp.float32) * kv_scale).astype(q.dtype)
         # [kvh, gp, tok] x [kvh, tok, hd] -> [kvh, gp, hd]; cast the
@@ -187,7 +190,7 @@ def _round_up(x: int, m: int) -> int:
     static_argnames=("pages_per_chunk", "scale", "kv_scale", "interpret"))
 def paged_attention(
     q: jax.Array,             # [B, num_q_heads, head_dim]
-    k_pages: jax.Array,       # [(L,) num_pages, page_size, kvh, head_dim]
+    k_pages: jax.Array,       # [(L,) num_pages, kvh, page_size, head_dim]
     v_pages: jax.Array,
     block_tables: jax.Array,  # [B, pages_per_seq] int32
     context_lens: jax.Array,  # [B] int32
@@ -210,9 +213,9 @@ def paged_attention(
     stacked = k_pages.ndim == 5
     if stacked:
         assert layer_index is not None
-        _, num_pages, page_size, num_kv_heads, head_dim_k = k_pages.shape
+        _, num_pages, num_kv_heads, page_size, head_dim_k = k_pages.shape
     else:
-        num_pages, page_size, num_kv_heads, head_dim_k = k_pages.shape
+        num_pages, num_kv_heads, page_size, head_dim_k = k_pages.shape
     assert head_dim == head_dim_k
     assert num_q_heads % num_kv_heads == 0
     group = num_q_heads // num_kv_heads
@@ -284,9 +287,9 @@ def paged_attention(
                 lambda b, i, *_: (b, 0, 0, 0),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, chunk_tokens, num_kv_heads, head_dim),
+                pltpu.VMEM((2, num_kv_heads, chunk_tokens, head_dim),
                            k_pages.dtype),
-                pltpu.VMEM((2, chunk_tokens, num_kv_heads, head_dim),
+                pltpu.VMEM((2, num_kv_heads, chunk_tokens, head_dim),
                            v_pages.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
                 pltpu.VMEM((num_kv_heads, group_padded, 128), jnp.float32),
@@ -330,18 +333,22 @@ def paged_attention_reference(
         v_pages = jax.lax.dynamic_index_in_dim(v_pages, layer_index,
                                                keepdims=False)
     batch, num_q_heads, head_dim = q.shape
-    num_pages, page_size, num_kv_heads, _ = k_pages.shape
+    num_pages, num_kv_heads, page_size, _ = k_pages.shape
     group = num_q_heads // num_kv_heads
     pages_per_seq = block_tables.shape[1]
     max_len = pages_per_seq * page_size
     if scale is None:
         scale = 1.0 / (head_dim**0.5)
 
-    # [B*pages, ps, kvh, hd] -> [B, T, kvh, hd] -> [B, kvh, T, hd]
+    # [B*pages, kvh, ps, hd] -> [B, pages, kvh, ps, hd] -> [B, kvh, T, hd]
     k = jnp.take(k_pages, block_tables.reshape(-1), axis=0, mode="clip")
-    k = k.reshape(batch, max_len, num_kv_heads, head_dim).swapaxes(1, 2)
+    k = k.reshape(batch, pages_per_seq, num_kv_heads, page_size,
+                  head_dim).transpose(0, 2, 1, 3, 4).reshape(
+                      batch, num_kv_heads, max_len, head_dim)
     v = jnp.take(v_pages, block_tables.reshape(-1), axis=0, mode="clip")
-    v = v.reshape(batch, max_len, num_kv_heads, head_dim).swapaxes(1, 2)
+    v = v.reshape(batch, pages_per_seq, num_kv_heads, page_size,
+                  head_dim).transpose(0, 2, 1, 3, 4).reshape(
+                      batch, num_kv_heads, max_len, head_dim)
     if k.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
         k = k.astype(jnp.float32) * kv_scale
         v = v.astype(jnp.float32) * kv_scale

@@ -130,6 +130,6 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def kv_cache_spec() -> P:
-    """KV pages shard over KV heads on the model axis (page-major layout
-    [num_pages, page_size, num_kv_heads, head_dim])."""
-    return P(None, None, MODEL_AXIS, None)
+    """KV pages shard over KV heads on the model axis (head-major page
+    layout [num_pages, num_kv_heads, page_size, head_dim])."""
+    return P(None, MODEL_AXIS, None, None)

@@ -3,10 +3,10 @@
 Role-parity with the reference's ``vllm/worker/cache_engine.py``: allocate
 per-layer K/V page arrays on device plus host swap space, execute the
 scheduler's swap-in/swap-out/copy plans each step.  The layout is the
-TPU-native ``[num_kv_heads, num_pages, page_size, head_dim]`` — one page
-of one bf16 KV head is exactly one (16, 128) tile when page_size=16 and
-head_dim=128, so the Pallas paged-attention kernel streams whole tiles —
-instead of the reference's x-packed GPU layout (cache_engine.py:60-93).
+TPU-native ``[num_pages, num_kv_heads, page_size, head_dim]`` — one page
+is one contiguous head-major block, so the Pallas paged-attention kernel
+issues a single DMA per page that lands relayout-free in VMEM — instead
+of the reference's x-packed GPU layout (cache_engine.py:60-93).
 """
 from __future__ import annotations
 
@@ -42,7 +42,7 @@ class CacheEngine:
         self.model_config = model_config
         self.parallel_config = parallel_config
         self.mesh = mesh
-        # Stacked layout [L, kvh, pages, ps, hd] feeds lax.scan models
+        # Stacked layout [L, pages, kvh, ps, hd] feeds lax.scan models
         # (one array pair instead of a per-layer list; swap/copy plans
         # apply across all layers in one op).
         self.stacked = stacked
@@ -61,8 +61,9 @@ class CacheEngine:
         self.host_cache = self._allocate_host_cache()
 
     def _page_shape(self, num_pages: int) -> Tuple[int, int, int, int]:
-        # Page-major: one page = one contiguous [ps, kvh, hd] block.
-        return (num_pages, self.page_size, self.num_kv_heads, self.head_dim)
+        # Page-major, head-major interior: one page = one contiguous
+        # [kvh, ps, hd] block (see ops/paged_attention.py).
+        return (num_pages, self.num_kv_heads, self.page_size, self.head_dim)
 
     def _allocate_device_cache(self):
         shape = self._page_shape(self.num_device_pages)
