@@ -26,7 +26,8 @@ V5E_HBM_GBPS = 819.0
 
 def main(args):
     from vllm_splitwise_tpu.ops.quant_matmul import (
-        quant_matmul_int4_stacked, pack_sz_bands)
+        quant_matmul_int4_mxu_stacked, quant_matmul_int4_stacked,
+        pack_sz_bands)
 
     m, k, n, g, L = args.m, args.k, args.n, args.group_size, args.layers
     rng = np.random.RandomState(0)
@@ -48,7 +49,9 @@ def main(args):
         def body(carry, inp):
             x_l, l = inp
             x = x_l + carry * 1e-30        # serialize: depends on prev out
-            out = quant_matmul_int4_stacked(x, qw, sz, l, group_size=g)
+            fn = (quant_matmul_int4_mxu_stacked if args.mxu
+                  else quant_matmul_int4_stacked)
+            out = fn(x, qw, sz, l, group_size=g)
             return out.astype(jnp.float32).max(), None
         acc, _ = lax.scan(body, jnp.float32(0),
                           (xs, jnp.arange(L, dtype=jnp.int32)))
@@ -65,7 +68,8 @@ def main(args):
     sz_bytes = int(sz.shape[1]) * n * 4 // 1
     bw = (w_bytes + sz_bytes) / t / 1e9
     bw_w = w_bytes / t / 1e9
-    print(f"int4_stacked {m}x{k}x{n} g{g} L{L}: {t*1e6:7.1f} us/layer  "
+    tag = "int4_mxu" if args.mxu else "int4_stacked"
+    print(f"{tag} {m}x{k}x{n} g{g} L{L}: {t*1e6:7.1f} us/layer  "
           f"stream {bw:6.1f} GB/s ({100*bw/V5E_HBM_GBPS:5.1f}% roofline; "
           f"weights-only {bw_w:6.1f} GB/s)  "
           f"[w {w_bytes/2**20:.1f} MiB + s/z {sz_bytes/2**20:.1f} MiB]")
@@ -78,4 +82,6 @@ if __name__ == "__main__":
     p.add_argument("--n", type=int, default=11008)
     p.add_argument("--group-size", type=int, default=128)
     p.add_argument("--layers", type=int, default=32)
+    p.add_argument("--mxu", action="store_true",
+                   help="W4A8 int8-MXU kernel instead of bf16 dequant")
     main(p.parse_args())

@@ -137,3 +137,30 @@ def test_dense_dispatch_quant_dict():
                                   g, dtype=jnp.float32))
     np.testing.assert_allclose(np.asarray(out), x @ deq, atol=2e-2,
                                rtol=2e-2)
+
+
+def test_int4_mxu_stacked_matches_dequant_kernel():
+    """W4A8 path (int8 activations through the MXU) tracks the bf16
+    dequant kernel within activation-quantization error."""
+    from vllm_splitwise_tpu.ops.quant_matmul import (
+        pack_int4, pack_sz_bands, quant_matmul_int4_mxu_stacked,
+        quant_matmul_int4_stacked)
+
+    rng = np.random.RandomState(0)
+    L, m, k, n, g = 2, 8, 256, 384, 32
+    w_int = rng.randint(0, 16, size=(L, k, n))
+    scales = rng.rand(L, k // g, n).astype(np.float32) * 0.02 + 0.01
+    zeros = rng.randint(0, 16, size=(L, k // g, n)).astype(np.float32)
+    qw = jnp.asarray(np.stack([pack_int4(w_int[l], g) for l in range(L)]))
+    sz = pack_sz_bands(jnp.asarray(scales), jnp.asarray(zeros), g)
+    x = jnp.asarray(rng.standard_normal((m, k)), dtype=jnp.float32)
+
+    for l in range(L):
+        ref = quant_matmul_int4_stacked(x, qw, sz, jnp.int32(l),
+                                        group_size=g, interpret=True)
+        got = quant_matmul_int4_mxu_stacked(x, qw, sz, jnp.int32(l),
+                                            group_size=g, interpret=True)
+        r = np.asarray(ref, dtype=np.float64)
+        o = np.asarray(got, dtype=np.float64)
+        rel = np.abs(o - r).max() / (np.abs(r).max() + 1e-9)
+        assert rel < 0.02, rel

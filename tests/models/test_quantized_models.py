@@ -76,10 +76,16 @@ def _make_quant_checkpoint(tmpdir: str, method: str):
 
 
 @pytest.mark.parametrize("method", ["gptq", "awq"])
-def test_quantized_engine_matches_dequant_oracle(method, tmp_path):
+def test_quantized_engine_matches_dequant_oracle(method, tmp_path,
+                                                 monkeypatch):
     import torch
 
     from vllm_splitwise_tpu import LLM, SamplingParams
+
+    # Exact-equality oracle needs the pure bf16-dequant matmul; the
+    # default W4A8 path adds per-token activation-quant error (covered
+    # by test_w4a8_engine_close_to_oracle below).
+    monkeypatch.setenv("VST_W4A8", "0")
     d, hf, config = _make_quant_checkpoint(str(tmp_path), method)
 
     llm = LLM(model=d, dtype="float32", max_model_len=256,
@@ -104,6 +110,40 @@ def test_quantized_engine_matches_dequant_oracle(method, tmp_path):
                                  max_new_tokens=max_tokens,
                                  do_sample=False)
         assert out.outputs[0].token_ids == hf_out[0, len(ids):].tolist()
+
+
+def test_w4a8_engine_close_to_oracle(tmp_path, monkeypatch):
+    """Default (W4A8) engine path: greedy outputs may diverge from the
+    dequant oracle after a few tokens, but the FIRST token — driven by a
+    single forward pass — must match on most prompts (activation int8
+    error ~0.4% relative)."""
+    import torch
+
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    monkeypatch.setenv("VST_W4A8", "1")
+    d, hf, config = _make_quant_checkpoint(str(tmp_path), "gptq")
+
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=64, max_num_seqs=8,
+              max_paddings=512, swap_space=0.1)
+
+    rng = np.random.RandomState(2)
+    prompt_ids = [
+        rng.randint(3, config.vocab_size, size=16).tolist()
+        for _ in range(4)
+    ]
+    outs = llm.generate(prompt_token_ids=prompt_ids,
+                        sampling_params=SamplingParams(temperature=0.0,
+                                                       max_tokens=1,
+                                                       ignore_eos=True),
+                        use_tqdm=False)
+    matches = 0
+    for ids, out in zip(prompt_ids, outs):
+        with torch.no_grad():
+            hf_out = hf.generate(torch.tensor([ids]), max_new_tokens=1,
+                                 do_sample=False)
+        matches += int(out.outputs[0].token_ids[0] == int(hf_out[0, -1]))
+    assert matches >= 3, matches
 
 
 def test_int8_on_the_fly_close_to_dense(tmp_path):

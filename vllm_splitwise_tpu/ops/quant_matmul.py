@@ -450,7 +450,10 @@ def quant_matmul_int4_stacked(
     # grid only walks the real blocks.
     assert kk * 2 >= k, (k, kk)
 
-    if not (_use_pallas() or interpret):
+    # Mosaic needs the [bm, 2G] x-block lane dim 128-aligned (or equal to
+    # K); unaligned group sizes (e.g. G=32 with K>64) take the XLA path.
+    lane_ok = (2 * g) % 128 == 0 or 2 * g == k
+    if not ((_use_pallas() and lane_ok) or interpret):
         qw = jax.lax.dynamic_index_in_dim(qweight, layer_index,
                                           keepdims=False)[:k // 2]
         sz = jax.lax.dynamic_index_in_dim(sz_bands, layer_index,
@@ -570,4 +573,167 @@ def quant_matmul_int8_stacked(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(layer_arr, x.astype(jnp.bfloat16), qweight, scales)
+    return out[:m] if m_pad else out
+
+
+# ---------------------------------------------------------------------------
+# W4A8 variant: int8 activations through the native int8 MXU.
+#
+# The bf16-dequant kernels above spend most of their VPU budget turning
+# nibbles into bf16 ((q - z) * s on every weight element).  Here the
+# activations are quantized per-token to int8 (one scale per row), the
+# MXU runs native int8 x int8 -> int32 per group, and dequantization
+# collapses into a per-block epilogue on the [bm, bn] accumulator:
+#
+#   out[m, n] = sx[m] * sum_g s_g[n] * (acc_g[m, n] - z_g[n] * sumx_g[m])
+#
+# VPU work per weight element drops to unpack+narrow (no bf16 math).
+# ---------------------------------------------------------------------------
+
+
+def quantize_activations_int8(x: jax.Array, group_size: int):
+    """[M, K] float -> (xq int8 [M, K], sx f32 [M, 1], sums f32 [M, K/G]).
+
+    Per-token symmetric quantization; ``sums`` are the per-group sums of
+    the quantized activations needed for the zero-point term."""
+    m, k = x.shape
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-10)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    sums = xq.astype(jnp.float32).reshape(m, k // group_size,
+                                          group_size).sum(-1)
+    return xq, sx, sums
+
+
+def _int4_mxu_kernel_stacked(
+    layer_ref,    # [1] int32 (scalar prefetch)
+    x_ref,        # [bm, 2G] int8
+    sums_ref,     # [bm, 128] f32 (this k-block's group sums in cols 0/1)
+    q_ref,        # [1, G, bn] int8 pack2G
+    sz_ref,       # [1, 8, bn] f32 (pack_sz_bands)
+    o_ref,        # [bm, bn] f32 (pre-sx output)
+    acc_ref,      # [bm, bn] f32
+    *,
+    group_size: int,
+):
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = q_ref[0].astype(jnp.uint8).astype(jnp.int32)
+    lo = (p & 0xF).astype(jnp.int8)           # [G, bn] in [0, 15]
+    hi = (p >> 4).astype(jnp.int8)
+
+    xq = x_ref[...]                            # [bm, 2G] int8
+    acc_lo = jax.lax.dot_general(
+        xq[:, :group_size], lo,
+        dimension_numbers=(((1, ), (0, )), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc_hi = jax.lax.dot_general(
+        xq[:, group_size:], hi,
+        dimension_numbers=(((1, ), (0, )), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    even = (kb % 2) == 0
+    sz = sz_ref[0]
+    s0 = jnp.where(even, sz[0:1, :], sz[4:5, :])
+    s1 = jnp.where(even, sz[1:2, :], sz[5:6, :])
+    z0 = jnp.where(even, sz[2:3, :], sz[6:7, :])
+    z1 = jnp.where(even, sz[3:4, :], sz[7:8, :])
+
+    sum0 = sums_ref[:, 0:1]                    # [bm, 1]
+    sum1 = sums_ref[:, 1:2]
+    acc_ref[...] += ((acc_lo.astype(jnp.float32) - sum0 * z0) * s0 +
+                     (acc_hi.astype(jnp.float32) - sum1 * z1) * s1)
+
+    @pl.when(kb == num_kb - 1)
+    def _():
+        o_ref[...] = acc_ref[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "block_m", "block_n",
+                              "interpret"))
+def quant_matmul_int4_mxu_stacked(
+    x: jax.Array,          # [M, K] float (bf16/f32)
+    qweight: jax.Array,    # [L, K/2, N] int8 pack2G
+    sz_bands: jax.Array,   # [L, ceil(nb/2)*8, N]
+    layer_index: jax.Array,
+    *,
+    group_size: int,
+    block_m: int = 0,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """W4A8 path: y ~= x @ dequant(qweight) with int8-MXU group matmuls.
+
+    Activation quantization adds ~0.4% relative error on top of the int4
+    weight quantization (per-token symmetric int8)."""
+    m, k = x.shape
+    num_layers, kk, n = qweight.shape
+    g = group_size
+    nb = k // (2 * g)
+    assert kk * 2 >= k, (k, kk)
+
+    # Mosaic needs the [bm, 2G] x-block lane dim 128-aligned (or == K).
+    lane_ok = (2 * g) % 128 == 0 or 2 * g == k
+    if not ((_use_pallas() and lane_ok) or interpret):
+        qw = jax.lax.dynamic_index_in_dim(qweight, layer_index,
+                                          keepdims=False)[:k // 2]
+        sz = jax.lax.dynamic_index_in_dim(sz_bands, layer_index,
+                                          keepdims=False)
+        s, z = unpack_sz_bands(sz, k, g)
+        xq, sx, _ = quantize_activations_int8(x, g)
+        xd = xq.astype(jnp.float32) * sx
+        return quant_matmul_int4_reference(xd.astype(x.dtype), qw, s, z, g)
+
+    xq, sx, sums = quantize_activations_int8(x, g)
+    # Lane-pad each k-block's two group sums to a 128-wide column so the
+    # grid's BlockSpec can deliver them at STATIC in-kernel positions
+    # (dynamic lane slicing is not a Mosaic primitive).
+    sums_wide = jnp.zeros((m, nb, 128), jnp.float32)
+    sums_wide = sums_wide.at[:, :, :2].set(sums.reshape(m, nb, 2))
+    sums_wide = sums_wide.reshape(m, nb * 128)
+
+    if block_m == 0:
+        block_m = 128 if m >= 128 else max(8, _round_up(m, 8))
+    block_n = _pick_block(n, block_n)
+    bk = 2 * g
+    grid = (_cdiv(m, block_m), n // block_n, nb)
+
+    m_pad = _round_up(m, block_m) - m
+    if m_pad:
+        xq = jnp.pad(xq, ((0, m_pad), (0, 0)))
+        sums_wide = jnp.pad(sums_wide, ((0, m_pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, m_pad), (0, 0)))
+
+    layer_arr = jnp.asarray([layer_index], dtype=jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_int4_mxu_kernel_stacked, group_size=g),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, bk), lambda i, j, kb, L: (i, kb)),
+                pl.BlockSpec((block_m, 128),
+                             lambda i, j, kb, L: (i, kb)),
+                pl.BlockSpec((1, g, block_n),
+                             lambda i, j, kb, L: (L[0], kb, j)),
+                pl.BlockSpec((1, 8, block_n),
+                             lambda i, j, kb, L: (L[0], kb // 2, j)),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n),
+                                   lambda i, j, kb, L: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m + m_pad, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(layer_arr, xq, sums_wide, qweight, sz_bands)
+    out = (out * sx).astype(x.dtype)
     return out[:m] if m_pad else out
