@@ -109,7 +109,7 @@ def build(size: str, quant: str, seed: int = 0):
 
 
 def measure_decode(model, params, config, batch, context, steps,
-                   page_size=32):
+                   page_size=32, kv_dtype="bf16"):
     from vllm_splitwise_tpu.layers.sampler import SamplingTensors, sample
     from vllm_splitwise_tpu.models.input_metadata import DecodeMetadata
 
@@ -120,11 +120,19 @@ def measure_decode(model, params, config, batch, context, steps,
     # Stacked caches drive the lax.scan layer loop: one layer body
     # compiles instead of num_layers (compile time at 32 layers drops
     # ~10x), and the donation graph stays two arrays.
+    cache_dt = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn,
+                "int8": jnp.int8}[kv_dtype]
+    if kv_dtype != "bf16":
+        # Engine default scale for int8 caches (CacheConfig.kv_scale);
+        # keeps the timed path identical to real serving (round+clip on
+        # write, dequant multiply in-kernel on read).
+        for attn in model.attn:
+            attn.kv_scale = 1.0 / 16.0 if kv_dtype == "int8" else 1.0
     kv_caches = (
         jnp.zeros((model.num_layers, num_pages, model.num_kv_heads,
-                   page_size, model.head_dim), dtype=jnp.bfloat16),
+                   page_size, model.head_dim), dtype=cache_dt),
         jnp.zeros((model.num_layers, num_pages, model.num_kv_heads,
-                   page_size, model.head_dim), dtype=jnp.bfloat16),
+                   page_size, model.head_dim), dtype=cache_dt),
     )
 
     tables = np.zeros((b, pages_per_seq), dtype=np.int32)
@@ -208,6 +216,8 @@ def main():
     parser.add_argument("--context", type=int, default=768)
     parser.add_argument("--steps", type=int, default=64)
     parser.add_argument("--page-size", type=int, default=16)
+    parser.add_argument("--kv-dtype", choices=["bf16", "fp8", "int8"],
+                        default="bf16")
     parser.add_argument("--size", choices=list(_SHAPES), default=None)
     parser.add_argument("--quant", choices=["int4", "int8", "bf16"],
                         default="int4")
@@ -227,7 +237,8 @@ def main():
     _log("params ready")
     toks, stream = measure_decode(model, params, config, args.batch,
                                   args.context, args.steps,
-                                  page_size=args.page_size)
+                                  page_size=args.page_size,
+                                  kv_dtype=args.kv_dtype)
     del params
 
     # North-star ratio: int4 vs bf16 at the SAME config.  The 7B bf16 leg

@@ -195,12 +195,20 @@ class CacheConfig:
         swap_space: float = 4.0,
         cache_dtype: str = "auto",
         sliding_window: Optional[int] = None,
+        kv_scale: Optional[float] = None,
     ) -> None:
         self.block_size = block_size
         self.hbm_utilization = hbm_utilization
         self.swap_space_bytes = int(swap_space * _GiB)
         self.cache_dtype = cache_dtype
         self.sliding_window = sliding_window
+        # Quantized caches store x / kv_scale; attention multiplies back
+        # on read.  Default: 1/16 for int8 (step 0.0625, range +-7.9 --
+        # covers typical RMSNorm'd K/V with headroom), 1.0 for fp8
+        # (e4m3/e5m2 dynamic range absorbs the magnitudes directly).
+        if kv_scale is None:
+            kv_scale = 1.0 / 16.0 if cache_dtype == "int8" else 1.0
+        self.kv_scale = float(kv_scale)
         self._verify_args()
         self._verify_cache_dtype()
 

@@ -28,6 +28,7 @@ class EngineArgs:
     load_format: str = "auto"
     dtype: str = "auto"
     kv_cache_dtype: str = "auto"
+    kv_scale: 'Optional[float]' = None
     seed: int = 0
     max_model_len: Optional[int] = None
     worker_use_ray: bool = False
@@ -89,6 +90,9 @@ class EngineArgs:
         parser.add_argument("--kv-cache-dtype", type=str,
                             default=EngineArgs.kv_cache_dtype,
                             choices=["auto", "fp8_e5m2", "fp8_e4m3", "int8"])
+        parser.add_argument("--kv-scale", type=float, default=None,
+                            help="dequant scale for quantized KV caches "
+                            "(default: 1/16 for int8, 1.0 for fp8)")
         parser.add_argument("--max-model-len", type=int, default=None)
         parser.add_argument("--worker-use-ray", action="store_true",
                             help="accepted for CLI parity; unused on TPU")
@@ -169,7 +173,8 @@ class EngineArgs:
             hbm_utilization=self.gpu_memory_utilization,
             swap_space=self.swap_space,
             cache_dtype=self.kv_cache_dtype,
-            sliding_window=model_config.get_sliding_window())
+            sliding_window=model_config.get_sliding_window(),
+            kv_scale=self.kv_scale)
         cache_config.enable_prefix_caching = self.enable_prefix_caching
         if self.num_gpu_blocks_override is not None:
             cache_config.num_device_blocks = self.num_gpu_blocks_override

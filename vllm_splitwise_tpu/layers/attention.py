@@ -125,13 +125,13 @@ class Attention:
         if stacked:
             k_pages, v_pages = write_prefill_rows(
                 k_flat, v_flat, k_pages, v_pages, md.slot_mapping,
-                layer_index)
+                layer_index, kv_scale=self.kv_scale)
         else:
             # Non-stacked models: route through the same page-tile
             # writer via a single-layer view.
             k5, v5 = write_prefill_rows(
                 k_flat, v_flat, k_pages[None], v_pages[None],
-                md.slot_mapping, jnp.int32(0))
+                md.slot_mapping, jnp.int32(0), kv_scale=self.kv_scale)
             k_pages, v_pages = k5[0], v5[0]
 
         if self.kv_push_fn is not None:
@@ -155,6 +155,10 @@ class Attention:
             def to_tokens(pages):
                 g = jnp.take(pages, md.block_tables.reshape(-1), axis=0,
                              mode="clip")
+                if g.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2,
+                               jnp.int8):
+                    g = (g.astype(jnp.float32) *
+                         self.kv_scale).astype(q.dtype)
                 g = g.reshape(bsz, max_pages, cache_heads, page_size,
                               self.head_dim)
                 # [b, pages, kvh, ps, hd] -> [b, T, kvh, hd]
@@ -190,7 +194,7 @@ class Attention:
             k_pages, v_pages = write_to_kv_cache_stacked(
                 self._pad_heads(k, cache_heads),
                 self._pad_heads(v, cache_heads), k_pages, v_pages,
-                md.slot_mapping, layer_index)
+                md.slot_mapping, layer_index, kv_scale=self.kv_scale)
             k_view, v_view = k_pages, v_pages
             assert cache_heads == self.num_kv_heads, (
                 "stacked caches require homogeneous KV heads")
@@ -198,7 +202,7 @@ class Attention:
             k_pages, v_pages = write_to_kv_cache(
                 self._pad_heads(k, cache_heads),
                 self._pad_heads(v, cache_heads), k_pages, v_pages,
-                md.slot_mapping)
+                md.slot_mapping, kv_scale=self.kv_scale)
             k_view = k_pages[..., :self.num_kv_heads, :, :] \
                 if cache_heads != self.num_kv_heads else k_pages
             v_view = v_pages[..., :self.num_kv_heads, :, :] \

@@ -23,12 +23,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def quantize_for_cache(x: jax.Array, cache_dtype,
+                       kv_scale: float = 1.0) -> jax.Array:
+    """Narrow K/V to the cache dtype.
+
+    Quantized caches (int8 / fp8) store ``x / kv_scale``; the attention
+    kernels multiply back by ``kv_scale`` on read (the reference's
+    fp8-e5m2 cache path, csrc/quantization/fp8_e5m2_kvcache).  int8 gets
+    round+clip; fp8 saturates on its own."""
+    cache_dtype = jnp.dtype(cache_dtype)
+    if cache_dtype == jnp.int8:
+        xf = x.astype(jnp.float32) / kv_scale
+        return jnp.clip(jnp.round(xf), -127, 127).astype(jnp.int8)
+    if cache_dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        xf = x.astype(jnp.float32)
+        if kv_scale != 1.0:
+            xf = xf / kv_scale
+        return xf.astype(cache_dtype)
+    return x.astype(cache_dtype)
+
+
 def write_to_kv_cache(
     k: jax.Array,            # [num_tokens, num_kv_heads, head_dim]
     v: jax.Array,
     k_pages: jax.Array,      # [num_pages, kvh, page_size, head_dim]
     v_pages: jax.Array,
     slot_mapping: jax.Array,  # [num_tokens] int32, -1 = padding (dropped)
+    kv_scale: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Scatter freshly computed K/V vectors into their cache slots.
 
@@ -38,8 +59,8 @@ def write_to_kv_cache(
     """
     num_pages, num_kv_heads, page_size, head_dim = k_pages.shape
 
-    k = k.astype(k_pages.dtype)
-    v = v.astype(v_pages.dtype)
+    k = quantize_for_cache(k, k_pages.dtype, kv_scale)
+    v = quantize_for_cache(v, v_pages.dtype, kv_scale)
 
     slots = slot_mapping
     pages = jnp.where(slots < 0, num_pages, slots // page_size)
@@ -56,6 +77,7 @@ def write_to_kv_cache_stacked(
     v_all: jax.Array,
     slot_mapping: jax.Array,  # [num_tokens] int32, -1 = padding
     layer: jax.Array,         # scalar int32
+    kv_scale: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Scatter K/V into layer `layer` of a STACKED cache without slicing
     out the layer.
@@ -66,8 +88,8 @@ def write_to_kv_cache_stacked(
     """
     num_layers, num_pages, num_kv_heads, page_size, head_dim = k_all.shape
     num_tokens = k.shape[0]
-    k = k.astype(k_all.dtype)
-    v = v.astype(v_all.dtype)
+    k = quantize_for_cache(k, k_all.dtype, kv_scale)
+    v = quantize_for_cache(v, v_all.dtype, kv_scale)
     layer = jnp.asarray(layer, jnp.int32)
 
     # Head-major pages make a token a STRIDED [kvh, 1, hd] slab; both a
@@ -103,6 +125,7 @@ def write_prefill_rows(
     v_all: jax.Array,
     slot_rows: jax.Array,     # [B, T_pad] int32; each row CONSECUTIVE
     layer: jax.Array,         # scalar int32       slots (-1 = padding)
+    kv_scale: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Prefill-size write: build whole page tiles from each sequence's
     consecutive slot run and write them with page-granularity
@@ -115,8 +138,10 @@ def write_prefill_rows(
     """
     num_layers, num_pages, num_kv_heads, page_size, head_dim = k_all.shape
     bsz, t_pad = slot_rows.shape
-    k = k.astype(k_all.dtype).reshape(bsz, t_pad, num_kv_heads, head_dim)
-    v = v.astype(v_all.dtype).reshape(bsz, t_pad, num_kv_heads, head_dim)
+    k = quantize_for_cache(k, k_all.dtype, kv_scale).reshape(
+        bsz, t_pad, num_kv_heads, head_dim)
+    v = quantize_for_cache(v, v_all.dtype, kv_scale).reshape(
+        bsz, t_pad, num_kv_heads, head_dim)
     layer = jnp.asarray(layer, jnp.int32)
 
     npr = t_pad // page_size + 1        # page tiles per row

@@ -109,6 +109,13 @@ class ModelRunner:
 
     def load_model(self) -> None:
         self.model, host_params = get_model(self.model_config)
+        # Quantized KV caches (--kv-cache-dtype int8/fp8): attention
+        # modules must write x/kv_scale and dequantize on read (the
+        # reference wires cache dtype through CacheEngine into the CUDA
+        # attention kernels; here the scale lives on the module).
+        if self.cache_config.cache_dtype != "auto":
+            for attn in getattr(self.model, "attn", []):
+                attn.kv_scale = self.cache_config.kv_scale
         if self.mesh is not None:
             from vllm_splitwise_tpu.parallel.mesh import shard_pytree
             self.params = shard_pytree(host_params,
