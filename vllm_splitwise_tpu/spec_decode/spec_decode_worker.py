@@ -43,11 +43,21 @@ class SpecDecodeWorker:
 
     def __init__(self, draft_worker, target_worker, num_spec_tokens: int,
                  seed: int = 0) -> None:
+        from vllm_splitwise_tpu.spec_decode.metrics import \
+            AsyncMetricsCollector
         self.proposer = MultiStepWorker(draft_worker)
         self.scorer = BatchExpansionTop1Scorer(target_worker)
         self.k = num_spec_tokens
         self.stats = SpecDecodeStats()
+        # Non-blocking aggregate metrics (reference AsyncMetricsCollector
+        # role); poll maybe_collect_rejsample_metrics(k) for snapshots.
+        self.metrics_collector = AsyncMetricsCollector()
+        self.metrics_collector.init_tensors(rank=0)
         self._key = jax.random.PRNGKey(seed)
+
+    def maybe_collect_rejsample_metrics(self):
+        return self.metrics_collector.maybe_collect_rejsample_metrics(
+            self.k)
 
     def step(
         self,
@@ -73,4 +83,6 @@ class SpecDecodeWorker:
         self.stats.num_spec_tokens += b * self.k
         self.stats.num_accepted += int(np.asarray(out.num_accepted).sum())
         self.stats.num_emitted += int(np.asarray(out.num_emitted).sum())
+        self.metrics_collector.observe(out.num_accepted, out.num_emitted,
+                                       num_draft_tokens=b * self.k)
         return np.asarray(out.output_token_ids)
