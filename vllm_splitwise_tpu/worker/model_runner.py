@@ -459,7 +459,12 @@ class ModelRunner:
         sp = md.sampling_params
         data = md.seq_data[seq_id]
         is_greedy = sp.sampling_type == SamplingType.GREEDY
-        temps.append(max(sp.temperature, 1e-5))
+        # Zero temperature means deterministic sampling (argmax via the
+        # greedy mask); use 1.0 for the softmax so reported logprobs and
+        # beam-search cumulative scores stay undistorted (reference
+        # sampling_metadata.py:101-105 — clamping to a tiny epsilon
+        # instead collapses every beam onto the greedy path).
+        temps.append(sp.temperature if sp.temperature >= 1e-5 else 1.0)
         top_ps.append(sp.top_p)
         top_ks.append(sp.top_k if sp.top_k > 0 else vocab_size)
         min_ps.append(sp.min_p)
