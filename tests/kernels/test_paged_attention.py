@@ -75,6 +75,35 @@ def test_paged_attention_nondivisible_pages():
                                atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("num_q_heads,num_kv_heads", [(8, 8), (8, 2)])
+def test_paged_attention_int8_kv_w8a8(num_q_heads, num_kv_heads):
+    """int8 KV pages take the W8A8 kernel path (int8 q and probs through
+    the MXU); output must track the dequantizing reference within
+    combined quantization error."""
+    batch, head_dim, page_size = 4, 128, 16
+    pages_per_seq, num_pages = 8, 64
+    rng = np.random.RandomState(7)
+    kv_scale = 1.0 / 16.0
+    q = jnp.asarray(rng.randn(batch, num_q_heads, head_dim),
+                    dtype=jnp.float32)
+    kf = rng.randn(num_pages, num_kv_heads, page_size, head_dim)
+    vf = rng.randn(num_pages, num_kv_heads, page_size, head_dim)
+    kp = jnp.asarray(np.clip(np.round(kf / kv_scale), -127, 127),
+                     dtype=jnp.int8)
+    vp = jnp.asarray(np.clip(np.round(vf / kv_scale), -127, 127),
+                     dtype=jnp.int8)
+    perm = rng.permutation(num_pages)[:batch * pages_per_seq]
+    bt = jnp.asarray(perm.reshape(batch, pages_per_seq), dtype=jnp.int32)
+    cl = jnp.asarray(rng.randint(1, pages_per_seq * page_size + 1,
+                                 size=(batch, )), dtype=jnp.int32)
+
+    ref = paged_attention_reference(q, kp, vp, bt, cl, kv_scale=kv_scale)
+    out = paged_attention(q, kp, vp, bt, cl, kv_scale=kv_scale,
+                          pages_per_chunk=2, interpret=not _on_tpu())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=4e-2, rtol=4e-2)
+
+
 def test_paged_attention_bf16():
     batch, head_dim = 2, 128
     q, kp, vp, bt, cl = make_inputs(3, batch, 8, 2, head_dim, 16, 32, 4,

@@ -48,6 +48,7 @@ class ModelConfig:
         quantization: Optional[str] = None,
         enforce_eager: bool = False,
         max_context_len_to_capture: Optional[int] = None,
+        max_logprobs: int = 5,
         hf_config=None,
     ) -> None:
         self.model = model
@@ -63,6 +64,9 @@ class ModelConfig:
         self.quantization = quantization
         self.enforce_eager = enforce_eager
         self.max_context_len_to_capture = max_context_len_to_capture
+        # Cap on per-request logprobs (OpenAI default; reference
+        # config.py:85,100).
+        self.max_logprobs = max_logprobs
 
         self.hf_config = hf_config if hf_config is not None else get_hf_config(
             model, trust_remote_code=trust_remote_code, revision=revision,

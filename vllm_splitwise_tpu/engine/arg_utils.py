@@ -29,6 +29,7 @@ class EngineArgs:
     dtype: str = "auto"
     kv_cache_dtype: str = "auto"
     kv_scale: 'Optional[float]' = None
+    max_logprobs: int = 5  # OpenAI default value
     seed: int = 0
     max_model_len: Optional[int] = None
     worker_use_ray: bool = False
@@ -93,6 +94,14 @@ class EngineArgs:
         parser.add_argument("--kv-scale", type=float, default=None,
                             help="dequant scale for quantized KV caches "
                             "(default: 1/16 for int8, 1.0 for fp8)")
+        parser.add_argument("--max-logprobs", type=int,
+                            default=EngineArgs.max_logprobs,
+                            help="max number of log probs to return per "
+                            "token")
+        parser.add_argument("--ray-workers-use-nsight",
+                            action="store_true",
+                            help="accepted for CLI parity; profile with "
+                            "jax.profiler traces on TPU instead")
         parser.add_argument("--max-model-len", type=int, default=None)
         parser.add_argument("--worker-use-ray", action="store_true",
                             help="accepted for CLI parity; unused on TPU")
@@ -167,7 +176,8 @@ class EngineArgs:
             self.trust_remote_code, self.download_dir, self.load_format,
             self.dtype, self.seed, self.revision, self.code_revision,
             self.tokenizer_revision, self.max_model_len, self.quantization,
-            self.enforce_eager, self.max_context_len_to_capture)
+            self.enforce_eager, self.max_context_len_to_capture,
+            self.max_logprobs)
         cache_config = CacheConfig(
             block_size=self.block_size,
             hbm_utilization=self.gpu_memory_utilization,

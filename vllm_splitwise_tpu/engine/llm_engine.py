@@ -131,6 +131,13 @@ class LLMEngine:
     ) -> None:
         if arrival_time is None:
             arrival_time = time.time()
+        max_logprobs = self.model_config.max_logprobs
+        if (sampling_params.logprobs
+                and sampling_params.logprobs > max_logprobs) or (
+                    sampling_params.prompt_logprobs
+                    and sampling_params.prompt_logprobs > max_logprobs):
+            raise ValueError(f"Cannot request more than "
+                             f"{max_logprobs} logprobs.")
         prompt_token_ids = self.encode_request(request_id, prompt,
                                                prompt_token_ids,
                                                lora_request)

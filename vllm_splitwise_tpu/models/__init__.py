@@ -25,6 +25,8 @@ _MODEL_REGISTRY = {
     "MixtralForCausalLM": ("mixtral", "MixtralForCausalLM"),
     "PhiForCausalLM": ("phi", "PhiForCausalLM"),
     "StableLmForCausalLM": ("stablelm", "StableLmForCausalLM"),
+    "StablelmForCausalLM": ("stablelm", "StableLmForCausalLM"),
+    "StableLMEpochForCausalLM": ("stablelm", "StableLmForCausalLM"),
     "Starcoder2ForCausalLM": ("starcoder2", "Starcoder2ForCausalLM"),
     "InternLM2ForCausalLM": ("internlm2", "InternLM2ForCausalLM"),
     "AquilaForCausalLM": ("llama", "LlamaForCausalLM"),
@@ -37,12 +39,17 @@ _MODEL_REGISTRY = {
     "FalconForCausalLM": ("falcon", "FalconForCausalLM"),
     "RWForCausalLM": ("falcon", "FalconForCausalLM"),
     "MPTForCausalLM": ("mpt", "MPTForCausalLM"),
+    "MptForCausalLM": ("mpt", "MPTForCausalLM"),
     "GPTBigCodeForCausalLM": ("gpt_bigcode", "GPTBigCodeForCausalLM"),
     "DeepseekForCausalLM": ("deepseek", "DeepseekForCausalLM"),
     "DbrxForCausalLM": ("dbrx", "DbrxForCausalLM"),
+    # The fork's dbrx_quant.py role: quantized checkpoints flow through
+    # the same per-expert quant-dict path in dbrx.py.
+    "QuantDbrxForCausalLM": ("dbrx", "DbrxForCausalLM"),
     "ChatGLMModel": ("chatglm", "ChatGLMForCausalLM"),
     "ChatGLMForConditionalGeneration": ("chatglm", "ChatGLMForCausalLM"),
     "OlmoForCausalLM": ("olmo", "OlmoForCausalLM"),
+    "OLMoForCausalLM": ("olmo", "OlmoForCausalLM"),
     "OrionForCausalLM": ("orion", "OrionForCausalLM"),
     "DeciLMForCausalLM": ("decilm", "DeciLMForCausalLM"),
     "StarcoderForCausalLM": ("gpt_bigcode", "GPTBigCodeForCausalLM"),

@@ -55,7 +55,15 @@ def _paged_attention_kernel(
     kv_scale: float,
     has_alibi: bool = False,
     stacked: bool = False,
+    int8_kv: bool = False,
 ):
+    if int8_kv:
+        # W8A8 path: q arrives pre-quantized (int8) with per-(kvh, gp)
+        # scales broadcast across the lane dim.
+        qscale_ref = rest[0]   # [1, kvh, group_padded, 128] f32
+        rest = rest[1:]
+    else:
+        qscale_ref = None
     if has_alibi:
         slopes_ref = rest[0]   # [kvh, group_padded] f32
         rest = rest[1:]
@@ -134,15 +142,25 @@ def _paged_attention_kernel(
 
         # Feed the MXU bf16 operands with f32 ACCUMULATION — explicit
         # f32 casts of the 2 MB K/V chunks are pure VPU overhead.
-        q = q_ref[0]                          # [kvh, gp, hd] bf16
+        q = q_ref[0]                          # [kvh, gp, hd] bf16/int8
         k = k_vmem[slot]                      # [kvh, tok, hd]
-        if k.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
-            k = (k.astype(jnp.float32) * kv_scale).astype(q.dtype)
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((2, ), (2, )), ((0, ), (0, ))),
-            preferred_element_type=jnp.float32,
-        ) * scale
+        if int8_kv:
+            # int8 x int8 -> int32 on the MXU; the 2 MB K chunk never
+            # touches the VPU.  s = (qq . k_int) * qs * kv_scale * scale.
+            s_int = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((2, ), (2, )), ((0, ), (0, ))),
+                preferred_element_type=jnp.int32)
+            qs = qscale_ref[0, :, :, 0:1]     # [kvh, gp, 1]
+            s = s_int.astype(jnp.float32) * (qs * (kv_scale * scale))
+        else:
+            if k.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
+                k = (k.astype(jnp.float32) * kv_scale).astype(q.dtype)
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((2, ), (2, )), ((0, ), (0, ))),
+                preferred_element_type=jnp.float32,
+            ) * scale
 
         token_pos = i * chunk_tokens + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 2)
@@ -160,15 +178,27 @@ def _paged_attention_kernel(
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
         v = v_vmem[slot]                      # [kvh, tok, hd]
-        if v.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
-            v = (v.astype(jnp.float32) * kv_scale).astype(q.dtype)
-        # [kvh, gp, tok] x [kvh, tok, hd] -> [kvh, gp, hd]; cast the
-        # SMALL probs tile to bf16 rather than the 2 MB V chunk to f32.
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((2, ), (1, )), ((0, ), (0, ))),
-            preferred_element_type=jnp.float32,
-        )
+        if int8_kv:
+            # p in (0, 1] (row max is exactly 1 after the online-softmax
+            # shift), so a fixed 127 scale loses < 0.4% of the max prob;
+            # int8 x int8 -> int32 keeps the V chunk off the VPU too.
+            pq = jnp.round(p * 127.0).astype(jnp.int8)
+            pv_int = jax.lax.dot_general(
+                pq, v,
+                dimension_numbers=(((2, ), (1, )), ((0, ), (0, ))),
+                preferred_element_type=jnp.int32)
+            pv = pv_int.astype(jnp.float32) * (kv_scale / 127.0)
+        else:
+            if v.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
+                v = (v.astype(jnp.float32) * kv_scale).astype(q.dtype)
+            # [kvh, gp, tok] x [kvh, tok, hd] -> [kvh, gp, hd]; cast the
+            # SMALL probs tile to bf16 rather than the 2 MB V chunk to
+            # f32.
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((2, ), (1, )), ((0, ), (0, ))),
+                preferred_element_type=jnp.float32,
+            )
 
         acc_ref[...] = acc_ref[...] * alpha + pv
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -240,6 +270,20 @@ def paged_attention(
     chunk_tokens = pages_per_chunk * page_size
     grid = (batch, num_chunks)
 
+    # W8A8 attention for int8 KV caches: quantize q per (kvh, group) row
+    # so both dots run native int8 on the MXU and the 2 MB K/V chunks
+    # never pass through a VPU dequant (adds ~0.5% output error on top
+    # of the cache quantization itself).
+    int8_kv = k_pages.dtype == jnp.int8
+    if int8_kv:
+        qf = q_view.astype(jnp.float32)
+        qs = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0
+        qs = jnp.maximum(qs, 1e-10)           # [B, kvh, gp, 1]
+        q_view = jnp.clip(jnp.round(qf / qs), -127,
+                          127).astype(jnp.int8)
+        qscale_wide = jnp.broadcast_to(qs, (batch, num_kv_heads,
+                                            group_padded, 128))
+
     has_alibi = alibi_slopes is not None
     kernel = functools.partial(
         _paged_attention_kernel,
@@ -252,6 +296,7 @@ def paged_attention(
         kv_scale=kv_scale,
         has_alibi=has_alibi,
         stacked=stacked,
+        int8_kv=int8_kv,
     )
 
     in_specs = [
@@ -266,6 +311,11 @@ def paged_attention(
                  if stacked else jnp.zeros((1, ), dtype=jnp.int32))
     inputs = [block_tables.reshape(-1), context_lens, layer_arr, q_view,
               k_pages, v_pages]
+    if int8_kv:
+        in_specs.append(
+            pl.BlockSpec((1, num_kv_heads, group_padded, 128),
+                         lambda b, i, *_: (b, 0, 0, 0)))
+        inputs.append(qscale_wide)
     if has_alibi:
         slopes2d = jnp.zeros((num_kv_heads, group_padded),
                              dtype=jnp.float32)
