@@ -369,7 +369,10 @@ class BlockSpaceManager:
     # ---- free / introspection ----
 
     def _free_block_table(self, block_table: BlockTable) -> None:
-        for block in set(block_table):
+        # dict.fromkeys = dedup in first-occurrence order: freeing must
+        # be deterministic so block numbering is reproducible (and so
+        # the native engine's behavior matches bit-for-bit).
+        for block in dict.fromkeys(block_table):
             if block.device == Device.TPU:
                 self.gpu_allocator.free(block)
             else:

@@ -19,7 +19,8 @@ from collections import deque
 from typing import Deque, Dict, Iterable, List, Optional, Tuple, Union
 
 from vllm_splitwise_tpu.config import CacheConfig, LoRAConfig, SchedulerConfig
-from vllm_splitwise_tpu.core.block_manager import AllocStatus, BlockSpaceManager
+from vllm_splitwise_tpu.core.block_manager import AllocStatus
+from vllm_splitwise_tpu.core.native_block_manager import make_block_space_manager
 from vllm_splitwise_tpu.core.policy import PolicyFactory
 from vllm_splitwise_tpu.logger import init_logger
 from vllm_splitwise_tpu.sequence import (Sequence, SequenceData,
@@ -91,7 +92,9 @@ class Scheduler:
                                 scheduler_config.max_num_batched_tokens)
 
         self.policy = PolicyFactory.get_policy("fcfs")
-        self.block_manager = BlockSpaceManager(
+        # Native (C++) bookkeeping when csrc/block_engine.cpp builds;
+        # Python fallback otherwise (VLLM_TPU_DISABLE_NATIVE=1 forces it).
+        self.block_manager = make_block_space_manager(
             block_size=cache_config.block_size,
             num_gpu_blocks=cache_config.num_device_blocks or 0,
             num_cpu_blocks=cache_config.num_host_blocks or 0,
