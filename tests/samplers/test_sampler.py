@@ -116,3 +116,38 @@ def test_logprobs_outputs():
         np.asarray(out.sampled_logprobs),
         np.asarray(ref_lp)[np.arange(2),
                            np.asarray(out.sampled_tokens)], atol=1e-5)
+
+
+def test_filter_matches_direct_sort_mask_unsort():
+    """The threshold-based top-k/top-p/min-p filter must equal the
+    direct sort->mask->unsort construction (ties aside, which random
+    f32 logits do not produce)."""
+    from vllm_splitwise_tpu.layers.sampler import (_NEG_INF,
+                                                   _apply_top_k_top_p_min_p)
+
+    def direct(logits, t):
+        sorted_idx = jnp.argsort(-logits, axis=-1)
+        sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+        ranks = jax.lax.broadcasted_iota(jnp.int32, sorted_logits.shape, 1)
+        k_mask = ranks >= t.top_k[:, None]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        p_mask = (cum - probs) >= t.top_p[:, None]
+        mp_mask = probs < t.min_p[:, None] * probs[:, 0:1]
+        masked = jnp.where(k_mask | p_mask | mp_mask, _NEG_INF,
+                           sorted_logits)
+        inv = jnp.argsort(sorted_idx, axis=-1)
+        return jnp.take_along_axis(masked, inv, axis=-1)
+
+    rng = np.random.RandomState(7)
+    batch, vocab = 6, 128
+    logits = jnp.asarray(rng.randn(batch, vocab), dtype=jnp.float32)
+    t = make_tensors(
+        batch, vocab,
+        top_k=jnp.asarray([1, 5, vocab, 17, 2, vocab], jnp.int32),
+        top_p=jnp.asarray([1.0, 0.9, 0.5, 1.0, 0.2, 0.95], jnp.float32),
+        min_p=jnp.asarray([0.0, 0.0, 0.05, 0.1, 0.0, 0.02], jnp.float32),
+    )
+    got = _apply_top_k_top_p_min_p(logits, t)
+    want = direct(logits, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))

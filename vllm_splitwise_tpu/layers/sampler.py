@@ -76,9 +76,16 @@ def _apply_penalties(logits: jax.Array, t: SamplingTensors,
 
 def _apply_top_k_top_p_min_p(logits: jax.Array,
                              t: SamplingTensors) -> jax.Array:
-    vocab_size = logits.shape[-1]
-    sorted_idx = jnp.argsort(-logits, axis=-1)
-    sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+    # Each of the three masks is a SUFFIX of the descending sort (top-k
+    # by rank, top-p by nondecreasing cumsum, min-p by nonincreasing
+    # probs), so the kept set is a prefix and a single per-row threshold
+    # (the smallest kept logit) reproduces it in the ORIGINAL order.
+    # That removes the argsort + inverse-argsort + two gathers of the
+    # direct form: one values-only sort, then an elementwise compare.
+    # (Sole deviation: original-order tokens exactly EQUAL to the
+    # threshold are also kept; ties at f32 after temperature scaling
+    # are measure-zero.)
+    sorted_logits = -jnp.sort(-logits, axis=-1)     # descending values
 
     ranks = jax.lax.broadcasted_iota(jnp.int32, sorted_logits.shape, 1)
     k_mask = ranks >= t.top_k[:, None]
@@ -92,11 +99,11 @@ def _apply_top_k_top_p_min_p(logits: jax.Array,
     mp_mask = probs < t.min_p[:, None] * probs[:, 0:1]
 
     mask = k_mask | p_mask | mp_mask
-    sorted_logits = jnp.where(mask, _NEG_INF, sorted_logits)
-
-    # Unsort.
-    inv = jnp.argsort(sorted_idx, axis=-1)
-    return jnp.take_along_axis(sorted_logits, inv, axis=-1)
+    # First masked rank == number of kept tokens (>= 1: no mask hits
+    # rank 0).  Threshold = smallest kept logit.
+    n_keep = jnp.sum(~mask, axis=-1, keepdims=True)
+    thr = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
+    return jnp.where(logits >= thr, logits, _NEG_INF)
 
 
 def sample(
