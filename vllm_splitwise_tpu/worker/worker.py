@@ -145,10 +145,14 @@ class Worker:
                                     block_bytes: int,
                                     num_host: int) -> Tuple[int, int]:
         kind = self.device.device_kind
+        # Longest matching prefix wins ("TPU v5 lite" must not fall
+        # through to the "TPU v5" (v5p, 95 GiB) entry).
         total = None
+        best_len = -1
         for name, gib in self._HBM_BY_KIND.items():
-            if kind.startswith(name):
+            if kind.startswith(name) and len(name) > best_len:
                 total = gib * (1 << 30)
+                best_len = len(name)
         if total is None:
             total = 16 * (1 << 30)
             logger.warning("Unknown TPU kind %r; assuming 16 GiB HBM", kind)
