@@ -664,6 +664,84 @@ class ModelRunner:
 
     # ---- warmup / profiling ----
 
+    @staticmethod
+    def _num_device_pages(kv_caches) -> int:
+        """Page count of the live cache, for either layout:
+        stacked ``(k_all, v_all)`` of ``[L, pages, kvh, ps, hd]`` or a
+        per-layer list of ``(k, v)`` pairs of ``[pages, kvh, ps, hd]``."""
+        first = kv_caches[0]
+        if hasattr(first, "ndim") and first.ndim == 5:
+            return first.shape[1]
+        return first[0].shape[0]
+
+    def warm_up(self, kv_caches):
+        """Eagerly compile the serving-critical bucket programs (analog of
+        the reference's CUDA-graph capture over ``_BATCH_SIZES_TO_CAPTURE``,
+        model_runner.py:700-779).
+
+        Without this, each new (batch-bucket, len-bucket) shape compiles
+        lazily mid-traffic — a multi-second (on some transports,
+        multi-minute) stall for the request that trips it.  Covers the
+        greedy decode buckets up to the scheduler's max batch, plus the
+        homogeneous prefill batches that fit the token budget.  Dummy
+        tokens write garbage into low-numbered KV pages, which is fine
+        before any real traffic.  Returns the (donated-through) caches.
+        """
+        import time
+
+        from vllm_splitwise_tpu.sequence import SequenceData
+
+        sp = SamplingParams(temperature=0.0)
+        max_seqs = self.scheduler_config.max_num_seqs
+        budget = self.scheduler_config.max_num_batched_tokens
+
+        top = _bucket(max_seqs, self.DECODE_BATCH_BUCKETS)
+        for b in [x for x in self.DECODE_BATCH_BUCKETS if x <= top]:
+            mds = []
+            for i in range(b):
+                data = SequenceData([1])
+                data.append_token_id(1, 0.0)
+                mds.append(
+                    SequenceGroupMetadata(
+                        request_id=f"warmup-d{b}-{i}",
+                        is_prompt=False,
+                        seq_data={0: data},
+                        sampling_params=sp,
+                        block_tables={0: [0]},
+                    ))
+            t0 = time.time()
+            _, kv_caches = self.execute_model(mds, kv_caches)
+            logger.info("warmup: decode bucket b=%d ready (%.1fs)", b,
+                        time.time() - t0)
+
+        seen = set()
+        for b in self.PREFILL_BATCH_BUCKETS:
+            if b > max_seqs:
+                break
+            t = _bucket(min(self.max_model_len, max(budget // b, 16)),
+                        self.PREFILL_LEN_BUCKETS)
+            plen = min(t, self.max_model_len)
+            if (b, _bucket(plen, self.PREFILL_LEN_BUCKETS)) in seen:
+                continue
+            seen.add((b, _bucket(plen, self.PREFILL_LEN_BUCKETS)))
+            num_pages = self._num_device_pages(kv_caches)
+            pages = [p % num_pages
+                     for p in range(cdiv(plen, self.block_size))]
+            mds = [
+                SequenceGroupMetadata(
+                    request_id=f"warmup-p{b}-{i}",
+                    is_prompt=True,
+                    seq_data={0: SequenceData([1] * plen)},
+                    sampling_params=sp,
+                    block_tables={0: pages},
+                ) for i in range(b)
+            ]
+            t0 = time.time()
+            _, kv_caches = self.execute_model(mds, kv_caches)
+            logger.info("warmup: prefill bucket b=%d t=%d ready (%.1fs)",
+                        b, plen, time.time() - t0)
+        return kv_caches
+
     def profile_run(self, kv_caches):
         """Run a max-shape dummy prefill to bound live compute memory
         (analog of the reference's profile_run, model_runner.py:620).
@@ -674,7 +752,7 @@ class ModelRunner:
         sp = SamplingParams(temperature=0.0)
         from vllm_splitwise_tpu.sequence import SequenceData
         data = SequenceData([1] * t)
-        num_pages = kv_caches[0][0].shape[1]
+        num_pages = self._num_device_pages(kv_caches)
         pages = [i % num_pages for i in range(cdiv(t, self.block_size))]
         md = SequenceGroupMetadata(
             request_id="profile",

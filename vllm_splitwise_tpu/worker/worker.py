@@ -178,9 +178,17 @@ class Worker:
         self.kv_caches = self.cache_engine.device_cache
 
     def warm_up_model(self) -> None:
-        """Pre-compile the common decode buckets (analog of the
-        reference's CUDA-graph capture warmup, worker.py:237-242)."""
-        pass  # Buckets compile lazily on first use; XLA caches them.
+        """Pre-compile the common decode/prefill buckets (analog of the
+        reference's CUDA-graph capture warmup, worker.py:237-242).
+        ``--enforce-eager`` skips it and compiles lazily on first use,
+        matching the reference flag's semantics."""
+        if self.model_config.enforce_eager:
+            return
+        if self.device.platform not in ("tpu", "axon"):
+            # CPU (interpret-mode Pallas) compiles are cheap but the
+            # dummy runs themselves are slow; lazy is strictly better.
+            return
+        self.kv_caches = self.model_runner.warm_up(self.kv_caches)
 
     # ---- LoRA management (reference worker.py add_lora/remove_lora) ----
 
