@@ -60,3 +60,32 @@ def test_warm_up_compiles_buckets_and_caches_stay_valid(runner):
     assert len(out) == 1
     tok = out[0].samples[0].output_token
     assert 0 <= tok < config.vocab_size
+
+
+def test_worker_warmup_repoints_cache_engine(tmp_path_factory):
+    """Regression: warm_up donates the cache arrays; both worker.kv_caches
+    AND cache_engine.device_cache must point at the fresh ones, because
+    cache_swap() re-reads cache_engine.device_cache every step.  (The
+    stale-reference failure only manifests on TPU, where donation really
+    deletes buffers — this asserts the identity invariant instead.)"""
+    from vllm_splitwise_tpu.worker.worker import Worker
+
+    d = str(tmp_path_factory.mktemp("warmup_worker"))
+    config = tiny_llama_config()
+    _, weights = hf_model_and_weights(config)
+    save_local_checkpoint(config, weights, d)
+    save_tiny_tokenizer(d, config.vocab_size)
+
+    cache_config = CacheConfig(block_size=BLOCK, swap_space=0.01)
+    cache_config.num_device_blocks = 32
+    cache_config.num_host_blocks = 0
+    w = Worker(
+        ModelConfig(d, dtype="float32", max_model_len=64),
+        ParallelConfig(),
+        SchedulerConfig(max_num_batched_tokens=64, max_num_seqs=8,
+                        max_model_len=64),
+        cache_config)
+    w.load_model()
+    w.init_cache_engine(cache_config)
+    w._run_warmup()
+    assert w.kv_caches is w.cache_engine.device_cache

@@ -188,7 +188,17 @@ class Worker:
             # CPU (interpret-mode Pallas) compiles are cheap but the
             # dummy runs themselves are slow; lazy is strictly better.
             return
+        self._run_warmup()
+
+    def _run_warmup(self) -> None:
         self.kv_caches = self.model_runner.warm_up(self.kv_caches)
+        # The step fns DONATE the cache: the pre-warmup arrays are dead
+        # buffers now.  cache_swap re-reads cache_engine.device_cache at
+        # the top of every step, so it must be repointed too or the
+        # first real step touches deleted arrays (TPU-only failure —
+        # CPU ignores donation).
+        if self.cache_engine is not None:
+            self.cache_engine.device_cache = self.kv_caches
 
     # ---- LoRA management (reference worker.py add_lora/remove_lora) ----
 
