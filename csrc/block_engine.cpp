@@ -414,6 +414,28 @@ PyObject* py_append_slot(PyObject* raw, PyObject* args) {
   TRY_END
 }
 
+// extend_table(seq_id, target_pages) -> None
+// Grow the block table to >= target_pages with plain (unhashed) device
+// pages: the multi-step decode lookahead reservation (pages ahead of the
+// sequence's logical blocks; see core/block_manager.py append_slots).
+PyObject* py_extend_table(PyObject* raw, PyObject* args) {
+  ENGINE_GUARD(raw);
+  long long sid, target;
+  if (!PyArg_ParseTuple(args, "LL", &sid, &target)) return nullptr;
+  TRY_BEGIN
+  auto& table = eng->table(sid);
+  while (static_cast<int64_t>(table.size()) < target) {
+    if (eng->sliding_window_blocks >= 0 &&
+        static_cast<int64_t>(table.size()) >= eng->sliding_window_blocks) {
+      table.push_back(table[table.size() % eng->sliding_window_blocks]);
+    } else {
+      table.push_back(eng->gpu.allocate());
+    }
+  }
+  Py_RETURN_NONE;
+  TRY_END
+}
+
 PyObject* py_fork(PyObject* raw, PyObject* args) {
   ENGINE_GUARD(raw);
   long long parent, child;
@@ -666,6 +688,7 @@ PyMethodDef engine_methods[] = {
     {"allocate", py_allocate, METH_VARARGS, nullptr},
     {"can_append_slot", py_can_append_slot, METH_VARARGS, nullptr},
     {"append_slot", py_append_slot, METH_VARARGS, nullptr},
+    {"extend_table", py_extend_table, METH_VARARGS, nullptr},
     {"fork", py_fork, METH_VARARGS, nullptr},
     {"can_swap_in", py_can_swap_in, METH_VARARGS, nullptr},
     {"swap_in", py_swap_in, METH_VARARGS, nullptr},

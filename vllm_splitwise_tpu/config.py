@@ -309,6 +309,7 @@ class SchedulerConfig:
         max_num_seqs: int = 256,
         max_model_len: int = 2048,
         max_paddings: int = 256,
+        num_decode_steps: int = 1,
     ) -> None:
         if max_num_batched_tokens is not None:
             self.max_num_batched_tokens = max_num_batched_tokens
@@ -317,9 +318,19 @@ class SchedulerConfig:
         self.max_num_seqs = max_num_seqs
         self.max_model_len = max_model_len
         self.max_paddings = max_paddings
+        # TPU extension (no reference analog): decode steps fused into
+        # one device dispatch (lax.scan window).  Each host<->device sync
+        # over the axon transport costs ~30 ms; fusing K steps divides
+        # that by K.  Batches with beam search / >1-seq groups / logits
+        # processors / penalties fall back to 1 per step.
+        self.num_decode_steps = num_decode_steps
         self._verify_args()
 
     def _verify_args(self) -> None:
+        if not 1 <= self.num_decode_steps <= 64:
+            raise ValueError(
+                f"num_decode_steps ({self.num_decode_steps}) must be in "
+                "[1, 64].")
         if self.max_num_batched_tokens < self.max_model_len:
             raise ValueError(
                 f"max_num_batched_tokens ({self.max_num_batched_tokens}) is "

@@ -226,6 +226,16 @@ class BlockSpaceManager:
         num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
         return num_seqs <= num_free_gpu_blocks
 
+    def can_append_slots(self, seq_group: SequenceGroup,
+                         lookahead: int = 1) -> bool:
+        """Worst-case page bound for a multi-step decode window of
+        ``lookahead`` tokens per running sequence."""
+        if lookahead <= 1:
+            return self.can_append_slot(seq_group)
+        per_seq = -(-lookahead // self.block_size) + 1
+        num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
+        return num_seqs * per_seq <= self.gpu_allocator.get_num_free_blocks()
+
     def _promote_last_block(self, seq: Sequence,
                             last_block: PhysicalTokenBlock) -> PhysicalTokenBlock:
         """The last block just became full: give it its content hash so
@@ -295,6 +305,36 @@ class BlockSpaceManager:
         block_table[-1] = new_block
         self.gpu_allocator.free(last_block)
         return last_block.block_number, new_block.block_number
+
+    def append_slots(self, seq: Sequence,
+                     lookahead: int = 1) -> List[Tuple[int, int]]:
+        """Reserve slots for the next ``lookahead`` token writes
+        (positions ``get_len()-1 .. get_len()+lookahead-2`` — a
+        multi-step decode window runs that many steps on device before
+        the host sees any token).
+
+        Future pages are plain (unhashed) allocations: prefix-cache
+        promotion of decode-grown blocks is skipped while the table runs
+        ahead of the logical blocks.  Multi-step windows are restricted
+        to unforked single-sequence groups, so no CoW can arise on the
+        lookahead pages themselves.
+        """
+        block_table = self.block_tables[seq.seq_id]
+        cows: List[Tuple[int, int]] = []
+        if len(block_table) <= len(seq.logical_token_blocks):
+            cow = self.append_slot(seq)
+            if cow is not None:
+                cows.append(cow)
+        if lookahead > 1:
+            needed = -(-(seq.get_len() - 1 + lookahead) // seq.block_size)
+            while len(block_table) < needed:
+                if (self.block_sliding_window and
+                        len(block_table) >= self.block_sliding_window):
+                    block_table.append(block_table[
+                        len(block_table) % self.block_sliding_window])
+                else:
+                    block_table.append(self.gpu_allocator.allocate())
+        return cows
 
     def fork(self, parent_seq: Sequence, child_seq: Sequence) -> None:
         src_block_table = self.block_tables[parent_seq.seq_id]

@@ -106,6 +106,33 @@ class NativeBlockSpaceManager:
         return self._eng.append_slot(seq.seq_id, n, last_full, full_hash,
                                      hashed_last)
 
+    def can_append_slots(self, seq_group: SequenceGroup,
+                         lookahead: int = 1) -> bool:
+        """Worst-case page bound for a multi-step decode window of
+        ``lookahead`` tokens per running sequence (mirrors
+        block_manager.BlockSpaceManager.can_append_slots)."""
+        if lookahead <= 1:
+            return self.can_append_slot(seq_group)
+        per_seq = -(-lookahead // self.block_size) + 1
+        num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
+        return num_seqs * per_seq <= self._eng.num_free_gpu()
+
+    def append_slots(self, seq: Sequence,
+                     lookahead: int = 1) -> List[Tuple[int, int]]:
+        """Reserve slots for the next ``lookahead`` token writes (mirrors
+        block_manager.BlockSpaceManager.append_slots; lookahead pages are
+        plain unhashed allocations appended by the native engine)."""
+        cows: List[Tuple[int, int]] = []
+        n_logical = len(seq.logical_token_blocks)
+        if len(self._eng.get_block_table(seq.seq_id)) <= n_logical:
+            cow = self.append_slot(seq)
+            if cow is not None:
+                cows.append(cow)
+        if lookahead > 1:
+            needed = -(-(seq.get_len() - 1 + lookahead) // self.block_size)
+            self._eng.extend_table(seq.seq_id, needed)
+        return cows
+
     def fork(self, parent_seq: Sequence, child_seq: Sequence) -> None:
         self._eng.fork(parent_seq.seq_id, child_seq.seq_id)
 

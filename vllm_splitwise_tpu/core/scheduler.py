@@ -52,6 +52,7 @@ class SchedulerOutputs:
         blocks_to_copy: Dict[int, List[int]],
         blocks_to_nw: Dict[int, List[int]],
         ignored_seq_groups: List[SequenceGroup],
+        num_decode_steps: int = 1,
     ) -> None:
         self.scheduled_seq_groups = scheduled_seq_groups
         self.prompt_run = prompt_run
@@ -63,6 +64,9 @@ class SchedulerOutputs:
         # for the owning sequence (Splitwise).
         self.blocks_to_nw = blocks_to_nw
         self.ignored_seq_groups = ignored_seq_groups
+        # Decode steps fused into one device dispatch for this batch
+        # (TPU multi-step decode; 1 = classic single-step semantics).
+        self.num_decode_steps = num_decode_steps
         # Swap in and swap out should never happen in the same step.
         assert not (blocks_to_swap_in and blocks_to_swap_out)
 
@@ -312,6 +316,8 @@ class Scheduler:
         for seq_group in self.running:
             self._track_nw_blocks(seq_group, blocks_to_nw)
 
+        num_decode_steps = self._plan_decode_window(blocks_to_copy)
+
         num_batched_tokens = sum(
             seq_group.num_seqs(status=SequenceStatus.RUNNING)
             for seq_group in self.running)
@@ -325,7 +331,65 @@ class Scheduler:
             blocks_to_copy=blocks_to_copy,
             blocks_to_nw=blocks_to_nw,
             ignored_seq_groups=[],
+            num_decode_steps=num_decode_steps,
         )
+
+    def _plan_decode_window(self, blocks_to_copy: Dict[int,
+                                                       List[int]]) -> int:
+        """Size the multi-step decode window for this batch and reserve
+        its lookahead KV pages.
+
+        TPU extension (no reference analog): fusing K decode steps into
+        one device dispatch amortizes the per-dispatch host<->device
+        sync.  The whole batch runs one window length, so any group that
+        cannot run multi-step (forked/beam groups, host logits
+        processors, penalties — their token histories go stale inside
+        the window — LoRA, or prefix caching, whose block-promotion
+        bookkeeping assumes the table never runs ahead of the logical
+        blocks) degrades the batch to 1.  Stop conditions are checked
+        host-side after the window; overshoot tokens are discarded.
+        """
+        window = self.scheduler_config.num_decode_steps
+        if window <= 1 or not self.running:
+            return 1
+        if getattr(self.block_manager, "enable_caching", False):
+            return 1
+        if self.block_manager.block_sliding_window is not None:
+            return 1
+        max_len = self.scheduler_config.max_model_len
+        max_remaining = 1
+        for seq_group in self.running:
+            sp = seq_group.sampling_params
+            seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
+            if (len(seqs) != 1 or sp.use_beam_search
+                    or sp.logits_processors
+                    or sp.presence_penalty != 0.0
+                    or sp.frequency_penalty != 0.0
+                    or sp.repetition_penalty != 1.0
+                    or getattr(seq_group, "lora_request", None) is not None):
+                return 1
+            seq = seqs[0]
+            # KV writes within the window land at positions
+            # get_len()-1 .. get_len()+window-2 — all must fit max_len.
+            window = min(window, max_len - seq.get_len() + 1)
+            if sp.max_tokens is not None:
+                max_remaining = max(
+                    max_remaining, sp.max_tokens - seq.get_output_len())
+            else:
+                max_remaining = window
+        window = min(window, max_remaining)
+        if window <= 1:
+            return 1
+        for seq_group in self.running:
+            if not self.block_manager.can_append_slots(seq_group, window):
+                # Not enough free pages for everyone's lookahead: degrade
+                # the batch (already-reserved pages are used next window).
+                return 1
+            for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
+                for src, dst in self.block_manager.append_slots(seq,
+                                                                window):
+                    blocks_to_copy.setdefault(src, []).append(dst)
+        return window
 
     def schedule(self) -> Tuple[List[SequenceGroupMetadata], SchedulerOutputs]:
         scheduler_outputs = self._schedule()

@@ -45,6 +45,7 @@ class EngineArgs:
     max_num_batched_tokens: Optional[int] = None
     max_num_seqs: int = 256
     max_paddings: int = 256
+    num_decode_steps: int = 1
     disable_log_stats: bool = False
     revision: Optional[str] = None
     code_revision: Optional[str] = None
@@ -135,6 +136,11 @@ class EngineArgs:
                             default=EngineArgs.max_num_seqs)
         parser.add_argument("--max-paddings", type=int,
                             default=EngineArgs.max_paddings)
+        parser.add_argument("--num-decode-steps", type=int,
+                            default=EngineArgs.num_decode_steps,
+                            help="decode steps fused into one device "
+                            "dispatch (TPU multi-step decode; amortizes "
+                            "host<->device sync latency)")
         parser.add_argument("--disable-log-stats", action="store_true")
         parser.add_argument("--quantization", "-q", type=str,
                             choices=["awq", "gptq", "squeezellm", "int8",
@@ -196,7 +202,8 @@ class EngineArgs:
         scheduler_config = SchedulerConfig(self.max_num_batched_tokens,
                                            self.max_num_seqs,
                                            model_config.max_model_len,
-                                           self.max_paddings)
+                                           self.max_paddings,
+                                           self.num_decode_steps)
         lora_config = LoRAConfig(
             max_lora_rank=self.max_lora_rank,
             max_loras=self.max_loras,

@@ -175,9 +175,13 @@ class _AsyncLLMEngine(LLMEngine):
                 scheduler_outputs.blocks_to_swap_out,
                 scheduler_outputs.blocks_to_copy,
                 scheduler_outputs.blocks_to_nw,
+                num_decode_steps=scheduler_outputs.num_decode_steps,
             )
         else:
             output = []
+        if scheduler_outputs.num_decode_steps > 1:
+            return self._process_multi_step_outputs(output,
+                                                    scheduler_outputs)
         return self._process_model_outputs(output, scheduler_outputs)
 
     async def add_request_async(

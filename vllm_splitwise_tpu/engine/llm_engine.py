@@ -176,11 +176,15 @@ class LLMEngine:
                 scheduler_outputs.blocks_to_swap_out,
                 scheduler_outputs.blocks_to_copy,
                 scheduler_outputs.blocks_to_nw,
+                num_decode_steps=scheduler_outputs.num_decode_steps,
             )
             self._record_migration_times(scheduler_outputs)
         else:
             output = []
 
+        if scheduler_outputs.num_decode_steps > 1:
+            return self._process_multi_step_outputs(output,
+                                                    scheduler_outputs)
         return self._process_model_outputs(output, scheduler_outputs)
 
     def _record_migration_times(self, scheduler_outputs) -> None:
@@ -207,7 +211,29 @@ class LLMEngine:
         scheduled_seq_groups = scheduler_outputs.scheduled_seq_groups
         for seq_group, outputs in zip(scheduled_seq_groups, output):
             self._process_sequence_group_outputs(seq_group, outputs)
+        return self._finalize_step(scheduler_outputs)
 
+    def _process_multi_step_outputs(
+            self, step_outputs: List[SamplerOutput],
+            scheduler_outputs: SchedulerOutputs) -> List[RequestOutput]:
+        """Process a fused K-step decode window: the device ran K steps
+        and returned one SamplerOutput per step.  Tokens are appended and
+        stop-checked in order; once a sequence finishes, its remaining
+        window tokens are overshoot and are discarded (the KV written for
+        them lives in pages the sequence still owns, freed with it)."""
+        scheduled_seq_groups = scheduler_outputs.scheduled_seq_groups
+        for step_output in step_outputs:
+            for seq_group, outputs in zip(scheduled_seq_groups,
+                                          step_output):
+                if seq_group.is_finished():
+                    continue
+                self._process_sequence_group_outputs(seq_group, outputs)
+        return self._finalize_step(scheduler_outputs)
+
+    def _finalize_step(
+            self,
+            scheduler_outputs: SchedulerOutputs) -> List[RequestOutput]:
+        scheduled_seq_groups = scheduler_outputs.scheduled_seq_groups
         self.scheduler.free_finished_seq_groups()
 
         request_outputs: List[RequestOutput] = []
@@ -455,7 +481,10 @@ class LLMEngine:
             if prompt_run:
                 num_prompt_tokens = scheduler_outputs.num_batched_tokens
             else:
-                num_generation_tokens = scheduler_outputs.num_batched_tokens
+                # A fused K-step window emits K tokens per sequence.
+                num_generation_tokens = (
+                    scheduler_outputs.num_batched_tokens *
+                    scheduler_outputs.num_decode_steps)
             wall = time.time()
             for seq_group in scheduler_outputs.scheduled_seq_groups:
                 latency = seq_group.get_last_latency(wall)

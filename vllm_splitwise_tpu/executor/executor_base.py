@@ -19,6 +19,7 @@ class ExecutorBase(ABC):
         blocks_to_swap_out: Dict[int, int],
         blocks_to_copy: Dict[int, List[int]],
         blocks_to_nw: Optional[Dict[int, List[int]]] = None,
+        num_decode_steps: int = 1,
     ) -> SamplerOutput:
         ...
 
@@ -34,6 +35,7 @@ class ExecutorBase(ABC):
         blocks_to_swap_out: Dict[int, int],
         blocks_to_copy: Dict[int, List[int]],
         blocks_to_nw: Optional[Dict[int, List[int]]] = None,
+        num_decode_steps: int = 1,
     ) -> SamplerOutput:
         """Default async path: run the sync step in a thread so the event
         loop stays responsive while XLA executes."""
@@ -41,7 +43,8 @@ class ExecutorBase(ABC):
         return await asyncio.get_running_loop().run_in_executor(
             None, lambda: self.execute_model(
                 seq_group_metadata_list, blocks_to_swap_in,
-                blocks_to_swap_out, blocks_to_copy, blocks_to_nw))
+                blocks_to_swap_out, blocks_to_copy, blocks_to_nw,
+                num_decode_steps=num_decode_steps))
 
     async def check_health_async(self) -> None:
         self.check_health()

@@ -104,6 +104,7 @@ class SplitwiseExecutor(ExecutorBase):
         blocks_to_swap_out: Dict[int, int],
         blocks_to_copy: Dict[int, List[int]],
         blocks_to_nw: Optional[Dict[int, List[int]]] = None,
+        num_decode_steps: int = 1,
     ) -> SamplerOutput:
         blocks_to_nw = blocks_to_nw or {}
         is_prompt = bool(seq_group_metadata_list
@@ -127,7 +128,8 @@ class SplitwiseExecutor(ExecutorBase):
             seq_group_metadata_list,
             blocks_to_swap_in=blocks_to_swap_in,
             blocks_to_swap_out=blocks_to_swap_out,
-            blocks_to_copy=blocks_to_copy)
+            blocks_to_copy=blocks_to_copy,
+            num_decode_steps=num_decode_steps)
 
     def check_health(self) -> None:
         return

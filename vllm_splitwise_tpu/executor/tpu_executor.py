@@ -82,6 +82,7 @@ class TPUExecutor(ExecutorBase):
         blocks_to_swap_out: Dict[int, int],
         blocks_to_copy: Dict[int, List[int]],
         blocks_to_nw: Optional[Dict[int, List[int]]] = None,
+        num_decode_steps: int = 1,
     ) -> SamplerOutput:
         return self.worker.execute_model(
             seq_group_metadata_list,
@@ -89,6 +90,7 @@ class TPUExecutor(ExecutorBase):
             blocks_to_swap_out=blocks_to_swap_out,
             blocks_to_copy=blocks_to_copy,
             blocks_to_nw=blocks_to_nw,
+            num_decode_steps=num_decode_steps,
         )
 
     def add_lora(self, lora_request) -> bool:

@@ -211,6 +211,60 @@ class ModelRunner:
             donate_argnums=(3, ),
         )
 
+        block_size = self.block_size
+
+        def multi_step(params, first_tokens, kv_caches, metadata0,
+                       sampling_tensors, seeds, sample_indices, *,
+                       num_steps, needs_filtering, max_logprobs):
+            """Fused K-step decode window (TPU extension, no reference
+            analog): ``lax.scan`` over K decode steps with device-side
+            token feedback, so one dispatch + one [K, B] fetch replace K
+            host round-trips.  Per-step KV slots are derived on device
+            from the (lookahead-extended) block tables; the host sees
+            only the stacked sampler outputs."""
+            block_tables = metadata0.block_tables
+            ctx0 = metadata0.context_lens
+            valid = metadata0.slot_mapping >= 0
+            batch = first_tokens.shape[0]
+            row_ids = jnp.arange(batch, dtype=jnp.int32)
+
+            def body(carry, xs):
+                caches, tokens = carry
+                seeds_k, k = xs
+                ctx = ctx0 + k
+                pos = ctx - 1
+                page = jnp.take_along_axis(
+                    block_tables, (pos // block_size)[:, None],
+                    axis=1)[:, 0]
+                slot = jnp.where(valid, page * block_size + pos % block_size,
+                                 -1)
+                md = DecodeMetadata(block_tables=block_tables,
+                                    context_lens=ctx, slot_mapping=slot)
+                hidden, caches = model(params, tokens[:, None],
+                                       pos[:, None], caches, md)
+                logits = model.compute_logits(params, hidden[:, 0])
+                logits = logits[..., :vocab_size]
+                logits = jnp.take(logits, sample_indices, axis=0,
+                                  mode="clip")
+                out = sample(logits, sampling_tensors, seeds_k,
+                             max_logprobs=max_logprobs,
+                             needs_filtering=needs_filtering)
+                next_tokens = jnp.take(out.sampled_tokens, row_ids,
+                                       axis=0, mode="clip")
+                return (caches, next_tokens), out
+
+            (kv_caches, _), outs = jax.lax.scan(
+                body, (kv_caches, first_tokens),
+                (seeds, jnp.arange(num_steps, dtype=jnp.int32)))
+            return outs, kv_caches
+
+        self._multi_step_fn = jax.jit(
+            multi_step,
+            static_argnames=("num_steps", "needs_filtering",
+                             "max_logprobs"),
+            donate_argnums=(2, ),
+        )
+
     # ---- batch preparation ----
 
     def _prepare_prompt(
@@ -486,10 +540,15 @@ class ModelRunner:
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],
         kv_caches,
+        num_decode_steps: int = 1,
     ) -> Tuple[Optional[SamplerOutput], Any]:
         if not seq_group_metadata_list:
             return [], kv_caches
         is_prompt = seq_group_metadata_list[0].is_prompt
+
+        if not is_prompt and num_decode_steps > 1:
+            return self._execute_multi_decode(seq_group_metadata_list,
+                                              kv_caches, num_decode_steps)
 
         if is_prompt:
             input_ids, positions, metadata, _ = self._prepare_prompt(
@@ -534,6 +593,55 @@ class ModelRunner:
             self._attach_prompt_logprobs(sampler_output, prompt_lp, plan,
                                          seq_group_metadata_list)
         return sampler_output, kv_caches
+
+    def _execute_multi_decode(self, seq_group_metadata_list, kv_caches,
+                              num_steps: int):
+        """Run a fused K-step decode window; returns (list of per-step
+        SamplerOutputs, caches).  The scheduler guarantees eligibility
+        (single-seq groups, no beam/penalties/processors/LoRA) and has
+        reserved the lookahead KV pages."""
+        input_ids, _, metadata, _ = self._prepare_decode(
+            seq_group_metadata_list)
+        (tensors, seeds0, sample_indices, needs_filtering, max_logprobs,
+         plan) = self._prepare_sample(seq_group_metadata_list, False)
+        seeds = self._multi_step_seeds(plan, seeds0, num_steps)
+
+        outs, kv_caches = self._multi_step_fn(
+            self.params, jnp.asarray(input_ids[:, 0]), kv_caches,
+            metadata, tensors, jnp.asarray(seeds),
+            jnp.asarray(sample_indices), num_steps=num_steps,
+            needs_filtering=needs_filtering, max_logprobs=max_logprobs)
+
+        sampled = np.asarray(outs.sampled_tokens)
+        sampled_lp = np.asarray(outs.sampled_logprobs)
+        topk_lp = np.asarray(outs.topk_logprobs)
+        topk_ids = np.asarray(outs.topk_token_ids)
+        step_outputs = [
+            self._process_sampler_output(
+                SamplerOutputArrays(sampled[k], sampled_lp[k], topk_lp[k],
+                                    topk_ids[k]), plan)
+            for k in range(num_steps)
+        ]
+        return step_outputs, kv_caches
+
+    def _multi_step_seeds(self, plan, seeds0: np.ndarray,
+                          num_steps: int) -> np.ndarray:
+        """[K, rows] per-step sampling seeds.  Step 0 reuses the seeds
+        built by _prepare_sample; later steps advance the same stateless
+        per-(seed, step) stream, so a seeded request reproduces the
+        identical token sequence regardless of the window size."""
+        seeds = np.zeros((num_steps, seeds0.shape[0]), dtype=np.uint32)
+        seeds[0] = seeds0
+        for k in range(1, num_steps):
+            for md, row_ids, parent_ids in plan:
+                sp = md.sampling_params
+                for row, parent in zip(row_ids, parent_ids):
+                    base = md.seq_data[parent].get_output_len()
+                    if sp.seed is not None:
+                        seeds[k, row] = _mix_seed(sp.seed, base + k, 0)
+                    else:
+                        seeds[k, row] = int(self._rng.randint(0, 2**31))
+        return seeds
 
     def _prepare_lora(self, seq_group_metadata_list, padded_batch):
         """Build the per-step LoRA pytree: stacked adapter tensors + one
@@ -713,6 +821,17 @@ class ModelRunner:
             _, kv_caches = self.execute_model(mds, kv_caches)
             logger.info("warmup: decode bucket b=%d ready (%.1fs)", b,
                         time.time() - t0)
+            num_steps = self.scheduler_config.num_decode_steps
+            if num_steps > 1:
+                pages = [0] * cdiv(num_steps + 1, self.block_size)
+                for md in mds:
+                    md.block_tables = {0: pages}
+                t0 = time.time()
+                _, kv_caches = self.execute_model(
+                    mds, kv_caches, num_decode_steps=num_steps)
+                logger.info(
+                    "warmup: multi-step decode bucket b=%d k=%d ready "
+                    "(%.1fs)", b, num_steps, time.time() - t0)
 
         seen = set()
         for b in self.PREFILL_BATCH_BUCKETS:

@@ -239,6 +239,7 @@ class Worker:
         blocks_to_swap_out: Optional[Dict[int, int]] = None,
         blocks_to_copy: Optional[Dict[int, List[int]]] = None,
         blocks_to_nw: Optional[Dict[int, List[int]]] = None,
+        num_decode_steps: int = 1,
     ) -> SamplerOutput:
         self.cache_swap(blocks_to_swap_in or {}, blocks_to_swap_out or {},
                         blocks_to_copy or {})
@@ -253,7 +254,8 @@ class Worker:
             self.kv_comm.wait_all(blocks_to_nw.keys())
 
         output, self.kv_caches = self.model_runner.execute_model(
-            seq_group_metadata_list, self.kv_caches)
+            seq_group_metadata_list, self.kv_caches,
+            num_decode_steps=num_decode_steps)
         if self.cache_engine is not None:
             self.cache_engine.device_cache = self.kv_caches
 
