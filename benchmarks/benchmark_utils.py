@@ -46,11 +46,17 @@ class RequestResult:
 
     @property
     def tpot(self) -> Optional[float]:
-        """Time per output token after the first (reference :141)."""
+        """Time per output token after the first (reference :141).
+
+        The reference streams one token per SSE event, so events == tokens
+        there; this server coalesces a multi-step decode window into one
+        event, so the denominator is the request's known output length
+        (``output_len``) rather than the event count."""
         if len(self.token_timestamps) < 2:
             return None
+        num_tokens = max(self.output_len, len(self.token_timestamps))
         return ((self.token_timestamps[-1] - self.token_timestamps[0]) /
-                (len(self.token_timestamps) - 1))
+                (num_tokens - 1))
 
     def record_event(self, event: LifetimeEvent,
                      ts: Optional[float] = None) -> None:

@@ -49,6 +49,31 @@ def _bucket(n: int, ladder: List[int]) -> int:
     return ladder[-1]
 
 
+def _pack_sampler_output(out: SamplerOutputArrays) -> "jax.Array":
+    """Flatten the four sampler arrays into one [..., 2+2L] f32 buffer on
+    device.  Each host-visible jax array costs one transport round trip
+    (~30 ms over the axon tunnel); packing makes every step exactly ONE
+    fetch.  Token ids are exact in f32 (vocab < 2^24)."""
+    return jnp.concatenate([
+        out.sampled_tokens[..., None].astype(jnp.float32),
+        out.sampled_logprobs[..., None].astype(jnp.float32),
+        out.topk_logprobs.astype(jnp.float32),
+        out.topk_token_ids.astype(jnp.float32),
+    ], axis=-1)
+
+
+def _unpack_sampler_output(packed: np.ndarray,
+                           max_logprobs: int) -> SamplerOutputArrays:
+    arr = np.asarray(packed)
+    return SamplerOutputArrays(
+        sampled_tokens=arr[..., 0].astype(np.int32),
+        sampled_logprobs=arr[..., 1],
+        topk_logprobs=arr[..., 2:2 + max_logprobs],
+        topk_token_ids=arr[..., 2 + max_logprobs:2 +
+                           2 * max_logprobs].astype(np.int32),
+    )
+
+
 def _mix_seed(seed: int, step: int, row: int) -> int:
     """Deterministic per-(seed, step, row) 32-bit stream (splitmix-style).
 
@@ -172,7 +197,7 @@ class ModelRunner:
             out = sample(logits, sampling_tensors, seeds,
                          max_logprobs=max_logprobs,
                          needs_filtering=needs_filtering)
-            return out, prompt_lp, new_caches
+            return _pack_sampler_output(out), prompt_lp, new_caches
 
         def logits_step(params, input_ids, positions, kv_caches, metadata,
                         sample_indices, *, is_prefill):
@@ -193,9 +218,10 @@ class ModelRunner:
 
         def sample_step(logits, sampling_tensors, seeds, *,
                         needs_filtering, max_logprobs):
-            return sample(logits, sampling_tensors, seeds,
-                          max_logprobs=max_logprobs,
-                          needs_filtering=needs_filtering)
+            return _pack_sampler_output(
+                sample(logits, sampling_tensors, seeds,
+                       max_logprobs=max_logprobs,
+                       needs_filtering=needs_filtering))
 
         self._logits_fn = jax.jit(logits_step,
                                   static_argnames=("is_prefill", ),
@@ -213,19 +239,51 @@ class ModelRunner:
 
         block_size = self.block_size
 
-        def multi_step(params, first_tokens, kv_caches, metadata0,
-                       sampling_tensors, seeds, sample_indices, *,
-                       num_steps, needs_filtering, max_logprobs):
+        def multi_step(params, kv_caches, ibuf, fbuf, *, num_steps, batch,
+                       pages, s_pad, needs_filtering, max_logprobs):
             """Fused K-step decode window (TPU extension, no reference
             analog): ``lax.scan`` over K decode steps with device-side
-            token feedback, so one dispatch + one [K, B] fetch replace K
-            host round-trips.  Per-step KV slots are derived on device
-            from the (lookahead-extended) block tables; the host sees
-            only the stacked sampler outputs."""
-            block_tables = metadata0.block_tables
-            ctx0 = metadata0.context_lens
-            valid = metadata0.slot_mapping >= 0
-            batch = first_tokens.shape[0]
+            token feedback, so ONE dispatch + ONE [K, B] packed fetch
+            replace K host round-trips.  All per-window metadata arrives
+            in two packed buffers (``ibuf`` i32, ``fbuf`` f32) because
+            each host->device array is its own transport round trip
+            (~15-30 ms over the axon tunnel) — 15+ small uploads were
+            3x the window's actual compute.  Per-step KV slots are
+            derived on device from the (lookahead-extended) block
+            tables."""
+            # ---- unpack (static layout; see _execute_multi_decode) ----
+            off = 0
+
+            def take(n):
+                nonlocal off
+                part = jax.lax.dynamic_slice_in_dim(ibuf, off, n)
+                off += n
+                return part
+
+            first_tokens = take(batch)
+            ctx0 = take(batch)
+            valid = take(batch) >= 0  # step-0 slots; -1 marks pad rows
+            block_tables = take(batch * pages).reshape(batch, pages)
+            sample_indices = take(s_pad)
+            top_k = take(s_pad)
+            seeds = jax.lax.bitcast_convert_type(
+                take(num_steps * s_pad).reshape(num_steps, s_pad),
+                jnp.uint32)
+            zeros_s = jnp.zeros((s_pad, ), dtype=jnp.float32)
+            sampling_tensors = SamplingTensors(
+                temperature=fbuf[0:s_pad],
+                top_p=fbuf[s_pad:2 * s_pad],
+                top_k=top_k,
+                min_p=fbuf[2 * s_pad:3 * s_pad],
+                greedy_mask=fbuf[3 * s_pad:4 * s_pad] > 0.5,
+                # Penalties are excluded by multi-step eligibility
+                # (scheduler._plan_decode_window): compile the no-op path.
+                presence_penalty=zeros_s,
+                frequency_penalty=zeros_s,
+                repetition_penalty=jnp.ones((s_pad, ), dtype=jnp.float32),
+                prompt_tokens=jnp.zeros((s_pad, 0), dtype=jnp.int32),
+                output_tokens=jnp.zeros((s_pad, 0), dtype=jnp.int32),
+            )
             row_ids = jnp.arange(batch, dtype=jnp.int32)
 
             def body(carry, xs):
@@ -251,7 +309,7 @@ class ModelRunner:
                              needs_filtering=needs_filtering)
                 next_tokens = jnp.take(out.sampled_tokens, row_ids,
                                        axis=0, mode="clip")
-                return (caches, next_tokens), out
+                return (caches, next_tokens), _pack_sampler_output(out)
 
             (kv_caches, _), outs = jax.lax.scan(
                 body, (kv_caches, first_tokens),
@@ -260,9 +318,9 @@ class ModelRunner:
 
         self._multi_step_fn = jax.jit(
             multi_step,
-            static_argnames=("num_steps", "needs_filtering",
-                             "max_logprobs"),
-            donate_argnums=(2, ),
+            static_argnames=("num_steps", "batch", "pages", "s_pad",
+                             "needs_filtering", "max_logprobs"),
+            donate_argnums=(1, ),
         )
 
     # ---- batch preparation ----
@@ -346,6 +404,7 @@ class ModelRunner:
     def _prepare_decode(
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],
+        as_numpy: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray, DecodeMetadata, int]:
         tokens: List[int] = []
         context_lens: List[int] = []
@@ -386,10 +445,11 @@ class ModelRunner:
             row = block_rows[i]
             tables[i, :len(row)] = row
 
+        conv = (lambda x: x) if as_numpy else jnp.asarray
         metadata = DecodeMetadata(
-            block_tables=jnp.asarray(tables),
-            context_lens=jnp.asarray(ctx_arr),
-            slot_mapping=jnp.asarray(slot_arr),
+            block_tables=conv(tables),
+            context_lens=conv(ctx_arr),
+            slot_mapping=conv(slot_arr),
         )
         return input_ids, positions, metadata, num_rows
 
@@ -399,6 +459,7 @@ class ModelRunner:
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],
         is_prompt: bool,
+        as_numpy: bool = False,
     ) -> Tuple[SamplingTensors, np.ndarray, np.ndarray, bool, int,
                List[Tuple[SequenceGroupMetadata, List[int], List[int]]]]:
         """Build per-sample-row tensors.
@@ -486,17 +547,18 @@ class ModelRunner:
                 prompt_arr[i, :len(pr)] = pr
                 output_arr[i, :len(orow)] = orow
 
+        conv = (lambda x: x) if as_numpy else jnp.asarray
         tensors = SamplingTensors(
-            temperature=jnp.asarray(pad1(temps, 1.0, np.float32)),
-            top_p=jnp.asarray(pad1(top_ps, 1.0, np.float32)),
-            top_k=jnp.asarray(pad1(top_ks, vocab_size, np.int32)),
-            min_p=jnp.asarray(pad1(min_ps, 0.0, np.float32)),
-            greedy_mask=jnp.asarray(pad1(greedy, True, bool)),
-            presence_penalty=jnp.asarray(pad1(pres, 0.0, np.float32)),
-            frequency_penalty=jnp.asarray(pad1(freq, 0.0, np.float32)),
-            repetition_penalty=jnp.asarray(pad1(rep, 1.0, np.float32)),
-            prompt_tokens=jnp.asarray(prompt_arr),
-            output_tokens=jnp.asarray(output_arr),
+            temperature=conv(pad1(temps, 1.0, np.float32)),
+            top_p=conv(pad1(top_ps, 1.0, np.float32)),
+            top_k=conv(pad1(top_ks, vocab_size, np.int32)),
+            min_p=conv(pad1(min_ps, 0.0, np.float32)),
+            greedy_mask=conv(pad1(greedy, True, bool)),
+            presence_penalty=conv(pad1(pres, 0.0, np.float32)),
+            frequency_penalty=conv(pad1(freq, 0.0, np.float32)),
+            repetition_penalty=conv(pad1(rep, 1.0, np.float32)),
+            prompt_tokens=conv(prompt_arr),
+            output_tokens=conv(output_arr),
         )
         seeds_arr = pad1(seeds, 0, np.uint32)
         idx_arr = pad1(sample_indices, 0, np.int32)
@@ -588,7 +650,8 @@ class ModelRunner:
             needs_filtering=needs_filtering, max_logprobs=max_logprobs,
             is_prefill=is_prompt, return_prompt_logprobs=want_prompt_lp)
 
-        sampler_output = self._process_sampler_output(out, plan)
+        sampler_output = self._process_sampler_output(
+            _unpack_sampler_output(out, max_logprobs), plan)
         if prompt_lp is not None:
             self._attach_prompt_logprobs(sampler_output, prompt_lp, plan,
                                          seq_group_metadata_list)
@@ -599,27 +662,40 @@ class ModelRunner:
         """Run a fused K-step decode window; returns (list of per-step
         SamplerOutputs, caches).  The scheduler guarantees eligibility
         (single-seq groups, no beam/penalties/processors/LoRA) and has
-        reserved the lookahead KV pages."""
+        reserved the lookahead KV pages.  All metadata ships as two
+        packed buffers — one i32, one f32 — so the window costs exactly
+        two uploads and one fetch on the transport."""
         input_ids, _, metadata, _ = self._prepare_decode(
-            seq_group_metadata_list)
+            seq_group_metadata_list, as_numpy=True)
         (tensors, seeds0, sample_indices, needs_filtering, max_logprobs,
-         plan) = self._prepare_sample(seq_group_metadata_list, False)
+         plan) = self._prepare_sample(seq_group_metadata_list, False,
+                                      as_numpy=True)
         seeds = self._multi_step_seeds(plan, seeds0, num_steps)
 
+        batch = input_ids.shape[0]
+        pages = metadata.block_tables.shape[1]
+        s_pad = sample_indices.shape[0]
+        ibuf = np.concatenate([
+            input_ids[:, 0], metadata.context_lens, metadata.slot_mapping,
+            metadata.block_tables.ravel(), sample_indices, tensors.top_k,
+            seeds.ravel().view(np.int32)
+        ])
+        fbuf = np.concatenate([
+            tensors.temperature, tensors.top_p, tensors.min_p,
+            tensors.greedy_mask.astype(np.float32)
+        ])
         outs, kv_caches = self._multi_step_fn(
-            self.params, jnp.asarray(input_ids[:, 0]), kv_caches,
-            metadata, tensors, jnp.asarray(seeds),
-            jnp.asarray(sample_indices), num_steps=num_steps,
+            self.params, kv_caches, jnp.asarray(ibuf), jnp.asarray(fbuf),
+            num_steps=num_steps, batch=batch, pages=pages, s_pad=s_pad,
             needs_filtering=needs_filtering, max_logprobs=max_logprobs)
 
-        sampled = np.asarray(outs.sampled_tokens)
-        sampled_lp = np.asarray(outs.sampled_logprobs)
-        topk_lp = np.asarray(outs.topk_logprobs)
-        topk_ids = np.asarray(outs.topk_token_ids)
+        arrs = _unpack_sampler_output(outs, max_logprobs)  # [K, S, ...]
         step_outputs = [
             self._process_sampler_output(
-                SamplerOutputArrays(sampled[k], sampled_lp[k], topk_lp[k],
-                                    topk_ids[k]), plan)
+                SamplerOutputArrays(arrs.sampled_tokens[k],
+                                    arrs.sampled_logprobs[k],
+                                    arrs.topk_logprobs[k],
+                                    arrs.topk_token_ids[k]), plan)
             for k in range(num_steps)
         ]
         return step_outputs, kv_caches
@@ -697,7 +773,8 @@ class ModelRunner:
                               jnp.asarray(seeds),
                               needs_filtering=needs_filtering,
                               max_logprobs=max_logprobs)
-        return self._process_sampler_output(out, plan), kv_caches
+        return self._process_sampler_output(
+            _unpack_sampler_output(out, max_logprobs), plan), kv_caches
 
     def _attach_prompt_logprobs(self, sampler_output, prompt_lp, plan,
                                 seq_group_metadata_list) -> None:
