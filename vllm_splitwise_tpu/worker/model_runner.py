@@ -159,10 +159,60 @@ class ModelRunner:
         model = self.model
         vocab_size = self.model_config.get_vocab_size()
 
-        def step(params, input_ids, positions, kv_caches, metadata,
-                 sampling_tensors, seeds, sample_indices, lora=None, *,
-                 needs_filtering, max_logprobs, is_prefill,
+        def step(params, kv_caches, ibuf, fbuf, lora=None, *,
+                 needs_filtering, max_logprobs, is_prefill, batch, t_pad,
+                 pages, prefix_pages, s_pad, lp, lo,
                  return_prompt_logprobs=False):
+            """One prefill or decode step.  All metadata arrives in two
+            packed buffers (``ibuf`` i32, ``fbuf`` f32; layout mirrored
+            in execute_model) and all sampler output leaves as one packed
+            array: each host-visible jax array is its own transport round
+            trip (~15-30 ms over the axon tunnel), so a step costs
+            exactly two uploads and one or two fetches."""
+            off = 0
+
+            def take(n):
+                nonlocal off
+                part = ibuf[off:off + n]
+                off += n
+                return part
+
+            if is_prefill:
+                input_ids = take(batch * t_pad).reshape(batch, t_pad)
+                positions = take(batch * t_pad).reshape(batch, t_pad)
+                slot_mapping = take(batch * t_pad).reshape(batch, t_pad)
+                seq_lens = take(batch)
+                start_positions = take(batch)
+                bt = pl = None
+                if prefix_pages:
+                    bt = take(batch * prefix_pages).reshape(
+                        batch, prefix_pages)
+                    pl = take(batch)
+                metadata = PrefillMetadata(seq_lens=seq_lens,
+                                           slot_mapping=slot_mapping,
+                                           start_positions=start_positions,
+                                           block_tables=bt, prefix_lens=pl)
+            else:
+                input_ids = take(batch).reshape(batch, 1)
+                positions = take(batch).reshape(batch, 1)
+                slot_mapping = take(batch)
+                context_lens = take(batch)
+                tables = take(batch * pages).reshape(batch, pages)
+                metadata = DecodeMetadata(block_tables=tables,
+                                          context_lens=context_lens,
+                                          slot_mapping=slot_mapping)
+            sample_indices = take(s_pad)
+            top_k = take(s_pad)
+            seeds = jax.lax.bitcast_convert_type(take(s_pad), jnp.uint32)
+            prompt_tokens = take(s_pad * lp).reshape(s_pad, lp)
+            output_tokens = take(s_pad * lo).reshape(s_pad, lo)
+            f = fbuf.reshape(7, s_pad)
+            sampling_tensors = SamplingTensors(
+                temperature=f[0], top_p=f[1], top_k=top_k, min_p=f[2],
+                greedy_mask=f[3] > 0.5, presence_penalty=f[4],
+                frequency_penalty=f[5], repetition_penalty=f[6],
+                prompt_tokens=prompt_tokens, output_tokens=output_tokens)
+
             if lora is not None:
                 hidden, new_caches = model(params, input_ids, positions,
                                            kv_caches, metadata, lora=lora)
@@ -182,9 +232,12 @@ class ModelRunner:
                     chosen_lp = jnp.take_along_axis(
                         all_lp, next_ids[..., None], axis=-1)[..., 0]
                     topk_lp, topk_ids = jax.lax.top_k(all_lp, max_logprobs)
-                    prompt_lp = (chosen_lp, topk_lp, topk_ids)
+                    # Packed [B, T, 1+2L] — one fetch.
+                    prompt_lp = jnp.concatenate([
+                        chosen_lp[..., None], topk_lp,
+                        topk_ids.astype(jnp.float32)
+                    ], axis=-1)
                 # Gather each sequence's last valid position.
-                batch = hidden.shape[0]
                 last = jnp.maximum(metadata.seq_lens - 1, 0)
                 hidden = hidden[jnp.arange(batch), last]
             else:
@@ -233,8 +286,10 @@ class ModelRunner:
         self._step_fn = jax.jit(
             step,
             static_argnames=("needs_filtering", "max_logprobs",
-                             "is_prefill", "return_prompt_logprobs"),
-            donate_argnums=(3, ),
+                             "is_prefill", "batch", "t_pad", "pages",
+                             "prefix_pages", "s_pad", "lp", "lo",
+                             "return_prompt_logprobs"),
+            donate_argnums=(1, ),
         )
 
         block_size = self.block_size
@@ -328,6 +383,7 @@ class ModelRunner:
     def _prepare_prompt(
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],
+        as_numpy: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray, PrefillMetadata, List[int]]:
         seq_lens: List[int] = []
         rows_tokens: List[List[int]] = []
@@ -377,6 +433,7 @@ class ModelRunner:
             padded_lens[i] = n
             padded_starts[i] = start
 
+        conv = (lambda x: x) if as_numpy else jnp.asarray
         bt_arr = None
         pl_arr = None
         if any(start_positions):
@@ -389,13 +446,13 @@ class ModelRunner:
                     zip(prefix_tables, start_positions)):
                 bt[i, :len(tbl)] = tbl
                 plens[i] = start
-            bt_arr = jnp.asarray(bt)
-            pl_arr = jnp.asarray(plens)
+            bt_arr = conv(bt)
+            pl_arr = conv(plens)
 
         metadata = PrefillMetadata(
-            seq_lens=jnp.asarray(padded_lens),
-            slot_mapping=jnp.asarray(slot_mapping),
-            start_positions=jnp.asarray(padded_starts),
+            seq_lens=conv(padded_lens),
+            slot_mapping=conv(slot_mapping),
+            start_positions=conv(padded_starts),
             block_tables=bt_arr,
             prefix_lens=pl_arr,
         )
@@ -614,13 +671,14 @@ class ModelRunner:
 
         if is_prompt:
             input_ids, positions, metadata, _ = self._prepare_prompt(
-                seq_group_metadata_list)
+                seq_group_metadata_list, as_numpy=True)
         else:
             input_ids, positions, metadata, _ = self._prepare_decode(
-                seq_group_metadata_list)
+                seq_group_metadata_list, as_numpy=True)
 
         (tensors, seeds, sample_indices, needs_filtering, max_logprobs,
-         plan) = self._prepare_sample(seq_group_metadata_list, is_prompt)
+         plan) = self._prepare_sample(seq_group_metadata_list, is_prompt,
+                                      as_numpy=True)
 
         has_processors = any(md.sampling_params.logits_processors
                              for md in seq_group_metadata_list)
@@ -643,17 +701,53 @@ class ModelRunner:
 
         lora = self._prepare_lora(seq_group_metadata_list,
                                   input_ids.shape[0])
+
+        # Pack all metadata into two buffers (layout mirrored in the
+        # jitted step; see its docstring for why).
+        batch = input_ids.shape[0]
+        s_pad = sample_indices.shape[0]
+        parts = [input_ids.ravel(), positions.ravel()]
+        if is_prompt:
+            t_pad = input_ids.shape[1]
+            pages = 0
+            parts += [np.asarray(metadata.slot_mapping).ravel(),
+                      metadata.seq_lens, metadata.start_positions]
+            prefix_pages = 0
+            if metadata.block_tables is not None:
+                prefix_pages = metadata.block_tables.shape[1]
+                parts += [metadata.block_tables.ravel(),
+                          metadata.prefix_lens]
+        else:
+            t_pad = 1
+            prefix_pages = 0
+            pages = metadata.block_tables.shape[1]
+            parts += [metadata.slot_mapping, metadata.context_lens,
+                      metadata.block_tables.ravel()]
+        parts += [sample_indices, tensors.top_k, seeds.view(np.int32),
+                  tensors.prompt_tokens.ravel(),
+                  tensors.output_tokens.ravel()]
+        ibuf = np.concatenate(parts)
+        fbuf = np.concatenate([
+            tensors.temperature, tensors.top_p, tensors.min_p,
+            tensors.greedy_mask.astype(np.float32),
+            tensors.presence_penalty, tensors.frequency_penalty,
+            tensors.repetition_penalty
+        ])
+
         out, prompt_lp, kv_caches = self._step_fn(
-            self.params, jnp.asarray(input_ids), jnp.asarray(positions),
-            kv_caches, metadata, tensors, jnp.asarray(seeds),
-            jnp.asarray(sample_indices), lora,
-            needs_filtering=needs_filtering, max_logprobs=max_logprobs,
-            is_prefill=is_prompt, return_prompt_logprobs=want_prompt_lp)
+            self.params, kv_caches, jnp.asarray(ibuf), jnp.asarray(fbuf),
+            lora, needs_filtering=needs_filtering,
+            max_logprobs=max_logprobs, is_prefill=is_prompt, batch=batch,
+            t_pad=t_pad, pages=pages, prefix_pages=prefix_pages,
+            s_pad=s_pad, lp=tensors.prompt_tokens.shape[1],
+            lo=tensors.output_tokens.shape[1],
+            return_prompt_logprobs=want_prompt_lp)
 
         sampler_output = self._process_sampler_output(
             _unpack_sampler_output(out, max_logprobs), plan)
         if prompt_lp is not None:
-            self._attach_prompt_logprobs(sampler_output, prompt_lp, plan,
+            self._attach_prompt_logprobs(sampler_output, prompt_lp,
+                                         max_logprobs, plan,
                                          seq_group_metadata_list)
         return sampler_output, kv_caches
 
@@ -776,11 +870,14 @@ class ModelRunner:
         return self._process_sampler_output(
             _unpack_sampler_output(out, max_logprobs), plan), kv_caches
 
-    def _attach_prompt_logprobs(self, sampler_output, prompt_lp, plan,
+    def _attach_prompt_logprobs(self, sampler_output, prompt_lp,
+                                max_logprobs, plan,
                                 seq_group_metadata_list) -> None:
-        chosen_lp = np.asarray(prompt_lp[0])
-        topk_lp = np.asarray(prompt_lp[1])
-        topk_ids = np.asarray(prompt_lp[2])
+        # Packed [B, T, 1+2L] (see the step fn): chosen | topk_lp | topk_id.
+        arr = np.asarray(prompt_lp)
+        chosen_lp = arr[..., 0]
+        topk_lp = arr[..., 1:1 + max_logprobs]
+        topk_ids = arr[..., 1 + max_logprobs:].astype(np.int32)
         for row, (group_out, md) in enumerate(
                 zip(sampler_output, seq_group_metadata_list)):
             num = md.sampling_params.prompt_logprobs
