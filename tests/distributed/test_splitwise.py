@@ -112,3 +112,35 @@ def test_splitwise_continuous_stream(splitwise_llm, tiny_checkpoint):
     assert len(finished) == 6
     for out in finished:
         assert len(out.outputs[0].token_ids) == 8
+
+
+def test_splitwise_multi_step_decode(tiny_checkpoint):
+    """Disaggregation + multi-step decode: the decode pool runs fused
+    K-step windows after KV migration; greedy output must match HF."""
+    import torch
+
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    d, hf, config = tiny_checkpoint
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=64, block_size=16,
+              max_num_seqs=8, max_paddings=512, swap_space=0.1,
+              sep_prompt_token=True, num_decode_steps=4)
+    rng = np.random.RandomState(2)
+    prompt_ids = [
+        rng.randint(3, config.vocab_size, size=rng.randint(8, 24)).tolist()
+        for _ in range(4)
+    ]
+    max_tokens = 11  # not a multiple of the window: exercises overshoot
+    outs = llm.generate(
+        prompt_token_ids=prompt_ids,
+        sampling_params=SamplingParams(temperature=0.0,
+                                       max_tokens=max_tokens,
+                                       ignore_eos=True),
+        use_tqdm=False)
+    for ids, out in zip(prompt_ids, outs):
+        with torch.no_grad():
+            hf_out = hf.generate(torch.tensor([ids]),
+                                 max_new_tokens=max_tokens,
+                                 do_sample=False)
+        assert out.outputs[0].token_ids == hf_out[0, len(ids):].tolist()
+    assert llm.llm_engine.executor.kv_migration.num_migrations >= 1
