@@ -42,7 +42,9 @@ def main(args):
               trust_remote_code=args.trust_remote_code,
               dtype=args.dtype,
               max_model_len=args.max_model_len,
-              kv_cache_dtype=args.kv_cache_dtype)
+              kv_cache_dtype=args.kv_cache_dtype,
+              max_num_seqs=args.max_num_seqs,
+              num_decode_steps=args.num_decode_steps)
 
     requests = sample_requests(
         args.num_prompts, args.input_len, args.output_len, args.dataset,
@@ -89,4 +91,7 @@ if __name__ == "__main__":
     parser.add_argument("--dtype", type=str, default="auto")
     parser.add_argument("--max-model-len", type=int, default=None)
     parser.add_argument("--kv-cache-dtype", type=str, default="auto")
+    parser.add_argument("--max-num-seqs", type=int, default=256)
+    parser.add_argument("--num-decode-steps", type=int, default=1,
+                        help="decode steps fused per device dispatch")
     main(parser.parse_args())
