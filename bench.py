@@ -123,19 +123,33 @@ def measure_decode(model, params, config, batch, context, steps,
     # compiles instead of num_layers (compile time at 32 layers drops
     # ~10x), and the donation graph stays two arrays.
     cache_dt = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn,
-                "int8": jnp.int8}[kv_dtype]
+                "int8": jnp.int8, "int4": jnp.int8}[kv_dtype]
     if kv_dtype != "bf16":
         # Engine default scale for int8 caches (CacheConfig.kv_scale);
         # keeps the timed path identical to real serving (round+clip on
         # write, dequant multiply in-kernel on read).
         for attn in model.attn:
             attn.kv_scale = 1.0 / 16.0 if kv_dtype == "int8" else 1.0
-    kv_caches = (
-        jnp.zeros((model.num_layers, num_pages, model.num_kv_heads,
-                   page_size, model.head_dim), dtype=cache_dt),
-        jnp.zeros((model.num_layers, num_pages, model.num_kv_heads,
-                   page_size, model.head_dim), dtype=cache_dt),
-    )
+    if kv_dtype == "int4":
+        from vllm_splitwise_tpu.ops.kv_cache import QuantPages
+
+        def alloc():
+            return QuantPages(
+                jnp.zeros((model.num_layers, num_pages,
+                           model.num_kv_heads, page_size // 2,
+                           model.head_dim), dtype=jnp.int8),
+                jnp.zeros((model.num_layers, num_pages,
+                           model.num_kv_heads, page_size),
+                          dtype=jnp.bfloat16))
+
+        kv_caches = (alloc(), alloc())
+    else:
+        kv_caches = (
+            jnp.zeros((model.num_layers, num_pages, model.num_kv_heads,
+                       page_size, model.head_dim), dtype=cache_dt),
+            jnp.zeros((model.num_layers, num_pages, model.num_kv_heads,
+                       page_size, model.head_dim), dtype=cache_dt),
+        )
 
     tables = np.zeros((b, pages_per_seq), dtype=np.int32)
     for i in range(b):
@@ -290,7 +304,8 @@ def main():
     # config on v5e: +26% decode throughput over bf16 KV, fp8 is slower
     # (no native fp8 on this chip).  The bf16 comparison leg keeps a
     # bf16 KV cache (its natural config).
-    parser.add_argument("--kv-dtype", choices=["bf16", "fp8", "int8"],
+    parser.add_argument("--kv-dtype",
+                        choices=["bf16", "fp8", "int8", "int4"],
                         default="int8")
     parser.add_argument("--size", choices=list(_SHAPES), default=None)
     parser.add_argument("--quant", choices=["int4", "int8", "bf16"],

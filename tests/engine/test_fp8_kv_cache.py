@@ -63,6 +63,47 @@ def test_int8_kv_cache_generation(setup):
     assert len(got) == 6
 
 
+def test_int4_kv_cache_generation(setup):
+    """int4 KV: nibble-packed QuantPages (data + per-token scales); the
+    cache shrinks to half a byte per element + 2 scale bytes per row."""
+    import jax.numpy as jnp
+    import torch
+
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    from vllm_splitwise_tpu.ops.kv_cache import QuantPages
+    d, hf, config = setup
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=64, max_num_seqs=8,
+              max_paddings=512, swap_space=0.1, kv_cache_dtype="int4")
+    worker = llm.llm_engine.executor.worker
+    cache = worker.kv_caches
+    k = cache[0] if isinstance(cache, tuple) else cache[0][0]
+    assert isinstance(k, QuantPages)
+    assert k.data.dtype == jnp.int8
+    head_dim = (config.hidden_size // config.num_attention_heads)
+    assert k.data.shape[-1] == head_dim
+    # token pairs per byte row; one scale per real token
+    assert k.data.shape[-2] * 2 == k.scale.shape[-1]
+    assert k.scale.dtype == jnp.bfloat16
+
+    rng = np.random.RandomState(3)
+    ids = rng.randint(3, config.vocab_size, size=16).tolist()
+    outs = llm.generate(prompt_token_ids=[ids],
+                        sampling_params=SamplingParams(temperature=0.0,
+                                                       max_tokens=6,
+                                                       ignore_eos=True),
+                        use_tqdm=False)
+    got = outs[0].outputs[0].token_ids
+    with torch.no_grad():
+        ref = hf.generate(torch.tensor([ids]), max_new_tokens=6,
+                          do_sample=False)[0, 16:].tolist()
+    # Prefill attends over fresh full-precision K/V, so the first output
+    # token is exact; later tokens read the int4 cache and may drift on a
+    # random (structureless) tiny model.
+    assert got[0] == ref[0]
+    assert len(got) == 6
+
+
 @pytest.mark.parametrize("cache_dtype", ["fp8_e5m2", "fp8_e4m3"])
 def test_fp8_kv_cache_generation(setup, cache_dtype):
     import jax.numpy as jnp

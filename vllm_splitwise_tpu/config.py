@@ -237,7 +237,8 @@ class CacheConfig:
             raise ValueError(f"block_size must be >= 1, got {self.block_size}")
 
     def _verify_cache_dtype(self) -> None:
-        if self.cache_dtype not in ("auto", "fp8_e5m2", "fp8_e4m3", "int8"):
+        if self.cache_dtype not in ("auto", "fp8_e5m2", "fp8_e4m3",
+                                    "int8", "int4"):
             raise ValueError(f"Unknown kv cache dtype: {self.cache_dtype}")
         if self.cache_dtype != "auto":
             logger.info("Using %s KV cache. The model weights are not "

@@ -91,7 +91,8 @@ class EngineArgs:
                                      "float", "float32"])
         parser.add_argument("--kv-cache-dtype", type=str,
                             default=EngineArgs.kv_cache_dtype,
-                            choices=["auto", "fp8_e5m2", "fp8_e4m3", "int8"])
+                            choices=["auto", "fp8_e5m2", "fp8_e4m3", "int8",
+                                     "int4"])
         parser.add_argument("--kv-scale", type=float, default=None,
                             help="dequant scale for quantized KV caches "
                             "(default: 1/16 for int8, 1.0 for fp8)")

@@ -138,16 +138,11 @@ class SplitwiseExecutor(ExecutorBase):
 
     def set_prefill_cache_pattern(self, value: float) -> None:
         """Fill every prefill-pool cache page with `value` (test hook)."""
+        import jax
         import jax.numpy as jnp
         cache = self.prefill_worker.kv_caches
-        if isinstance(cache, tuple):
-            self.prefill_worker.kv_caches = (jnp.full_like(cache[0], value),
-                                             jnp.full_like(cache[1], value))
-        else:
-            self.prefill_worker.kv_caches = [
-                (jnp.full_like(k, value), jnp.full_like(v, value))
-                for k, v in cache
-            ]
+        self.prefill_worker.kv_caches = jax.tree.map(
+            lambda a: jnp.full_like(a, value), cache)
         self.prefill_worker.cache_engine.device_cache = \
             self.prefill_worker.kv_caches
 
@@ -157,14 +152,9 @@ class SplitwiseExecutor(ExecutorBase):
         self.kv_migration.migrate({0: list(range(num_pages))})
 
     def check_decode_cache_pattern(self, value: float) -> bool:
+        import jax
         import numpy as np
         cache = self.decode_worker.kv_caches
-        if isinstance(cache, tuple):
-            return bool((np.asarray(cache[0]) == value).all()
-                        and (np.asarray(cache[1]) == value).all())
-        for k, v in self.decode_worker.kv_caches:
-            if not (np.asarray(k) == value).all():
-                return False
-            if not (np.asarray(v) == value).all():
-                return False
-        return True
+        return all(
+            bool((np.asarray(leaf) == value).all())
+            for leaf in jax.tree.leaves(cache))

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from vllm_splitwise_tpu.models.input_metadata import (DecodeMetadata,
                                                       PrefillMetadata)
-from vllm_splitwise_tpu.ops.kv_cache import (write_prefill_rows,
+from vllm_splitwise_tpu.ops.kv_cache import (QuantPages, dequantize_int4,
+                                             write_prefill_rows,
                                              write_to_kv_cache,
                                              write_to_kv_cache_stacked)
 from vllm_splitwise_tpu.ops.paged_attention import (paged_attention,
@@ -28,6 +29,15 @@ from vllm_splitwise_tpu.ops.paged_attention import (paged_attention,
 from vllm_splitwise_tpu.ops.prefill_attention import prefill_attention
 
 KVCache = Tuple[jax.Array, jax.Array]
+
+
+def _expand0(pages):
+    """Add a leading (layer) axis to every leaf of a page pytree."""
+    return jax.tree.map(lambda a: a[None], pages)
+
+
+def _squeeze0(pages):
+    return jax.tree.map(lambda a: a[0], pages)
 
 
 def _use_pallas() -> bool:
@@ -130,9 +140,9 @@ class Attention:
             # Non-stacked models: route through the same page-tile
             # writer via a single-layer view.
             k5, v5 = write_prefill_rows(
-                k_flat, v_flat, k_pages[None], v_pages[None],
+                k_flat, v_flat, _expand0(k_pages), _expand0(v_pages),
                 md.slot_mapping, jnp.int32(0), kv_scale=self.kv_scale)
-            k_pages, v_pages = k5[0], v5[0]
+            k_pages, v_pages = _squeeze0(k5), _squeeze0(v5)
 
         if self.kv_push_fn is not None:
             self.kv_push_fn(self.layer_id, k_pages, v_pages)
@@ -145,18 +155,24 @@ class Attention:
             pages_k = k_pages
             pages_v = v_pages
             if stacked:
-                pages_k = jax.lax.dynamic_index_in_dim(
-                    pages_k, layer_index, keepdims=False)
-                pages_v = jax.lax.dynamic_index_in_dim(
-                    pages_v, layer_index, keepdims=False)
+                pages_k = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, layer_index, keepdims=False), pages_k)
+                pages_v = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, layer_index, keepdims=False), pages_v)
             bsz, max_pages = md.block_tables.shape
-            page_size = pages_k.shape[-2]
+            page_size = pages_k.shape[-2] * (
+                2 if isinstance(pages_k, QuantPages) else 1)
 
             def to_tokens(pages):
-                g = jnp.take(pages, md.block_tables.reshape(-1), axis=0,
-                             mode="clip")
-                if g.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2,
-                               jnp.int8):
+                g = jax.tree.map(
+                    lambda a: jnp.take(a, md.block_tables.reshape(-1),
+                                       axis=0, mode="clip"), pages)
+                if isinstance(g, QuantPages):
+                    g = dequantize_int4(g).astype(q.dtype)
+                elif g.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2,
+                                 jnp.int8):
                     g = (g.astype(jnp.float32) *
                          self.kv_scale).astype(q.dtype)
                 g = g.reshape(bsz, max_pages, cache_heads, page_size,
@@ -198,6 +214,15 @@ class Attention:
             k_view, v_view = k_pages, v_pages
             assert cache_heads == self.num_kv_heads, (
                 "stacked caches require homogeneous KV heads")
+        elif isinstance(k_pages, QuantPages):
+            assert cache_heads == self.num_kv_heads, (
+                "int4 caches require homogeneous KV heads")
+            k5, v5 = write_to_kv_cache_stacked(
+                self._pad_heads(k, cache_heads),
+                self._pad_heads(v, cache_heads), _expand0(k_pages),
+                _expand0(v_pages), md.slot_mapping, jnp.int32(0))
+            k_pages, v_pages = _squeeze0(k5), _squeeze0(v5)
+            k_view, v_view = k_pages, v_pages
         else:
             k_pages, v_pages = write_to_kv_cache(
                 self._pad_heads(k, cache_heads),

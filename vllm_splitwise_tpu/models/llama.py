@@ -262,8 +262,10 @@ class LlamaForCausalLM:
         if self.embed_multiplier != 1.0:
             hidden = hidden * jnp.asarray(self.embed_multiplier,
                                           dtype=hidden.dtype)
+        from vllm_splitwise_tpu.ops.kv_cache import QuantPages
         if (isinstance(kv_caches, tuple) and len(kv_caches) == 2
-                and not isinstance(kv_caches[0], tuple)
+                and (not isinstance(kv_caches[0], tuple)
+                     or isinstance(kv_caches[0], QuantPages))
                 and getattr(kv_caches[0], "ndim", 0) == 5):
             assert self._can_scan(params, lora), (
                 "stacked KV caches require stacked homogeneous layers")

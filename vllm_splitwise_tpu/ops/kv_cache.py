@@ -16,11 +16,100 @@ slot = page_idx * page_size + offset.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class QuantPages(NamedTuple):
+    """Sub-byte-quantized KV pages: nibble-packed data + per-token scales.
+
+    ``data``  — ``[(L,) P, KVH, PS//2, HD]`` int8; byte ``(h, r, d)``
+    packs TOKEN PAIR ``2r`` (low nibble) and ``2r+1`` (high nibble) at
+    head-dim ``d``, both signed int4 in [-7, 7].  Pairing tokens (not
+    head dims) keeps the lane dimension at the full ``HD`` so page DMAs
+    stay 128-lane aligned (Mosaic rejects sub-128 lane HBM slices); the
+    attention kernel runs two half-token-count MXU dots whose outputs
+    concatenate along the (small) score lanes.
+    ``scale`` — ``[(L,) P, KVH, PS]`` bfloat16 per-token-per-head scale
+    (KIVI-style finest practical granularity; dequant = int4 * scale).
+    The kernel never DMAs this layout: scales are gathered+permuted into
+    dense per-batch arrays in XLA (see ops/paged_attention.py).
+
+    Registered as a pytree (NamedTuple), so jit/scan/donation treat the
+    two leaves like any other cache array.  ``ndim``/``shape`` mirror the
+    data leaf so callers' stacked-vs-flat checks keep working.
+    """
+    data: jax.Array
+    scale: jax.Array
+
+    @property
+    def ndim(self) -> int:
+        return self.data.ndim
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+
+INT4_MAX = 7.0
+
+
+def quantize_int4_values(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[..., HD] float -> (unpacked int4-in-int8 values in [-7, 7],
+    [...] bf16 per-row scale)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    # Round the scale to its stored (bf16) value BEFORE quantizing so the
+    # write and the dequant use the exact same step size.
+    scale = jnp.maximum(amax / INT4_MAX, 1e-8).astype(jnp.bfloat16)
+    q = jnp.clip(jnp.round(xf / scale.astype(jnp.float32)[..., None]),
+                 -INT4_MAX, INT4_MAX).astype(jnp.int8)
+    return q, scale
+
+
+def pack_int4_pairs(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """Pack two int4-in-int8 value tensors into one byte tensor.
+
+    BIASED-LOW convention: ``byte = (hi << 4) | (lo + 8)`` so that the
+    signed byte value is EXACTLY ``16*hi + (lo + 8)`` (no wrap: range
+    [-128, 127]).  The attention kernel exploits this identity to read
+    both nibbles with plain int8 MXU dots — one on the raw bytes, one on
+    ``byte & 0xF`` — because Mosaic only legalizes and/or (no shifts) on
+    int8 vectors."""
+    return jnp.bitwise_or(
+        jnp.bitwise_and(lo + jnp.int8(8), jnp.int8(0xF)),
+        jnp.left_shift(hi, jnp.int8(4)))
+
+
+def quantize_int4_pages(x: jax.Array) -> QuantPages:
+    """Quantize dense pages ``[..., PS, HD]`` into token-pair-packed
+    QuantPages (tests / cache builders)."""
+    q4, sc = quantize_int4_values(x)
+    packed = pack_int4_pairs(q4[..., 0::2, :], q4[..., 1::2, :])
+    return QuantPages(packed, sc)
+
+
+def unpack_int4(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Nibble-packed int8 -> (low, high) int4 values (biased-low
+    convention, see pack_int4_pairs).  XLA-side only — the Pallas kernel
+    never unpacks (int8 shifts don't legalize on the TPU VPU)."""
+    four = jnp.int8(4)
+    lo = jnp.bitwise_and(packed, jnp.int8(0xF)) - jnp.int8(8)
+    hi = jax.lax.shift_right_arithmetic(packed, four)
+    return lo, hi
+
+
+def dequantize_int4(pages: QuantPages) -> jax.Array:
+    """QuantPages -> [(L,) P, KVH, PS, HD] float32 (tests / oracle /
+    prefix-cache gathers)."""
+    lo, hi = unpack_int4(pages.data)          # each [..., PS//2, HD]
+    q = jnp.stack([lo, hi], axis=-2)          # [..., PS//2, 2, HD]
+    shape = q.shape[:-3] + (q.shape[-3] * 2, q.shape[-1])
+    q = q.reshape(shape).astype(jnp.float32)  # token order 2r, 2r+1
+    return q * pages.scale.astype(jnp.float32)[..., None]
 
 
 def quantize_for_cache(x: jax.Array, cache_dtype,
@@ -86,10 +175,18 @@ def write_to_kv_cache_stacked(
     (layer, page, 0, off, 0); prefill-size writes use a (layer, page,
     offset) advanced-index scatter over [kvh, hd] slabs.
     """
-    num_layers, num_pages, num_kv_heads, page_size, head_dim = k_all.shape
-    num_tokens = k.shape[0]
-    k = quantize_for_cache(k, k_all.dtype, kv_scale)
-    v = quantize_for_cache(v, v_all.dtype, kv_scale)
+    int4 = isinstance(k_all, QuantPages)
+    if int4:
+        (num_layers, num_pages, num_kv_heads, half_ps,
+         _) = k_all.data.shape
+        page_size = half_ps * 2
+        k, k_sc = quantize_int4_values(k)
+        v, v_sc = quantize_int4_values(v)
+    else:
+        (num_layers, num_pages, num_kv_heads, page_size,
+         head_dim) = k_all.shape
+        k = quantize_for_cache(k, k_all.dtype, kv_scale)
+        v = quantize_for_cache(v, v_all.dtype, kv_scale)
     layer = jnp.asarray(layer, jnp.int32)
 
     # Head-major pages make a token a STRIDED [kvh, 1, hd] slab; both a
@@ -115,6 +212,38 @@ def write_to_kv_cache_stacked(
                          rows[:, :, None, :], old)
         return all_pages.at[layer_b, pages].set(tile, mode="drop")
 
+    def rmw_scale(all_scales, rows):
+        # rows: [T, kvh]; scale pages: [L, P, kvh, ps]; old: [T, kvh, ps]
+        old = all_scales.at[layer_b, pages].get(mode="fill", fill_value=0)
+        off_iota = jax.lax.broadcasted_iota(jnp.int32, old.shape, 2)
+        tile = jnp.where(off_iota == offs[:, None, None],
+                         rows[:, :, None].astype(old.dtype), old)
+        return all_scales.at[layer_b, pages].set(tile, mode="drop")
+
+    def rmw_int4(all_pages, rows):
+        # rows: [T, kvh, hd] int4-in-int8; data pages [L, P, kvh, ps/2, hd]
+        # token at offset `off` owns nibble (off % 2) of byte row
+        # (off // 2): merge into the gathered page, keep neighbors.
+        old = all_pages.at[layer_b, pages].get(mode="fill", fill_value=0)
+        byte_row = (offs // 2)[:, None, None, None]
+        par3 = (offs % 2)[:, None, None]           # vs rows [T, kvh, hd]
+        par4 = (offs % 2)[:, None, None, None]     # vs old  [T, kvh, r, hd]
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, old.shape, 2)
+        nib = jnp.where(
+            par3 == 0,
+            jnp.bitwise_and(rows + jnp.int8(8), jnp.int8(0xF)),
+            jnp.left_shift(rows, jnp.int8(4)))[:, :, None, :]
+        keep = jnp.where(par4 == 0, jnp.int8(0xF0 - 256),
+                         jnp.int8(0x0F)).astype(jnp.int8)
+        merged = jnp.bitwise_or(jnp.bitwise_and(old, keep), nib)
+        tile = jnp.where(row_iota == byte_row, merged, old)
+        return all_pages.at[layer_b, pages].set(tile, mode="drop")
+
+    if int4:
+        return (QuantPages(rmw_int4(k_all.data, k),
+                           rmw_scale(k_all.scale, k_sc)),
+                QuantPages(rmw_int4(v_all.data, v),
+                           rmw_scale(v_all.scale, v_sc)))
     return rmw(k_all, k), rmw(v_all, v)
 
 
@@ -136,12 +265,25 @@ def write_prefill_rows(
     is ``start + arange(T_pad)`` (masked with -1): consecutive slots walk
     pages monotonically, so tile (b, j) covers exactly one page.
     """
-    num_layers, num_pages, num_kv_heads, page_size, head_dim = k_all.shape
+    int4 = isinstance(k_all, QuantPages)
     bsz, t_pad = slot_rows.shape
-    k = quantize_for_cache(k, k_all.dtype, kv_scale).reshape(
-        bsz, t_pad, num_kv_heads, head_dim)
-    v = quantize_for_cache(v, v_all.dtype, kv_scale).reshape(
-        bsz, t_pad, num_kv_heads, head_dim)
+    if int4:
+        (num_layers, num_pages, num_kv_heads, half_ps,
+         head_dim) = k_all.data.shape
+        page_size = half_ps * 2
+        k, k_sc = quantize_int4_values(k)
+        v, v_sc = quantize_int4_values(v)
+        k = k.reshape(bsz, t_pad, num_kv_heads, head_dim)
+        v = v.reshape(bsz, t_pad, num_kv_heads, head_dim)
+        k_sc = k_sc.reshape(bsz, t_pad, num_kv_heads)
+        v_sc = v_sc.reshape(bsz, t_pad, num_kv_heads)
+    else:
+        (num_layers, num_pages, num_kv_heads, page_size,
+         head_dim) = k_all.shape
+        k = quantize_for_cache(k, k_all.dtype, kv_scale).reshape(
+            bsz, t_pad, num_kv_heads, head_dim)
+        v = quantize_for_cache(v, v_all.dtype, kv_scale).reshape(
+            bsz, t_pad, num_kv_heads, head_dim)
     layer = jnp.asarray(layer, jnp.int32)
 
     npr = t_pad // page_size + 1        # page tiles per row
@@ -168,18 +310,63 @@ def write_prefill_rows(
 
     def rmw(all_pages, rows):
         # rows: [B, T_pad, kvh, hd]
+        hd = rows.shape[-1]
         vals = jnp.take_along_axis(
             rows[:, None], tclip[..., None, None], axis=2)
         # vals: [B, npr, ps, kvh, hd] -> head-major tile
         vals = vals.transpose(0, 1, 3, 2, 4)
         old = all_pages.at[layer_b, flat_pages].get(mode="fill",
                                                     fill_value=0)
-        old = old.reshape(bsz, npr, num_kv_heads, page_size, head_dim)
+        old = old.reshape(bsz, npr, num_kv_heads, page_size, hd)
         tile = jnp.where(valid[:, :, None, :, None], vals, old)
         return all_pages.at[layer_b, flat_pages].set(
-            tile.reshape(bsz * npr, num_kv_heads, page_size, head_dim),
+            tile.reshape(bsz * npr, num_kv_heads, page_size, hd),
             mode="drop")
 
+    def rmw_scale(all_scales, rows):
+        # rows: [B, T_pad, kvh]; scale pages: [L, P, kvh, ps]
+        vals = jnp.take_along_axis(rows[:, None], tclip[..., None], axis=2)
+        vals = vals.transpose(0, 1, 3, 2)      # [B, npr, kvh, ps]
+        old = all_scales.at[layer_b, flat_pages].get(mode="fill",
+                                                     fill_value=0)
+        old = old.reshape(bsz, npr, num_kv_heads, page_size)
+        tile = jnp.where(valid[:, :, None, :], vals.astype(old.dtype), old)
+        return all_scales.at[layer_b, flat_pages].set(
+            tile.reshape(bsz * npr, num_kv_heads, page_size), mode="drop")
+
+    def rmw_int4(all_pages, rows):
+        # rows: [B, T_pad, kvh, hd] int4-in-int8 values.  Byte row r of a
+        # page packs the tokens at offsets 2r (low nibble) and 2r+1
+        # (high): gather both token lanes, merge nibble-wise with the old
+        # page so half-filled pairs keep their neighbor.
+        half = page_size // 2
+        vals = jnp.take_along_axis(
+            rows[:, None], tclip[..., None, None], axis=2)
+        # [B, npr, ps, kvh, hd] -> [B, npr, kvh, ps, hd]
+        vals = vals.transpose(0, 1, 3, 2, 4)
+        v_lo = vals[:, :, :, 0::2]             # [B, npr, kvh, ps/2, hd]
+        v_hi = vals[:, :, :, 1::2]
+        ok_lo = valid[:, :, None, 0::2, None]
+        ok_hi = valid[:, :, None, 1::2, None]
+        old = all_pages.at[layer_b, flat_pages].get(mode="fill",
+                                                    fill_value=0)
+        old = old.reshape(bsz, npr, num_kv_heads, half, head_dim)
+        lo_nib = jnp.where(ok_lo,
+                           jnp.bitwise_and(v_lo + jnp.int8(8),
+                                           jnp.int8(0xF)),
+                           jnp.bitwise_and(old, jnp.int8(0x0F)))
+        hi_nib = jnp.where(ok_hi, jnp.left_shift(v_hi, jnp.int8(4)),
+                           jnp.bitwise_and(old, jnp.int8(0xF0 - 256)))
+        tile = jnp.bitwise_or(lo_nib, hi_nib)
+        return all_pages.at[layer_b, flat_pages].set(
+            tile.reshape(bsz * npr, num_kv_heads, half, head_dim),
+            mode="drop")
+
+    if int4:
+        return (QuantPages(rmw_int4(k_all.data, k),
+                           rmw_scale(k_all.scale, k_sc)),
+                QuantPages(rmw_int4(v_all.data, v),
+                           rmw_scale(v_all.scale, v_sc)))
     return rmw(k_all, k), rmw(v_all, v)
 
 
@@ -193,22 +380,27 @@ def copy_blocks(
     num_pages = k_pages.shape[0]
     src = jnp.where(src_indices < 0, 0, src_indices)
     dst = jnp.where(dst_indices < 0, num_pages, dst_indices)
-    k_src = jnp.take(k_pages, src, axis=0, mode="clip")
-    v_src = jnp.take(v_pages, src, axis=0, mode="clip")
-    k_pages = k_pages.at[dst].set(k_src, mode="drop")
-    v_pages = v_pages.at[dst].set(v_src, mode="drop")
-    return k_pages, v_pages
+
+    def cp(pages):
+        return jax.tree.map(
+            lambda a: a.at[dst].set(jnp.take(a, src, axis=0, mode="clip"),
+                                    mode="drop"), pages)
+
+    return cp(k_pages), cp(v_pages)
 
 
-def gather_pages(pages: jax.Array, indices: jax.Array) -> jax.Array:
-    """Pull a set of pages out of the cache (KV migration send side)."""
-    return jnp.take(pages, indices, axis=0, mode="clip")
+def gather_pages(pages, indices: jax.Array):
+    """Pull a set of pages out of the cache (KV migration send side).
+    Works leaf-wise on QuantPages (int4 caches migrate data + scales)."""
+    return jax.tree.map(
+        lambda a: jnp.take(a, indices, axis=0, mode="clip"), pages)
 
 
-def scatter_pages(pages: jax.Array, indices: jax.Array,
-                  values: jax.Array) -> jax.Array:
+def scatter_pages(pages, indices: jax.Array, values):
     """Write a set of pages into the cache (KV migration receive side)."""
-    return pages.at[indices].set(values.astype(pages.dtype), mode="drop")
+    return jax.tree.map(
+        lambda p, v: p.at[indices].set(v.astype(p.dtype), mode="drop"),
+        pages, values)
 
 
 def swap_out_blocks(
@@ -223,12 +415,14 @@ def swap_out_blocks(
     if not mapping:
         return
     src = jnp.asarray(sorted(mapping.keys()), dtype=jnp.int32)
-    k_gather = np.asarray(gather_pages(k_pages, src))
-    v_gather = np.asarray(gather_pages(v_pages, src))
-    for i, s in enumerate(sorted(mapping.keys())):
-        d = mapping[s]
-        k_host[d] = k_gather[i]
-        v_host[d] = v_gather[i]
+
+    def leaf_out(dev, host):
+        gathered = np.asarray(jnp.take(dev, src, axis=0, mode="clip"))
+        for i, s in enumerate(sorted(mapping.keys())):
+            host[mapping[s]] = gathered[i]
+
+    jax.tree.map(leaf_out, k_pages, k_host)
+    jax.tree.map(leaf_out, v_pages, v_host)
 
 
 def swap_in_blocks(
@@ -243,7 +437,10 @@ def swap_in_blocks(
         return k_pages, v_pages
     src = sorted(mapping.keys())
     dst = jnp.asarray([mapping[s] for s in src], dtype=jnp.int32)
-    k_vals = jnp.asarray(k_host[src])
-    v_vals = jnp.asarray(v_host[src])
-    return (scatter_pages(k_pages, dst, k_vals),
-            scatter_pages(v_pages, dst, v_vals))
+
+    def leaf_in(dev, host):
+        vals = jnp.asarray(np.ascontiguousarray(host[src]))
+        return dev.at[dst].set(vals.astype(dev.dtype), mode="drop")
+
+    return (jax.tree.map(leaf_in, k_pages, k_host),
+            jax.tree.map(leaf_in, v_pages, v_host))

@@ -56,10 +56,22 @@ def _paged_attention_kernel(
     has_alibi: bool = False,
     stacked: bool = False,
     int8_kv: bool = False,
+    int4_kv: bool = False,
 ):
-    if int8_kv:
-        # W8A8 path: q arrives pre-quantized (int8) with per-(kvh, gp)
-        # scales broadcast across the lane dim.
+    if int4_kv:
+        # W8A4 path: token-pair nibble-packed pages ([kvh, ps/2, hd]
+        # int8, token 2r in the low nibble).  Per-token scales arrive as
+        # normal pipelined VMEM blocks ([1, kvh, chunk_tokens], already
+        # gathered + lane-permuted to [evens | odds] in XLA) — no manual
+        # scale DMAs, no sub-128-lane HBM slices.
+        ks_ref = rest[0]   # [1, kvh, chunk_tokens] bf16 block
+        vs_ref = rest[1]
+        rest = rest[2:]
+    else:
+        ks_ref = vs_ref = None
+    if int8_kv or int4_kv:
+        # q arrives pre-quantized (int8) with per-(kvh, gp) scales
+        # broadcast across the lane dim.
         qscale_ref = rest[0]   # [1, kvh, group_padded, 128] f32
         rest = rest[1:]
     else:
@@ -70,7 +82,7 @@ def _paged_attention_kernel(
     else:
         slopes_ref = None
     (out_ref,          # [1, kvh, group_padded, head_dim]
-     k_vmem,           # [2, kvh, chunk_tokens, head_dim]
+     k_vmem,           # [2, kvh, chunk_tokens(//2 if int4), head_dim]
      v_vmem,
      sems,             # DMA sems [2, 2]
      m_ref,            # [kvh, group_padded, 128] f32
@@ -93,10 +105,11 @@ def _paged_attention_kernel(
         the [kvh, chunk_tokens, hd] VMEM buffer as a strided
         rectangular copy — no in-kernel relayout needed."""
         dmas = []
+        rows_per_page = page_size // 2 if int4_kv else page_size
         for p in range(pages_per_chunk):  # static unroll
             page_idx = block_tables_ref[b * pages_per_seq +
                                         chunk * pages_per_chunk + p]
-            dst = pl.ds(p * page_size, page_size)
+            dst = pl.ds(p * rows_per_page, rows_per_page)
             if stacked:
                 k_src = k_pages_hbm.at[layer, page_idx]
                 v_src = v_pages_hbm.at[layer, page_idx]
@@ -143,8 +156,29 @@ def _paged_attention_kernel(
         # Feed the MXU bf16 operands with f32 ACCUMULATION — explicit
         # f32 casts of the 2 MB K/V chunks are pure VPU overhead.
         q = q_ref[0]                          # [kvh, gp, hd] bf16/int8
-        k = k_vmem[slot]                      # [kvh, tok, hd]
-        if int8_kv:
+        k = k_vmem[slot]                      # [kvh, tok(//2), hd]
+        if int4_kv:
+            # W8A4 without unpacking: the biased-low packing makes the
+            # signed byte EXACTLY 16*x_odd + (x_even + 8), so two int8
+            # MXU dots — raw bytes and (bytes & 0xF), the only int8
+            # vector bit-op Mosaic legalizes — recover both token
+            # nibbles algebraically.  Scores concatenate along the
+            # (small) lane dim in [evens | odds] order, matching the
+            # pre-permuted per-token scale blocks.
+            bm = jnp.bitwise_and(k, jnp.int8(0xF))
+            dn = (((2, ), (2, )), ((0, ), (0, )))
+            a = jax.lax.dot_general(q, k, dimension_numbers=dn,
+                                    preferred_element_type=jnp.int32)
+            bq = jax.lax.dot_general(q, bm, dimension_numbers=dn,
+                                     preferred_element_type=jnp.int32)
+            qsum = jnp.sum(q.astype(jnp.int32), axis=-1, keepdims=True)
+            s_even = bq - 8 * qsum            # [kvh, gp, tok/2]
+            s_odd = jax.lax.shift_right_arithmetic(a - bq, 4)  # exact /16
+            s_int = jnp.concatenate([s_even, s_odd], axis=-1)
+            qs = qscale_ref[0, :, :, 0:1]     # [kvh, gp, 1]
+            ks = ks_ref[0].astype(jnp.float32)       # [kvh, tok]
+            s = (s_int.astype(jnp.float32) * (qs * scale)) * ks[:, None, :]
+        elif int8_kv:
             # int8 x int8 -> int32 on the MXU; the 2 MB K chunk never
             # touches the VPU.  s = (qq . k_int) * qs * kv_scale * scale.
             s_int = jax.lax.dot_general(
@@ -162,8 +196,15 @@ def _paged_attention_kernel(
                 preferred_element_type=jnp.float32,
             ) * scale
 
-        token_pos = i * chunk_tokens + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        if int4_kv:
+            # Lane order is [even tokens | odd tokens] of the chunk.
+            half = chunk_tokens // 2
+            local = jnp.where(lane < half, 2 * lane,
+                              2 * (lane - half) + 1)
+        else:
+            local = lane
+        token_pos = i * chunk_tokens + local
         if slopes_ref is not None:
             dist = (token_pos - (ctx_len - 1)).astype(jnp.float32)
             s = s + slopes_ref[...][:, :, None] * dist
@@ -177,8 +218,34 @@ def _paged_attention_kernel(
         p = jnp.exp(s - m_new)               # [kvh, gp, tok]
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-        v = v_vmem[slot]                      # [kvh, tok, hd]
-        if int8_kv:
+        v = v_vmem[slot]                      # [kvh, tok(//2), hd]
+        if int4_kv:
+            # Fold per-token V scales into the probs (both already in
+            # [evens | odds] lane order), re-quantize the small probs
+            # tile to int8, then separate the token nibbles with the
+            # same masked-dot identity: even tokens from the masked
+            # bytes, odd tokens from (raw - masked) / 16.
+            vs = vs_ref[0].astype(jnp.float32)       # [kvh, tok]
+            p_s = p * vs[:, None, :]
+            m_p = jnp.maximum(jnp.max(p_s, axis=-1, keepdims=True),
+                              1e-20)                  # [kvh, gp, 1]
+            pq = jnp.round(p_s * (127.0 / m_p)).astype(jnp.int8)
+            half = chunk_tokens // 2
+            pe = pq[:, :, :half]
+            po = pq[:, :, half:]
+            bm = jnp.bitwise_and(v, jnp.int8(0xF))
+            dn = (((2, ), (1, )), ((0, ), (0, )))
+            b1 = jax.lax.dot_general(pe, bm, dimension_numbers=dn,
+                                     preferred_element_type=jnp.int32)
+            a2 = jax.lax.dot_general(po, v, dimension_numbers=dn,
+                                     preferred_element_type=jnp.int32)
+            b2 = jax.lax.dot_general(po, bm, dimension_numbers=dn,
+                                     preferred_element_type=jnp.int32)
+            pesum = jnp.sum(pe.astype(jnp.int32), axis=-1, keepdims=True)
+            pv_int = (b1 - 8 * pesum +
+                      jax.lax.shift_right_arithmetic(a2 - b2, 4))
+            pv = pv_int.astype(jnp.float32) * (m_p / 127.0)
+        elif int8_kv:
             # p in (0, 1] (row max is exactly 1 after the online-softmax
             # shift), so a fixed 127 scale loses < 0.4% of the max prob;
             # int8 x int8 -> int32 keeps the V chunk off the VPU too.
@@ -239,13 +306,19 @@ def paged_attention(
     < num_pages (0-pad).  A stacked cache [L, P, PS, KVH, HD] with
     ``layer_index`` serves lax.scan models without slice copies.
     """
+    from vllm_splitwise_tpu.ops.kv_cache import QuantPages
+    int4_kv = isinstance(k_pages, QuantPages)
     batch, num_q_heads, head_dim = q.shape
     stacked = k_pages.ndim == 5
+    k_data = k_pages.data if int4_kv else k_pages
+    v_data = v_pages.data if int4_kv else v_pages
     if stacked:
         assert layer_index is not None
-        _, num_pages, num_kv_heads, page_size, head_dim_k = k_pages.shape
+        _, num_pages, num_kv_heads, page_size, head_dim_k = k_data.shape
     else:
-        num_pages, num_kv_heads, page_size, head_dim_k = k_pages.shape
+        num_pages, num_kv_heads, page_size, head_dim_k = k_data.shape
+    if int4_kv:
+        page_size *= 2    # data rows pack token pairs
     assert head_dim == head_dim_k
     assert num_q_heads % num_kv_heads == 0
     group = num_q_heads // num_kv_heads
@@ -273,9 +346,10 @@ def paged_attention(
     # W8A8 attention for int8 KV caches: quantize q per (kvh, group) row
     # so both dots run native int8 on the MXU and the 2 MB K/V chunks
     # never pass through a VPU dequant (adds ~0.5% output error on top
-    # of the cache quantization itself).
-    int8_kv = k_pages.dtype == jnp.int8
-    if int8_kv:
+    # of the cache quantization itself).  int4 (nibble-packed) caches
+    # take the same quantized-q route.
+    int8_kv = (not int4_kv) and k_data.dtype == jnp.int8
+    if int8_kv or int4_kv:
         qf = q_view.astype(jnp.float32)
         qs = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0
         qs = jnp.maximum(qs, 1e-10)           # [B, kvh, gp, 1]
@@ -297,6 +371,7 @@ def paged_attention(
         has_alibi=has_alibi,
         stacked=stacked,
         int8_kv=int8_kv,
+        int4_kv=int4_kv,
     )
 
     in_specs = [
@@ -310,8 +385,36 @@ def paged_attention(
     layer_arr = (jnp.asarray([layer_index], dtype=jnp.int32).reshape(1)
                  if stacked else jnp.zeros((1, ), dtype=jnp.int32))
     inputs = [block_tables.reshape(-1), context_lens, layer_arr, q_view,
-              k_pages, v_pages]
-    if int8_kv:
+              k_data, v_data]
+    if int4_kv:
+        # Gather the per-token scales for every scheduled page into dense
+        # [B, kvh, tokens] arrays (one fused XLA gather — ~1.5% of the
+        # page-data bytes) and permute each chunk's lanes to
+        # [evens | odds] so they line up with the kernel's concatenated
+        # half-dots.  They then flow in as ordinary pipelined blocks.
+        def gather_scales(scale_pages):
+            flat = scale_pages.reshape((-1, ) + scale_pages.shape[-2:])
+            idx = block_tables.reshape(-1)
+            if stacked:
+                idx = jnp.asarray(layer_index, jnp.int32) * num_pages + idx
+            g = jnp.take(flat, idx, axis=0, mode="clip")
+            g = g.reshape(batch, pages_per_seq, num_kv_heads, page_size)
+            g = g.transpose(0, 2, 1, 3).reshape(batch, num_kv_heads, -1)
+            # [B, kvh, T] -> per-chunk [evens | odds] lane order
+            g = g.reshape(batch, num_kv_heads, num_chunks,
+                          chunk_tokens // 2, 2)
+            g = g.transpose(0, 1, 2, 4, 3)
+            return g.reshape(batch, num_kv_heads, num_chunks * chunk_tokens)
+
+        in_specs += [
+            pl.BlockSpec((1, num_kv_heads, chunk_tokens),
+                         lambda b, i, *_: (b, 0, i)),
+            pl.BlockSpec((1, num_kv_heads, chunk_tokens),
+                         lambda b, i, *_: (b, 0, i)),
+        ]
+        inputs += [gather_scales(k_pages.scale),
+                   gather_scales(v_pages.scale)]
+    if int8_kv or int4_kv:
         in_specs.append(
             pl.BlockSpec((1, num_kv_heads, group_padded, 128),
                          lambda b, i, *_: (b, 0, 0, 0)))
@@ -337,10 +440,12 @@ def paged_attention(
                 lambda b, i, *_: (b, 0, 0, 0),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, num_kv_heads, chunk_tokens, head_dim),
-                           k_pages.dtype),
-                pltpu.VMEM((2, num_kv_heads, chunk_tokens, head_dim),
-                           v_pages.dtype),
+                pltpu.VMEM((2, num_kv_heads,
+                            chunk_tokens // 2 if int4_kv else chunk_tokens,
+                            head_dim), k_data.dtype),
+                pltpu.VMEM((2, num_kv_heads,
+                            chunk_tokens // 2 if int4_kv else chunk_tokens,
+                            head_dim), v_data.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
                 pltpu.VMEM((num_kv_heads, group_padded, 128), jnp.float32),
                 pltpu.VMEM((num_kv_heads, group_padded, 128), jnp.float32),
@@ -376,6 +481,19 @@ def paged_attention_reference(
     Gathers every sequence's pages into a dense [B, T, ...] view — memory
     hungry but simple; used for correctness tests and non-TPU backends.
     """
+    from vllm_splitwise_tpu.ops.kv_cache import QuantPages, dequantize_int4
+    if isinstance(k_pages, QuantPages):
+        if k_pages.ndim == 5:
+            k_pages = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, layer_index, keepdims=False), k_pages)
+            v_pages = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, layer_index, keepdims=False), v_pages)
+            layer_index = None
+        k_pages = dequantize_int4(k_pages)
+        v_pages = dequantize_int4(v_pages)
+        kv_scale = 1.0
     if k_pages.ndim == 5:
         assert layer_index is not None
         k_pages = jax.lax.dynamic_index_in_dim(k_pages, layer_index,

@@ -19,7 +19,8 @@ import numpy as np
 from vllm_splitwise_tpu.config import (CacheConfig, ModelConfig,
                                        ParallelConfig)
 from vllm_splitwise_tpu.logger import init_logger
-from vllm_splitwise_tpu.ops.kv_cache import (copy_blocks, swap_in_blocks,
+from vllm_splitwise_tpu.ops.kv_cache import (QuantPages, copy_blocks,
+                                             swap_in_blocks,
                                              swap_out_blocks)
 
 logger = init_logger(__name__)
@@ -55,21 +56,33 @@ class CacheEngine:
         self.num_device_pages = cache_config.num_device_blocks
         self.num_host_pages = cache_config.num_host_blocks
 
-        self.dtype = _cache_dtype(cache_config, model_config)
+        # "int4" caches are nibble-packed QuantPages (int8 data holding
+        # two signed int4s per byte + bf16 per-token scales); every other
+        # dtype is a plain page array.
+        self.int4 = cache_config.cache_dtype == "int4"
+        self.dtype = (jnp.int8 if self.int4 else
+                      _cache_dtype(cache_config, model_config))
 
         self.device_cache = self._allocate_device_cache()
         self.host_cache = self._allocate_host_cache()
 
     def _page_shape(self, num_pages: int) -> Tuple[int, int, int, int]:
         # Page-major, head-major interior: one page = one contiguous
-        # [kvh, ps, hd] block (see ops/paged_attention.py).
-        return (num_pages, self.num_kv_heads, self.page_size, self.head_dim)
+        # [kvh, ps, hd] block (see ops/paged_attention.py).  int4 packs
+        # token PAIRS per byte row: [kvh, ps//2, hd].
+        ps = self.page_size // 2 if self.int4 else self.page_size
+        return (num_pages, self.num_kv_heads, ps, self.head_dim)
+
+    def _scale_shape(self, num_pages: int) -> Tuple[int, int, int]:
+        return (num_pages, self.num_kv_heads, self.page_size)
 
     def _allocate_device_cache(self):
         shape = self._page_shape(self.num_device_pages)
+        scale_shape = self._scale_shape(self.num_device_pages)
         if self.stacked:
             shape = (self.num_layers, ) + shape
-        sharding = None
+            scale_shape = (self.num_layers, ) + scale_shape
+        sharding = scale_sharding = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
@@ -80,10 +93,18 @@ class CacheEngine:
             elif self.stacked:
                 spec = P(None, *tuple(spec))
             sharding = NamedSharding(self.mesh, spec)
+            scale_sharding = NamedSharding(
+                self.mesh, P(*tuple(spec)[:len(scale_shape)]))
 
         def alloc():
             z = jnp.zeros(shape, dtype=self.dtype)
-            return jax.device_put(z, sharding) if sharding is not None else z
+            z = jax.device_put(z, sharding) if sharding is not None else z
+            if not self.int4:
+                return z
+            s = jnp.zeros(scale_shape, dtype=jnp.bfloat16)
+            if scale_sharding is not None:
+                s = jax.device_put(s, scale_sharding)
+            return QuantPages(z, s)
 
         if self.stacked:
             return (alloc(), alloc())
@@ -93,20 +114,25 @@ class CacheEngine:
         if not self.num_host_pages:
             return []
         shape = self._page_shape(self.num_host_pages)
+        scale_shape = self._scale_shape(self.num_host_pages)
         if self.stacked:
             shape = (self.num_layers, ) + shape
+            scale_shape = (self.num_layers, ) + scale_shape
+        import ml_dtypes
         np_dtype = np.dtype(jnp.dtype(self.dtype).name) \
-            if jnp.dtype(self.dtype) != jnp.bfloat16 else np.dtype(np.uint16)
-        if jnp.dtype(self.dtype) == jnp.bfloat16:
-            # numpy has no bf16; store raw bits — swaps are pure copies.
-            import ml_dtypes
-            np_dtype = np.dtype(ml_dtypes.bfloat16)
+            if jnp.dtype(self.dtype) != jnp.bfloat16 \
+            else np.dtype(ml_dtypes.bfloat16)
+
+        def alloc():
+            z = np.zeros(shape, dtype=np_dtype)
+            if not self.int4:
+                return z
+            return QuantPages(
+                z, np.zeros(scale_shape, dtype=np.dtype(ml_dtypes.bfloat16)))
+
         if self.stacked:
-            return (np.zeros(shape, dtype=np_dtype),
-                    np.zeros(shape, dtype=np_dtype))
-        return [(np.zeros(shape, dtype=np_dtype),
-                 np.zeros(shape, dtype=np_dtype))
-                for _ in range(self.num_layers)]
+            return (alloc(), alloc())
+        return [(alloc(), alloc()) for _ in range(self.num_layers)]
 
     # ---- per-step plans ----
 
@@ -114,17 +140,17 @@ class CacheEngine:
         if self.stacked:
             if not mapping:
                 return
-            k_all, v_all = self.device_cache
-            k_host, v_host = self.host_cache
             src = sorted(mapping.keys())
             dst = jnp.asarray([mapping[s] for s in src], dtype=jnp.int32)
-            k_vals = jnp.asarray(k_host[:, src])
-            v_vals = jnp.asarray(v_host[:, src])
-            k_all = k_all.at[:, dst].set(k_vals.astype(k_all.dtype),
-                                         mode="drop")
-            v_all = v_all.at[:, dst].set(v_vals.astype(v_all.dtype),
-                                         mode="drop")
-            self.device_cache = (k_all, v_all)
+
+            def leaf_in(dev, host):
+                vals = jnp.asarray(np.ascontiguousarray(host[:, src]))
+                return dev.at[:, dst].set(vals.astype(dev.dtype),
+                                          mode="drop")
+
+            self.device_cache = tuple(
+                jax.tree.map(leaf_in, dev, host) for dev, host in zip(
+                    self.device_cache, self.host_cache))
             return
         for i in range(self.num_layers):
             k_pages, v_pages = self.device_cache[i]
@@ -136,18 +162,17 @@ class CacheEngine:
         if self.stacked:
             if not mapping:
                 return
-            k_all, v_all = self.device_cache
-            k_host, v_host = self.host_cache
             src = sorted(mapping.keys())
             idx = jnp.asarray(src, dtype=jnp.int32)
-            k_gather = np.asarray(jnp.take(k_all, idx, axis=1,
-                                           mode="clip"))
-            v_gather = np.asarray(jnp.take(v_all, idx, axis=1,
-                                           mode="clip"))
-            for j, sp in enumerate(src):
-                d = mapping[sp]
-                k_host[:, d] = k_gather[:, j]
-                v_host[:, d] = v_gather[:, j]
+
+            def leaf_out(dev, host):
+                gathered = np.asarray(jnp.take(dev, idx, axis=1,
+                                               mode="clip"))
+                for j, sp in enumerate(src):
+                    host[:, mapping[sp]] = gathered[:, j]
+
+            for dev, host in zip(self.device_cache, self.host_cache):
+                jax.tree.map(leaf_out, dev, host)
             return
         for i in range(self.num_layers):
             k_pages, v_pages = self.device_cache[i]
@@ -166,12 +191,13 @@ class CacheEngine:
         src_arr = jnp.asarray(srcs, dtype=jnp.int32)
         dst_arr = jnp.asarray(dsts, dtype=jnp.int32)
         if self.stacked:
-            k_all, v_all = self.device_cache
-            k_src = jnp.take(k_all, src_arr, axis=1, mode="clip")
-            v_src = jnp.take(v_all, src_arr, axis=1, mode="clip")
-            k_all = k_all.at[:, dst_arr].set(k_src, mode="drop")
-            v_all = v_all.at[:, dst_arr].set(v_src, mode="drop")
-            self.device_cache = (k_all, v_all)
+
+            def leaf_copy(a):
+                vals = jnp.take(a, src_arr, axis=1, mode="clip")
+                return a.at[:, dst_arr].set(vals, mode="drop")
+
+            self.device_cache = tuple(
+                jax.tree.map(leaf_copy, side) for side in self.device_cache)
             return
         for i in range(self.num_layers):
             k_pages, v_pages = self.device_cache[i]
@@ -186,11 +212,16 @@ class CacheEngine:
     ) -> int:
         """Bytes per KV page across all layers (reference
         cache_engine.py:155-174)."""
-        dtype = _cache_dtype(cache_config, model_config)
-        itemsize = jnp.dtype(dtype).itemsize
         num_layers = model_config.get_num_layers(parallel_config)
         num_kv_heads = model_config.get_total_num_kv_heads()
         head_dim = model_config.get_head_size()
+        if cache_config.cache_dtype == "int4":
+            # nibble-packed data + bf16 per-token scale
+            per_page = cache_config.block_size * num_kv_heads * (
+                head_dim // 2 + 2)
+            return 2 * num_layers * per_page
+        dtype = _cache_dtype(cache_config, model_config)
+        itemsize = jnp.dtype(dtype).itemsize
         per_page = cache_config.block_size * num_kv_heads * head_dim
         return 2 * num_layers * per_page * itemsize
 

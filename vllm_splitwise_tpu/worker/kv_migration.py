@@ -77,28 +77,31 @@ class KVMigrationManager:
         dst_cache = self.decode_worker.kv_caches
         dst_sharding = self._dst_sharding()
 
-        if isinstance(src_cache, tuple):  # stacked [L, P, ps, kvh, hd]
-            k_src, v_src = src_cache
-            k_dst, v_dst = dst_cache
-            k_pages = jnp.take(k_src, idx, axis=1, mode="clip")
-            v_pages = jnp.take(v_src, idx, axis=1, mode="clip")
+        if isinstance(src_cache, tuple):  # stacked [L, P, kvh, ps, hd]
+            # Leaf-wise so int4 QuantPages (data + scale leaves of
+            # different ranks) migrate alongside plain page arrays.
+            gathered = jax.tree.map(
+                lambda a: jnp.take(a, idx, axis=1, mode="clip"), src_cache)
             if dst_sharding is not None:
                 from jax.sharding import NamedSharding
                 from jax.sharding import PartitionSpec as P
-                spec = P(None, *tuple(dst_sharding.spec))
-                dst_sharding = NamedSharding(self.decode_worker.mesh, spec)
-                k_pages = jax.device_put(k_pages, dst_sharding)
-                v_pages = jax.device_put(v_pages, dst_sharding)
+                base = (None, ) + tuple(dst_sharding.spec)
+
+                def put(a):
+                    spec = P(*base[:a.ndim])
+                    return jax.device_put(
+                        a, NamedSharding(self.decode_worker.mesh, spec))
+
+                gathered = jax.tree.map(put, gathered)
             elif self.decode_worker.mesh is None and \
                     self.prefill_worker.device != self.decode_worker.device:
-                k_pages = jax.device_put(k_pages, self.decode_worker.device)
-                v_pages = jax.device_put(v_pages, self.decode_worker.device)
-            new_stacked = (
-                k_dst.at[:, idx].set(k_pages.astype(k_dst.dtype),
-                                     mode="drop"),
-                v_dst.at[:, idx].set(v_pages.astype(v_dst.dtype),
-                                     mode="drop"),
-            )
+                gathered = jax.tree.map(
+                    lambda a: jax.device_put(a, self.decode_worker.device),
+                    gathered)
+            new_stacked = jax.tree.map(
+                lambda dst, src: dst.at[:, idx].set(src.astype(dst.dtype),
+                                                    mode="drop"),
+                dst_cache, gathered)
             self.decode_worker.kv_caches = new_stacked
             if self.decode_worker.cache_engine is not None:
                 self.decode_worker.cache_engine.device_cache = new_stacked
@@ -112,13 +115,26 @@ class KVMigrationManager:
             k_pages = gather_pages(k_src, idx)
             v_pages = gather_pages(v_src, idx)
             if dst_sharding is not None:
-                k_pages = jax.device_put(k_pages, dst_sharding)
-                v_pages = jax.device_put(v_pages, dst_sharding)
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                base = tuple(dst_sharding.spec)
+
+                def put(a):
+                    return jax.device_put(
+                        a, NamedSharding(self.decode_worker.mesh,
+                                         P(*base[:a.ndim])))
+
+                k_pages = jax.tree.map(put, k_pages)
+                v_pages = jax.tree.map(put, v_pages)
             elif self.decode_worker.mesh is None \
                     and self.prefill_worker.device != \
                     self.decode_worker.device:
-                k_pages = jax.device_put(k_pages, self.decode_worker.device)
-                v_pages = jax.device_put(v_pages, self.decode_worker.device)
+                k_pages = jax.tree.map(
+                    lambda a: jax.device_put(a, self.decode_worker.device),
+                    k_pages)
+                v_pages = jax.tree.map(
+                    lambda a: jax.device_put(a, self.decode_worker.device),
+                    v_pages)
             new_dst.append((scatter_pages(k_dst, idx, k_pages),
                             scatter_pages(v_dst, idx, v_pages)))
 
