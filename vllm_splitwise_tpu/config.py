@@ -345,6 +345,38 @@ class SchedulerConfig:
                 f"be >= max_num_seqs ({self.max_num_seqs}).")
 
 
+class SpeculativeConfig:
+    """Speculative decoding (TPU extension — the reference ships
+    vllm/spec_decode/ as scaffolding without an engine flag; here a
+    fused draft-scan + multi-query-verify + rejection-sample step wires
+    it end-to-end).
+
+    ``draft_model_config``: the small proposer model; must share the
+    target's tokenizer/vocab.  ``num_speculative_tokens``: draft tokens
+    proposed per step (k); each accepted step emits 1..k+1 tokens.
+    """
+
+    def __init__(self, draft_model_config: "ModelConfig",
+                 num_speculative_tokens: int) -> None:
+        self.draft_model_config = draft_model_config
+        self.num_speculative_tokens = num_speculative_tokens
+        self._verify_args()
+
+    def _verify_args(self) -> None:
+        if not 1 <= self.num_speculative_tokens <= 16:
+            raise ValueError(
+                f"num_speculative_tokens ({self.num_speculative_tokens}) "
+                "must be in [1, 16].")
+
+    def verify_with_model_config(self, model_config: "ModelConfig") -> None:
+        if (self.draft_model_config.get_vocab_size() !=
+                model_config.get_vocab_size()):
+            raise ValueError(
+                "Speculative draft model must share the target model's "
+                f"vocab (draft {self.draft_model_config.get_vocab_size()} "
+                f"vs target {model_config.get_vocab_size()}).")
+
+
 class DeviceConfig:
 
     def __init__(self, device: str = "auto") -> None:

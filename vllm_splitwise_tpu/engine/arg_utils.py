@@ -15,7 +15,8 @@ from typing import Optional, Tuple
 
 from vllm_splitwise_tpu.config import (CacheConfig, DeviceConfig,
                                        LoRAConfig, ModelConfig,
-                                       ParallelConfig, SchedulerConfig)
+                                       ParallelConfig, SchedulerConfig,
+                                       SpeculativeConfig)
 
 
 @dataclass
@@ -46,6 +47,9 @@ class EngineArgs:
     max_num_seqs: int = 256
     max_paddings: int = 256
     num_decode_steps: int = 1
+    speculative_model: Optional[str] = None
+    num_speculative_tokens: int = 4
+    speculative_model_quantization: Optional[str] = None
     disable_log_stats: bool = False
     revision: Optional[str] = None
     code_revision: Optional[str] = None
@@ -137,6 +141,17 @@ class EngineArgs:
                             default=EngineArgs.max_num_seqs)
         parser.add_argument("--max-paddings", type=int,
                             default=EngineArgs.max_paddings)
+        parser.add_argument("--speculative-model", type=str,
+                            default=EngineArgs.speculative_model,
+                            help="draft model for speculative decoding "
+                            "(TPU extension: fused draft+verify step)")
+        parser.add_argument("--num-speculative-tokens", type=int,
+                            default=EngineArgs.num_speculative_tokens,
+                            help="draft tokens proposed per spec step")
+        parser.add_argument("--speculative-model-quantization", type=str,
+                            default=None,
+                            choices=["gptq", "awq", "squeezellm", "int8"],
+                            help="quantization of the draft checkpoint")
         parser.add_argument("--num-decode-steps", type=int,
                             default=EngineArgs.num_decode_steps,
                             help="decode steps fused into one device "
@@ -176,7 +191,8 @@ class EngineArgs:
     def create_engine_configs(
         self,
     ) -> Tuple[ModelConfig, CacheConfig, ParallelConfig, SchedulerConfig,
-               DeviceConfig, Optional[LoRAConfig]]:
+               DeviceConfig, Optional[LoRAConfig],
+               Optional[SpeculativeConfig]]:
         device_config = DeviceConfig(self.device)
         model_config = ModelConfig(
             self.model, self.tokenizer, self.tokenizer_mode,
@@ -200,11 +216,39 @@ class EngineArgs:
             self.sep_prompt_token, self.worker_use_ray,
             self.max_parallel_loading_workers,
             self.disable_custom_all_reduce)
+        speculative_config = None
+        if self.speculative_model is not None:
+            if self.num_decode_steps > 1:
+                raise ValueError(
+                    "--num-decode-steps and --speculative-model are "
+                    "mutually exclusive (a spec step IS a fused window).")
+            if self.sep_prompt_token:
+                raise ValueError("Speculative decoding is not supported "
+                                 "with --sep-prompt-token yet.")
+            if self.enable_lora:
+                raise ValueError("Speculative decoding is not supported "
+                                 "with LoRA yet.")
+            draft_model_config = ModelConfig(
+                self.speculative_model, self.speculative_model,
+                self.tokenizer_mode, self.trust_remote_code,
+                self.download_dir, self.load_format, self.dtype, self.seed,
+                None, None, None, model_config.max_model_len,
+                self.speculative_model_quantization, self.enforce_eager,
+                self.max_context_len_to_capture, self.max_logprobs)
+            speculative_config = SpeculativeConfig(
+                draft_model_config, self.num_speculative_tokens)
+            speculative_config.verify_with_model_config(model_config)
+
+        # A spec step plans a (k+1)-token window: the scheduler reserves
+        # that many lookahead slots per sequence each step.
+        num_decode_steps = (
+            speculative_config.num_speculative_tokens + 1
+            if speculative_config is not None else self.num_decode_steps)
         scheduler_config = SchedulerConfig(self.max_num_batched_tokens,
                                            self.max_num_seqs,
                                            model_config.max_model_len,
                                            self.max_paddings,
-                                           self.num_decode_steps)
+                                           num_decode_steps)
         lora_config = LoRAConfig(
             max_lora_rank=self.max_lora_rank,
             max_loras=self.max_loras,
@@ -219,7 +263,8 @@ class EngineArgs:
             lora_config.verify_with_model_config(model_config)
             lora_config.verify_with_scheduler_config(scheduler_config)
         return (model_config, cache_config, parallel_config,
-                scheduler_config, device_config, lora_config)
+                scheduler_config, device_config, lora_config,
+                speculative_config)
 
 
 @dataclass

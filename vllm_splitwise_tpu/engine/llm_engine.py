@@ -40,7 +40,8 @@ class LLMEngine:
         scheduler_config: SchedulerConfig,
         device_config: DeviceConfig,
         lora_config: Optional[LoRAConfig],
-        executor_class,
+        speculative_config=None,
+        executor_class=None,
         log_stats: bool = True,
     ) -> None:
         logger.info(
@@ -56,6 +57,7 @@ class LLMEngine:
         self.scheduler_config = scheduler_config
         self.device_config = device_config
         self.lora_config = lora_config
+        self.speculative_config = speculative_config
         self.log_stats = log_stats
 
         from vllm_splitwise_tpu.utils import enable_compilation_cache
@@ -71,6 +73,7 @@ class LLMEngine:
             scheduler_config=scheduler_config,
             device_config=device_config,
             lora_config=lora_config,
+            speculative_config=speculative_config,
         )
 
         self.scheduler = Scheduler(
@@ -226,6 +229,12 @@ class LLMEngine:
             for seq_group, outputs in zip(scheduled_seq_groups,
                                           step_output):
                 if seq_group.is_finished():
+                    continue
+                # Speculative decoding marks rejected window positions
+                # with token -1: the sequence emitted fewer than k+1
+                # tokens this step.
+                if (outputs.samples
+                        and outputs.samples[0].output_token < 0):
                     continue
                 self._process_sequence_group_outputs(seq_group, outputs)
         return self._finalize_step(scheduler_outputs)

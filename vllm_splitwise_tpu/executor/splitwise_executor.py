@@ -40,7 +40,11 @@ class SplitwiseExecutor(ExecutorBase):
         scheduler_config: SchedulerConfig,
         device_config: DeviceConfig,
         lora_config: Optional[LoRAConfig] = None,
+        speculative_config=None,
     ) -> None:
+        assert speculative_config is None, (
+            "Speculative decoding is not supported with --sep-prompt-token "
+            "(phase disaggregation) yet.")
         assert parallel_config.sep_prompt_token
         self.model_config = model_config
         self.cache_config = cache_config

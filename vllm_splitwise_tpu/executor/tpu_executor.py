@@ -34,6 +34,7 @@ class TPUExecutor(ExecutorBase):
         scheduler_config: SchedulerConfig,
         device_config: DeviceConfig,
         lora_config: Optional[LoRAConfig] = None,
+        speculative_config=None,
     ) -> None:
         self.model_config = model_config
         self.cache_config = cache_config
@@ -52,6 +53,7 @@ class TPUExecutor(ExecutorBase):
         self.worker = Worker(model_config, parallel_config,
                              scheduler_config, cache_config, mesh=mesh,
                              worker_type=WorkerType.MIXED,
+                             speculative_config=speculative_config,
                              lora_config=lora_config)
         self.worker.load_model()
         self._init_cache()

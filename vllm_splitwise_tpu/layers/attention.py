@@ -199,14 +199,39 @@ class Attention:
     def _decode(self, q, k, v, k_pages, v_pages,
                 md: DecodeMetadata,
                 layer_index=None) -> Tuple[jax.Array, KVCache]:
-        batch = q.shape[0]
+        # q_len > 1 is the speculative-verify window: the q_len tokens'
+        # K/V are written first, then every window query attends the
+        # paged cache causally in one multi-query kernel pass.
+        batch, q_len, _ = q.shape
         stacked = k_pages.ndim == 5
         cache_heads = self._cache_heads(k_pages)
-        q = q.reshape(batch, self.num_heads, self.head_dim)
-        k = k.reshape(batch, self.num_kv_heads, self.head_dim)
-        v = v.reshape(batch, self.num_kv_heads, self.head_dim)
+        q = q.reshape(batch, q_len, self.num_heads, self.head_dim)
+        k = k.reshape(batch * q_len, self.num_kv_heads, self.head_dim)
+        v = v.reshape(batch * q_len, self.num_kv_heads, self.head_dim)
 
-        if stacked:
+        if q_len > 1:
+            # Window tokens occupy CONSECUTIVE positions per sequence:
+            # the page-tile prefill writer handles many tokens per page
+            # (the single-token decode RMW would drop collisions).
+            rows = md.slot_mapping.reshape(batch, q_len)
+            if stacked:
+                k_pages, v_pages = write_prefill_rows(
+                    self._pad_heads(k, cache_heads),
+                    self._pad_heads(v, cache_heads), k_pages, v_pages,
+                    rows, layer_index, kv_scale=self.kv_scale)
+            else:
+                k5, v5 = write_prefill_rows(
+                    self._pad_heads(k, cache_heads),
+                    self._pad_heads(v, cache_heads), _expand0(k_pages),
+                    _expand0(v_pages), rows, jnp.int32(0),
+                    kv_scale=self.kv_scale)
+                k_pages, v_pages = _squeeze0(k5), _squeeze0(v5)
+            k_view, v_view = k_pages, v_pages
+            if not stacked and cache_heads != self.num_kv_heads and \
+                    not isinstance(k_pages, QuantPages):
+                k_view = k_pages[..., :self.num_kv_heads, :, :]
+                v_view = v_pages[..., :self.num_kv_heads, :, :]
+        elif stacked:
             k_pages, v_pages = write_to_kv_cache_stacked(
                 self._pad_heads(k, cache_heads),
                 self._pad_heads(v, cache_heads), k_pages, v_pages,
@@ -237,17 +262,18 @@ class Attention:
         # context_lens/block_tables, so the kernel needs no window logic.
         # The Pallas kernel requires a lane-aligned head_dim; odd head
         # sizes (tiny test models) take the XLA path.
+        q_arg = q if q_len > 1 else q[:, 0]
         if _use_pallas() and self.head_dim % 128 == 0:
-            out = paged_attention(q, k_view, v_view, md.block_tables,
+            out = paged_attention(q_arg, k_view, v_view, md.block_tables,
                                   md.context_lens, scale=self.scale,
                                   kv_scale=self.kv_scale,
                                   alibi_slopes=self.alibi_slopes,
                                   layer_index=layer_index)
         else:
-            out = paged_attention_reference(q, k_view, v_view,
+            out = paged_attention_reference(q_arg, k_view, v_view,
                                             md.block_tables, md.context_lens,
                                             scale=self.scale,
                                             kv_scale=self.kv_scale,
                                             alibi_slopes=self.alibi_slopes,
                                             layer_index=layer_index)
-        return out.reshape(batch, 1, -1), (k_pages, v_pages)
+        return out.reshape(batch, q_len, -1), (k_pages, v_pages)

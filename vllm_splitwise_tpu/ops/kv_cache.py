@@ -286,7 +286,11 @@ def write_prefill_rows(
             bsz, t_pad, num_kv_heads, head_dim)
     layer = jnp.asarray(layer, jnp.int32)
 
-    npr = t_pad // page_size + 1        # page tiles per row
+    # Page tiles per row: a row starting at offset `shift` covers
+    # ceil((shift + t_pad) / ps) pages — up to t_pad // ps + 2 when it
+    # starts mid-page (speculative-verify windows do; prompt rows start
+    # at offset 0).  Empty tiles resolve to page -1 and are dropped.
+    npr = t_pad // page_size + 2
     first = slot_rows[:, 0]             # start slot (may be -1: empty)
     shift = jnp.where(first < 0, 0, first % page_size)    # [B]
 

@@ -57,6 +57,7 @@ def _paged_attention_kernel(
     stacked: bool = False,
     int8_kv: bool = False,
     int4_kv: bool = False,
+    q_len: int = 1,
 ):
     if int4_kv:
         # W8A4 path: token-pair nibble-packed pages ([kvh, ps/2, hd]
@@ -205,10 +206,19 @@ def _paged_attention_kernel(
         else:
             local = lane
         token_pos = i * chunk_tokens + local
+        if q_len == 1:
+            allowed = ctx_len
+        else:
+            # Multi-query (speculative verify): row r is query qi = r //
+            # group of the window; it may attend tokens
+            # 0 .. ctx_len - q_len + qi (causal within the window).
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            qi = jnp.minimum(row // group, q_len - 1)  # clip padded rows
+            allowed = ctx_len - q_len + 1 + qi
         if slopes_ref is not None:
-            dist = (token_pos - (ctx_len - 1)).astype(jnp.float32)
+            dist = (token_pos - (allowed - 1)).astype(jnp.float32)
             s = s + slopes_ref[...][:, :, None] * dist
-        s = jnp.where(token_pos < ctx_len, s, DEFAULT_MASK_VALUE)
+        s = jnp.where(token_pos < allowed, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_ref[:, :, 0:1]            # [kvh, gp, 1]
         l_prev = l_ref[:, :, 0:1]
@@ -305,10 +315,22 @@ def paged_attention(
     entries past a sequence's context length may be garbage but must be
     < num_pages (0-pad).  A stacked cache [L, P, PS, KVH, HD] with
     ``layer_index`` serves lax.scan models without slice copies.
+
+    MULTI-QUERY (speculative-decode verify): a 4D ``q`` of shape
+    [B, q_len, H, head_dim] scores q_len window tokens per sequence in
+    one pass; ``context_lens`` must then INCLUDE the window (query qi
+    attends tokens 0 .. ctx - q_len + qi, causal within the window) and
+    the window tokens' K/V must already be written to the cache.
+    Returns [B, q_len, H, head_dim].
     """
     from vllm_splitwise_tpu.ops.kv_cache import QuantPages
     int4_kv = isinstance(k_pages, QuantPages)
-    batch, num_q_heads, head_dim = q.shape
+    multiquery = q.ndim == 4
+    if multiquery:
+        batch, q_len, num_q_heads, head_dim = q.shape
+    else:
+        batch, num_q_heads, head_dim = q.shape
+        q_len = 1
     stacked = k_pages.ndim == 5
     k_data = k_pages.data if int4_kv else k_pages
     v_data = v_pages.data if int4_kv else v_pages
@@ -333,12 +355,20 @@ def paged_attention(
         pages_per_seq += pad
     num_chunks = pages_per_seq // pages_per_chunk
 
-    # Pad the GQA group to the f32 sublane tile.
-    group_padded = max(_round_up(group, 8), 8)
-    q_view = q.reshape(batch, num_kv_heads, group, head_dim)
-    if group_padded != group:
+    # Rows of the score matrix = q_len window queries x GQA group, padded
+    # to the f32 sublane tile.  Row order is (qi, g) so the kernel maps
+    # row // group -> window query index.
+    rows = q_len * group
+    group_padded = max(_round_up(rows, 8), 8)
+    if multiquery:
+        q_view = q.reshape(batch, q_len, num_kv_heads, group, head_dim)
+        q_view = q_view.transpose(0, 2, 1, 3, 4).reshape(
+            batch, num_kv_heads, rows, head_dim)
+    else:
+        q_view = q.reshape(batch, num_kv_heads, rows, head_dim)
+    if group_padded != rows:
         q_view = jnp.pad(q_view, ((0, 0), (0, 0),
-                                  (0, group_padded - group), (0, 0)))
+                                  (0, group_padded - rows), (0, 0)))
 
     chunk_tokens = pages_per_chunk * page_size
     grid = (batch, num_chunks)
@@ -372,6 +402,7 @@ def paged_attention(
         stacked=stacked,
         int8_kv=int8_kv,
         int4_kv=int4_kv,
+        q_len=q_len,
     )
 
     in_specs = [
@@ -392,12 +423,22 @@ def paged_attention(
         # page-data bytes) and permute each chunk's lanes to
         # [evens | odds] so they line up with the kernel's concatenated
         # half-dots.  They then flow in as ordinary pipelined blocks.
+        # One-hot MXU gather: jnp.take with thousands of page indices
+        # lowers to a pathological serial gather on TPU (measured ~21
+        # ms/step at b32 and >10 min compiles); a [rows, P] one-hot
+        # matmul fetches the same scale rows at MXU speed.
+        idx = block_tables.reshape(-1)                   # [B * pps]
+        onehot = (idx[:, None] == jnp.arange(num_pages, dtype=jnp.int32)
+                  [None, :]).astype(jnp.bfloat16)
+
         def gather_scales(scale_pages):
-            flat = scale_pages.reshape((-1, ) + scale_pages.shape[-2:])
-            idx = block_tables.reshape(-1)
+            sl = scale_pages
             if stacked:
-                idx = jnp.asarray(layer_index, jnp.int32) * num_pages + idx
-            g = jnp.take(flat, idx, axis=0, mode="clip")
+                sl = jax.lax.dynamic_index_in_dim(
+                    sl, jnp.asarray(layer_index, jnp.int32), keepdims=False)
+            flat = sl.reshape(num_pages, num_kv_heads * page_size)
+            g = jax.lax.dot(onehot, flat.astype(jnp.bfloat16),
+                            precision=jax.lax.Precision.DEFAULT)
             g = g.reshape(batch, pages_per_seq, num_kv_heads, page_size)
             g = g.transpose(0, 2, 1, 3).reshape(batch, num_kv_heads, -1)
             # [B, kvh, T] -> per-chunk [evens | odds] lane order
@@ -422,8 +463,10 @@ def paged_attention(
     if has_alibi:
         slopes2d = jnp.zeros((num_kv_heads, group_padded),
                              dtype=jnp.float32)
-        slopes2d = slopes2d.at[:, :group].set(
-            alibi_slopes.astype(jnp.float32).reshape(num_kv_heads, group))
+        tiled = jnp.tile(
+            alibi_slopes.astype(jnp.float32).reshape(num_kv_heads, group),
+            (1, q_len))
+        slopes2d = slopes2d.at[:, :rows].set(tiled)
         in_specs.append(
             pl.BlockSpec((num_kv_heads, group_padded),
                          lambda b, i, *_: (0, 0)))
@@ -460,7 +503,11 @@ def paged_attention(
         interpret=interpret,
     )(*inputs)
 
-    out = out[:, :, :group, :]
+    out = out[:, :, :rows, :]
+    if multiquery:
+        out = out.reshape(batch, num_kv_heads, q_len, group, head_dim)
+        out = out.transpose(0, 2, 1, 3, 4)
+        return out.reshape(batch, q_len, num_q_heads, head_dim)
     return out.reshape(batch, num_q_heads, head_dim)
 
 
@@ -500,6 +547,18 @@ def paged_attention_reference(
                                                keepdims=False)
         v_pages = jax.lax.dynamic_index_in_dim(v_pages, layer_index,
                                                keepdims=False)
+    if q.ndim == 4:
+        # Multi-query verify: one single-query call per window position
+        # with the causal context for that position.
+        batch, q_len, num_q_heads, head_dim = q.shape
+        outs = [
+            paged_attention_reference(
+                q[:, qi], k_pages, v_pages, block_tables,
+                context_lens - (q_len - 1 - qi), scale=scale,
+                kv_scale=kv_scale, alibi_slopes=alibi_slopes)
+            for qi in range(q_len)
+        ]
+        return jnp.stack(outs, axis=1)
     batch, num_q_heads, head_dim = q.shape
     num_pages, num_kv_heads, page_size, _ = k_pages.shape
     group = num_q_heads // num_kv_heads

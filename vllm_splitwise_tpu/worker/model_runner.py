@@ -88,6 +88,25 @@ def _mix_seed(seed: int, step: int, row: int) -> int:
     return x & 0xFFFFFFFF
 
 
+class SpecStats:
+    """Speculative-decoding acceptance counters (reference
+    SpecDecodeWorkerMetrics role, vllm/spec_decode/metrics.py)."""
+
+    def __init__(self) -> None:
+        self.num_steps = 0
+        self.num_draft_tokens = 0
+        self.num_accepted = 0
+        self.num_emitted = 0
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.num_accepted / max(self.num_draft_tokens, 1)
+
+    @property
+    def mean_tokens_per_step(self) -> float:
+        return self.num_emitted / max(self.num_steps, 1)
+
+
 class ModelRunner:
     """Owns the model + params and runs bucketed jitted steps."""
 
@@ -110,6 +129,7 @@ class ModelRunner:
         mesh=None,
         is_driver_worker: bool = True,
         lora_config=None,
+        speculative_config=None,
     ) -> None:
         self.model_config = model_config
         self.parallel_config = parallel_config
@@ -129,6 +149,16 @@ class ModelRunner:
         self._rng = np.random.RandomState(model_config.seed)
         self._prefill_fn = None
         self._decode_fn = None
+
+        # Speculative decoding (TPU extension): the runner owns the draft
+        # model; its paged cache (same page count/block size as the
+        # target's, so one block table addresses both) is owned by the
+        # worker and threaded through this attribute.
+        self.speculative_config = speculative_config
+        self.draft_model = None
+        self.draft_params = None
+        self.draft_caches = None
+        self.spec_stats = SpecStats()
 
     # ---- model loading ----
 
@@ -153,7 +183,21 @@ class ModelRunner:
             self.lora_manager = WorkerLoRAManager(self.model_config,
                                                   self.lora_config,
                                                   self.model)
+        if self.speculative_config is not None:
+            draft_cfg = self.speculative_config.draft_model_config
+            self.draft_model, draft_host = get_model(draft_cfg)
+            if self.cache_config.cache_dtype != "auto":
+                for attn in getattr(self.draft_model, "attn", []):
+                    attn.kv_scale = self.cache_config.kv_scale
+            if self.mesh is not None:
+                from vllm_splitwise_tpu.parallel.mesh import shard_pytree
+                self.draft_params = shard_pytree(
+                    draft_host, self.draft_model.param_specs(), self.mesh)
+            else:
+                self.draft_params = jax.device_put(draft_host)
         self._build_step_fns()
+        if self.speculative_config is not None:
+            self._build_spec_fns()
 
     def _build_step_fns(self) -> None:
         model = self.model
@@ -377,6 +421,253 @@ class ModelRunner:
                              "needs_filtering", "max_logprobs"),
             donate_argnums=(1, ),
         )
+
+    @property
+    def draft_stacked_kv(self) -> bool:
+        fn = getattr(self.draft_model, "supports_stacked_kv", None)
+        return bool(fn and fn())
+
+    def _build_spec_fns(self) -> None:
+        """Fused speculative-decoding step (TPU extension; the reference
+        ships vllm/spec_decode as unwired scaffolding, and its host-loop
+        orchestration would cost k+1 transport round-trips per step
+        here).  ONE device dispatch runs: draft model scans k greedy
+        proposals -> target model verifies all k+1 window tokens in one
+        multi-query paged-attention pass -> rejection sampling emits
+        1..k+1 tokens per sequence (exact target distribution regardless
+        of draft quality)."""
+        model = self.model
+        draft_model = self.draft_model
+        vocab_size = self.model_config.get_vocab_size()
+        block_size = self.block_size
+        from vllm_splitwise_tpu.layers.rejection_sampler import \
+            rejection_sample
+        from vllm_splitwise_tpu.layers.sampler import \
+            _apply_top_k_top_p_min_p
+
+        def draft_prefill(draft_params, draft_caches, ibuf, *, batch,
+                          t_pad, prefix_pages):
+            """Draft-side prompt ingestion: same packed ibuf the target
+            prefill already uploaded (zero extra transport), logits
+            discarded — only the draft KV writes matter."""
+            off = 0
+
+            def take(n):
+                nonlocal off
+                part = jax.lax.dynamic_slice_in_dim(ibuf, off, n)
+                off += n
+                return part
+
+            input_ids = take(batch * t_pad).reshape(batch, t_pad)
+            positions = take(batch * t_pad).reshape(batch, t_pad)
+            slot_rows = take(batch * t_pad).reshape(batch, t_pad)
+            seq_lens = take(batch)
+            start_positions = take(batch)
+            bt = pl_ = None
+            if prefix_pages:
+                bt = take(batch * prefix_pages).reshape(batch, prefix_pages)
+                pl_ = take(batch)
+            md = PrefillMetadata(seq_lens=seq_lens, slot_mapping=slot_rows,
+                                 start_positions=start_positions,
+                                 block_tables=bt, prefix_lens=pl_)
+            _, draft_caches = draft_model(draft_params, input_ids,
+                                          positions, draft_caches, md)
+            return draft_caches
+
+        self._draft_prefill_fn = jax.jit(
+            draft_prefill,
+            static_argnames=("batch", "t_pad", "prefix_pages"),
+            donate_argnums=(1, ))
+
+        def spec_step(params, draft_params, kv_caches, draft_caches, ibuf,
+                      fbuf, *, k, batch, pages, s_pad, needs_filtering):
+            # ---- unpack (layout mirrored in _execute_spec_decode) ----
+            off = 0
+
+            def take(n):
+                nonlocal off
+                part = jax.lax.dynamic_slice_in_dim(ibuf, off, n)
+                off += n
+                return part
+
+            first_tokens = take(batch)       # last committed token / row
+            ctx0 = take(batch)               # committed length (incl. it)
+            valid = take(batch) >= 0         # step-0 slots; -1 = pad row
+            block_tables = take(batch * pages).reshape(batch, pages)
+            sample_indices = take(s_pad)
+            top_k = take(s_pad)
+            seeds = jax.lax.bitcast_convert_type(take(s_pad), jnp.uint32)
+            tensors = SamplingTensors(
+                temperature=fbuf[0:s_pad],
+                top_p=fbuf[s_pad:2 * s_pad],
+                top_k=top_k,
+                min_p=fbuf[2 * s_pad:3 * s_pad],
+                greedy_mask=fbuf[3 * s_pad:4 * s_pad] > 0.5,
+                presence_penalty=jnp.zeros((s_pad, ), jnp.float32),
+                frequency_penalty=jnp.zeros((s_pad, ), jnp.float32),
+                repetition_penalty=jnp.ones((s_pad, ), jnp.float32),
+                prompt_tokens=jnp.zeros((s_pad, 0), jnp.int32),
+                output_tokens=jnp.zeros((s_pad, 0), jnp.int32),
+            )
+
+            def slot_at(pos):
+                page = jnp.take_along_axis(block_tables,
+                                           (pos // block_size)[:, None],
+                                           axis=1)[:, 0]
+                return jnp.where(valid, page * block_size +
+                                 pos % block_size, -1)
+
+            # ---- draft: k greedy single-token steps (lax.scan) ----
+            # One EXTRA iteration feeds the last proposal d_k back so its
+            # draft-side KV is written too; without it, a fully-accepted
+            # window leaves a permanent hole at d_k's position in the
+            # draft cache that poisons every later proposal (correctness
+            # is unaffected — rejection sampling guards it — but the
+            # acceptance rate decays).  Its own proposal is discarded.
+            def dbody(carry, j):
+                dcaches, tok = carry
+                pos = ctx0 - 1 + j
+                md = DecodeMetadata(block_tables=block_tables,
+                                    context_lens=ctx0 + j,
+                                    slot_mapping=slot_at(pos))
+                hidden, dcaches = draft_model(draft_params, tok[:, None],
+                                              pos[:, None], dcaches, md)
+                logits = draft_model.compute_logits(draft_params,
+                                                    hidden[:, 0])
+                nxt = jnp.argmax(logits[..., :vocab_size],
+                                 axis=-1).astype(jnp.int32)
+                return (dcaches, nxt), nxt
+
+            (draft_caches, _), drafts = jax.lax.scan(
+                dbody, (draft_caches, first_tokens),
+                jnp.arange(k + 1, dtype=jnp.int32))
+            draft_tokens = drafts[:k].T                   # [B, k]
+
+            # ---- target: one multi-query verify over the k+1 window ----
+            window = jnp.concatenate([first_tokens[:, None], draft_tokens],
+                                     axis=1)              # [B, k+1]
+            pos_w = ctx0[:, None] - 1 + jnp.arange(k + 1)[None, :]
+            pages_w = jnp.take_along_axis(block_tables, pos_w // block_size,
+                                          axis=1)
+            slots_w = jnp.where(valid[:, None],
+                                pages_w * block_size + pos_w % block_size,
+                                -1)
+            md = DecodeMetadata(block_tables=block_tables,
+                                context_lens=ctx0 + k,
+                                slot_mapping=slots_w.reshape(-1))
+            hidden, kv_caches = model(params, window, pos_w, kv_caches, md)
+            logits = model.compute_logits(
+                params, hidden.reshape(batch * (k + 1), -1))
+            logits = logits[..., :vocab_size].astype(jnp.float32)
+            logits = logits.reshape(batch, k + 1, vocab_size)
+            logits = jnp.take(logits, sample_indices, axis=0, mode="clip")
+
+            # Target distribution per position: greedy rows use the
+            # argmax one-hot (acceptance test degenerates to token
+            # equality and stays fully deterministic).
+            gm_tok = jnp.argmax(logits, axis=-1)          # [s_pad, k+1]
+            temp = jnp.maximum(tensors.temperature, 1e-5)[:, None, None]
+            lf = logits / temp
+            if needs_filtering:
+                rep = lambda x: jnp.repeat(x, k + 1, axis=0)
+                flat_tensors = SamplingTensors(
+                    temperature=rep(tensors.temperature),
+                    top_p=rep(tensors.top_p), top_k=rep(tensors.top_k),
+                    min_p=rep(tensors.min_p),
+                    greedy_mask=rep(tensors.greedy_mask),
+                    presence_penalty=None, frequency_penalty=None,
+                    repetition_penalty=None, prompt_tokens=None,
+                    output_tokens=None)
+                lf = _apply_top_k_top_p_min_p(
+                    lf.reshape(s_pad * (k + 1), vocab_size),
+                    flat_tensors).reshape(s_pad, k + 1, vocab_size)
+            probs = jax.nn.softmax(lf, axis=-1)
+            vocab_iota = jnp.arange(vocab_size, dtype=jnp.int32)
+            onehot_g = (vocab_iota[None, None, :] ==
+                        gm_tok[..., None]).astype(jnp.float32)
+            t_probs = jnp.where(tensors.greedy_mask[:, None, None],
+                                onehot_g, probs)
+
+            d_ids = jnp.take(draft_tokens, sample_indices, axis=0,
+                             mode="clip")                 # [s_pad, k]
+            d_probs = (vocab_iota[None, None, :] ==
+                       d_ids[..., None]).astype(jnp.float32)
+            key = jax.random.PRNGKey(jnp.sum(seeds.astype(jnp.uint32)))
+            bonus_rand = jax.vmap(
+                lambda s, row: jax.random.categorical(
+                    jax.random.PRNGKey(s), row))(seeds, lf[:, k])
+            bonus = jnp.where(tensors.greedy_mask, gm_tok[:, k],
+                              bonus_rand).astype(jnp.int32)
+            out = rejection_sample(key, d_ids, d_probs, t_probs, bonus)
+            out_ids = out.output_token_ids                # [s_pad, k+1]
+
+            # logprob of each emitted token under the target distribution
+            lp = jnp.log(
+                jnp.take_along_axis(t_probs,
+                                    jnp.maximum(out_ids, 0)[..., None],
+                                    axis=-1)[..., 0] + 1e-30)
+            lp = jnp.where(out_ids >= 0, lp, 0.0)
+
+            packed = jnp.stack([
+                out_ids.T.astype(jnp.float32), lp.T, lp.T,
+                out_ids.T.astype(jnp.float32)
+            ], axis=-1)                                   # [k+1, s_pad, 4]
+            num_acc = jnp.take(out.num_accepted,
+                               jnp.arange(batch), axis=0, mode="clip")
+            num_emit = jnp.take(out.num_emitted,
+                                jnp.arange(batch), axis=0, mode="clip")
+            return packed, num_acc, num_emit, kv_caches, draft_caches
+
+        self._spec_fn = jax.jit(
+            spec_step,
+            static_argnames=("k", "batch", "pages", "s_pad",
+                             "needs_filtering"),
+            donate_argnums=(2, 3))
+
+    def _execute_spec_decode(self, seq_group_metadata_list, kv_caches,
+                             k: int):
+        """Run one fused speculative step; returns (k+1 virtual-step
+        SamplerOutputs with -1 marking rejected positions, caches)."""
+        input_ids, _, metadata, _ = self._prepare_decode(
+            seq_group_metadata_list, as_numpy=True)
+        (tensors, seeds, sample_indices, needs_filtering, _,
+         plan) = self._prepare_sample(seq_group_metadata_list, False,
+                                      as_numpy=True)
+        batch = input_ids.shape[0]
+        pages = metadata.block_tables.shape[1]
+        s_pad = sample_indices.shape[0]
+        ibuf = np.concatenate([
+            input_ids[:, 0], metadata.context_lens, metadata.slot_mapping,
+            metadata.block_tables.ravel(), sample_indices, tensors.top_k,
+            seeds.view(np.int32)
+        ])
+        fbuf = np.concatenate([
+            tensors.temperature, tensors.top_p, tensors.min_p,
+            tensors.greedy_mask.astype(np.float32)
+        ])
+        packed, num_acc, num_emit, kv_caches, self.draft_caches = \
+            self._spec_fn(self.params, self.draft_params, kv_caches,
+                          self.draft_caches, jnp.asarray(ibuf),
+                          jnp.asarray(fbuf), k=k, batch=batch, pages=pages,
+                          s_pad=s_pad, needs_filtering=needs_filtering)
+
+        num_acc = np.asarray(num_acc)
+        num_emit = np.asarray(num_emit)
+        self.spec_stats.num_steps += batch
+        self.spec_stats.num_draft_tokens += batch * k
+        self.spec_stats.num_accepted += int(num_acc.sum())
+        self.spec_stats.num_emitted += int(num_emit.sum())
+
+        arrs = _unpack_sampler_output(packed, 1)          # [k+1, s_pad, .]
+        step_outputs = [
+            self._process_sampler_output(
+                SamplerOutputArrays(arrs.sampled_tokens[j],
+                                    arrs.sampled_logprobs[j],
+                                    arrs.topk_logprobs[j],
+                                    arrs.topk_token_ids[j]), plan)
+            for j in range(k + 1)
+        ]
+        return step_outputs, kv_caches
 
     # ---- batch preparation ----
 
@@ -666,6 +957,11 @@ class ModelRunner:
         is_prompt = seq_group_metadata_list[0].is_prompt
 
         if not is_prompt and num_decode_steps > 1:
+            if self.draft_model is not None:
+                # A spec step plans a (k+1)-token window.
+                return self._execute_spec_decode(seq_group_metadata_list,
+                                                 kv_caches,
+                                                 num_decode_steps - 1)
             return self._execute_multi_decode(seq_group_metadata_list,
                                               kv_caches, num_decode_steps)
 
@@ -734,14 +1030,24 @@ class ModelRunner:
             tensors.repetition_penalty
         ])
 
+        ibuf_dev = jnp.asarray(ibuf)
         out, prompt_lp, kv_caches = self._step_fn(
-            self.params, kv_caches, jnp.asarray(ibuf), jnp.asarray(fbuf),
+            self.params, kv_caches, ibuf_dev, jnp.asarray(fbuf),
             lora, needs_filtering=needs_filtering,
             max_logprobs=max_logprobs, is_prefill=is_prompt, batch=batch,
             t_pad=t_pad, pages=pages, prefix_pages=prefix_pages,
             s_pad=s_pad, lp=tensors.prompt_tokens.shape[1],
             lo=tensors.output_tokens.shape[1],
             return_prompt_logprobs=want_prompt_lp)
+
+        if is_prompt and self.draft_model is not None:
+            # Speculative decoding: the draft model ingests the prompt
+            # too (its KV rides the same page indices); the already-
+            # uploaded ibuf is reused, so this costs one dispatch and no
+            # extra transport.
+            self.draft_caches = self._draft_prefill_fn(
+                self.draft_params, self.draft_caches, ibuf_dev,
+                batch=batch, t_pad=t_pad, prefix_pages=prefix_pages)
 
         sampler_output = self._process_sampler_output(
             _unpack_sampler_output(out, max_logprobs), plan)

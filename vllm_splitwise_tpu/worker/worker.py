@@ -39,6 +39,7 @@ class Worker:
         mesh=None,
         worker_type: WorkerType = WorkerType.MIXED,
         lora_config=None,
+        speculative_config=None,
     ) -> None:
         self.model_config = model_config
         self.parallel_config = parallel_config
@@ -47,11 +48,14 @@ class Worker:
         self.mesh = mesh
         self.worker_type = worker_type
         self.lora_config = lora_config
+        self.speculative_config = speculative_config
 
         self.model_runner = ModelRunner(model_config, parallel_config,
                                         scheduler_config, cache_config,
-                                        mesh=mesh, lora_config=lora_config)
+                                        mesh=mesh, lora_config=lora_config,
+                                        speculative_config=speculative_config)
         self.cache_engine: Optional[CacheEngine] = None
+        self.draft_cache_engine: Optional[CacheEngine] = None
         self.kv_caches = None
         # Splitwise: set by the executor when phase-disaggregated.
         self.kv_comm = None
@@ -81,6 +85,14 @@ class Worker:
         """
         block_bytes = CacheEngine.get_cache_block_size(
             self.cache_config, self.model_config, self.parallel_config)
+        if self.speculative_config is not None:
+            # The draft cache shares page indices with the target cache
+            # (same page count), so each logical page costs both models'
+            # bytes.
+            block_bytes += CacheEngine.get_cache_block_size(
+                self.cache_config,
+                self.speculative_config.draft_model_config,
+                self.parallel_config)
         num_host = int(host_swap_bytes // block_bytes)
 
         stats = self.device.memory_stats() or {}
@@ -176,6 +188,15 @@ class Worker:
                                         mesh=self.mesh,
                                         stacked=self._stacked_kv)
         self.kv_caches = self.cache_engine.device_cache
+        if self.speculative_config is not None:
+            # Same page count / block size as the target cache: the
+            # scheduler's block tables address both caches.
+            self.draft_cache_engine = CacheEngine(
+                cache_config, self.speculative_config.draft_model_config,
+                self.parallel_config, mesh=self.mesh,
+                stacked=self.model_runner.draft_stacked_kv)
+            self.model_runner.draft_caches = \
+                self.draft_cache_engine.device_cache
 
     def warm_up_model(self) -> None:
         """Pre-compile the common decode/prefill buckets (analog of the
@@ -199,6 +220,9 @@ class Worker:
         # CPU ignores donation).
         if self.cache_engine is not None:
             self.cache_engine.device_cache = self.kv_caches
+        if self.draft_cache_engine is not None:
+            self.draft_cache_engine.device_cache = \
+                self.model_runner.draft_caches
 
     # ---- LoRA management (reference worker.py add_lora/remove_lora) ----
 
@@ -231,6 +255,17 @@ class Worker:
         if blocks_to_copy:
             self.cache_engine.copy(blocks_to_copy)
         self.kv_caches = self.cache_engine.device_cache
+        if self.draft_cache_engine is not None:
+            # Mirror every plan on the draft cache so draft KV follows
+            # its sequence across swaps and CoW forks.
+            if blocks_to_swap_out:
+                self.draft_cache_engine.swap_out(blocks_to_swap_out)
+            if blocks_to_swap_in:
+                self.draft_cache_engine.swap_in(blocks_to_swap_in)
+            if blocks_to_copy:
+                self.draft_cache_engine.copy(blocks_to_copy)
+            self.model_runner.draft_caches = \
+                self.draft_cache_engine.device_cache
 
     def execute_model(
         self,
@@ -258,6 +293,10 @@ class Worker:
             num_decode_steps=num_decode_steps)
         if self.cache_engine is not None:
             self.cache_engine.device_cache = self.kv_caches
+        if self.draft_cache_engine is not None:
+            # The runner advances draft caches in place (donation).
+            self.draft_cache_engine.device_cache = \
+                self.model_runner.draft_caches
 
         # Splitwise prefill side: push freshly written KV pages to the
         # decode pool and signal completion.
