@@ -64,6 +64,7 @@ class LLMEngine:
         enable_compilation_cache()
 
         self.seq_counter = Counter()
+        self._last_spec_emitted = 0
         self._init_tokenizer()
 
         self.executor = executor_class(
@@ -485,10 +486,24 @@ class LLMEngine:
         time_per_output_tokens: List[float] = []
         time_e2e_requests: List[float] = []
         time_kv_migrations: List[float] = []
+        spec_acceptance = spec_tps = None
+        runner = getattr(getattr(self.executor, "worker", None),
+                         "model_runner", None)
+        spec_stats = getattr(runner, "spec_stats", None)
+        if spec_stats is not None and spec_stats.num_steps:
+            spec_acceptance = spec_stats.acceptance_rate
+            spec_tps = spec_stats.mean_tokens_per_step
+
         if scheduler_outputs is not None:
             prompt_run = scheduler_outputs.prompt_run
             if prompt_run:
                 num_prompt_tokens = scheduler_outputs.num_batched_tokens
+            elif spec_stats is not None and spec_stats.num_steps:
+                # Speculative steps emit a VARIABLE 1..k+1 tokens per
+                # sequence: count actual emissions.
+                num_generation_tokens = (spec_stats.num_emitted -
+                                         self._last_spec_emitted)
+                self._last_spec_emitted = spec_stats.num_emitted
             else:
                 # A fused K-step window emits K tokens per sequence.
                 num_generation_tokens = (
@@ -521,6 +536,8 @@ class LLMEngine:
             time_per_output_tokens=time_per_output_tokens,
             time_e2e_requests=time_e2e_requests,
             time_kv_migrations=time_kv_migrations,
+            spec_acceptance_rate=spec_acceptance,
+            spec_tokens_per_step=spec_tps,
         )
 
     def check_health(self) -> None:

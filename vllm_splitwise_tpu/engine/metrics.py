@@ -93,6 +93,11 @@ class Stats:
     time_per_output_tokens: List[float]
     time_e2e_requests: List[float]
     time_kv_migrations: List[float]
+    # Speculative decoding (None when disabled): cumulative acceptance
+    # rate and mean emitted tokens per spec step (reference
+    # SpecDecodeWorkerMetrics role).
+    spec_acceptance_rate: "Optional[float]" = None
+    spec_tokens_per_step: "Optional[float]" = None
 
 
 class StatLogger:
@@ -147,13 +152,18 @@ class StatLogger:
         if self._should_log(now):
             prompt_tput = self._throughput(self.num_prompt_tokens, now)
             gen_tput = self._throughput(self.num_generation_tokens, now)
+            spec = ""
+            if stats.spec_acceptance_rate is not None:
+                spec = (f", Spec acceptance: "
+                        f"{stats.spec_acceptance_rate * 100:.1f}%"
+                        f" ({stats.spec_tokens_per_step:.2f} tok/step)")
             logger.info(
                 "Avg prompt throughput: %.1f tokens/s, "
                 "Avg generation throughput: %.1f tokens/s, "
                 "Running: %d reqs, Swapped: %d reqs, Pending: %d reqs, "
-                "KV cache usage: %.1f%%", prompt_tput, gen_tput,
+                "KV cache usage: %.1f%%%s", prompt_tput, gen_tput,
                 stats.num_running, stats.num_swapped, stats.num_waiting,
-                stats.kv_cache_usage * 100)
+                stats.kv_cache_usage * 100, spec)
             self.num_prompt_tokens = []
             self.num_generation_tokens = []
             self.last_local_log = now
