@@ -24,6 +24,8 @@ _SHAPES = {
     # name: (hidden, inter, layers, heads, kv_heads, vocab)
     "7b": (4096, 11008, 32, 32, 32, 32000),
     "1b": (2048, 5504, 22, 16, 4, 32000),
+    # llama-160m-shaped: the classic speculative-decoding draft size
+    "draft": (768, 2048, 12, 12, 12, 32000),
     "tiny": (1024, 2048, 4, 8, 8, 1024),
 }
 
@@ -49,6 +51,10 @@ def main():
     parser.add_argument("--size", choices=list(_SHAPES), default="7b")
     parser.add_argument("--out", required=True)
     parser.add_argument("--group-size", type=int, default=128)
+    parser.add_argument("--format", choices=["gptq", "fp16"],
+                        default="gptq",
+                        help="fp16 writes a plain (unquantized) "
+                        "checkpoint - e.g. a speculative draft model")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max-pos", type=int, default=4096)
     args = parser.parse_args()
@@ -69,10 +75,11 @@ def main():
         num_key_value_heads=kv, max_position_embeddings=args.max_pos,
         tie_word_embeddings=False,
         architectures=["LlamaForCausalLM"])
-    config.quantization_config = {
-        "quant_method": "gptq", "bits": 4,
-        "group_size": args.group_size, "desc_act": False,
-    }
+    if args.format == "gptq":
+        config.quantization_config = {
+            "quant_method": "gptq", "bits": 4,
+            "group_size": args.group_size, "desc_act": False,
+        }
     config.save_pretrained(args.out)
     save_tiny_tokenizer(args.out, vocab)
 
@@ -102,6 +109,10 @@ def main():
         tensors[p + "post_attention_layernorm.weight"] = np.ones(
             (h, ), dtype=np.float16)
         for name, (din, dout) in shapes.items():
+            if args.format == "fp16":
+                # HF stores [out, in].
+                tensors[p + name + ".weight"] = emb((dout, din))
+                continue
             qw, qz, sc, gi = make_gptq_tensors(rng, din, dout,
                                                args.group_size)
             tensors[p + name + ".qweight"] = qw

@@ -325,6 +325,10 @@ class SchedulerConfig:
         # that by K.  Batches with beam search / >1-seq groups / logits
         # processors / penalties fall back to 1 per step.
         self.num_decode_steps = num_decode_steps
+        # Set when the window is a SPECULATIVE window (k+1): spec steps
+        # return only top-1 logprobs, so logprobs-bearing requests must
+        # degrade the window.
+        self.spec_decode = False
         self._verify_args()
 
     def _verify_args(self) -> None:

@@ -368,6 +368,10 @@ class Scheduler:
                     or sp.repetition_penalty != 1.0
                     or getattr(seq_group, "lora_request", None) is not None):
                 return 1
+            if self.scheduler_config.spec_decode and (
+                    sp.logprobs or sp.prompt_logprobs):
+                # Speculative steps return only top-1 logprobs.
+                return 1
             seq = seqs[0]
             # KV writes within the window land at positions
             # get_len()-1 .. get_len()+window-2 — all must fit max_len.

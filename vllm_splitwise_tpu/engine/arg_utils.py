@@ -249,6 +249,7 @@ class EngineArgs:
                                            model_config.max_model_len,
                                            self.max_paddings,
                                            num_decode_steps)
+        scheduler_config.spec_decode = speculative_config is not None
         lora_config = LoRAConfig(
             max_lora_rank=self.max_lora_rank,
             max_loras=self.max_loras,

@@ -498,9 +498,12 @@ class LLMEngine:
             prompt_run = scheduler_outputs.prompt_run
             if prompt_run:
                 num_prompt_tokens = scheduler_outputs.num_batched_tokens
-            elif spec_stats is not None and spec_stats.num_steps:
+            elif (spec_stats is not None
+                  and scheduler_outputs.num_decode_steps > 1):
                 # Speculative steps emit a VARIABLE 1..k+1 tokens per
-                # sequence: count actual emissions.
+                # sequence: count actual emissions.  (Window-ineligible
+                # batches degrade to plain decode and take the branch
+                # below — num_decode_steps is 1 for those.)
                 num_generation_tokens = (spec_stats.num_emitted -
                                          self._last_spec_emitted)
                 self._last_spec_emitted = spec_stats.num_emitted

@@ -213,6 +213,13 @@ class Attention:
             # Window tokens occupy CONSECUTIVE positions per sequence:
             # the page-tile prefill writer handles many tokens per page
             # (the single-token decode RMW would drop collisions).
+            if stacked or isinstance(k_pages, QuantPages):
+                # Same homogeneity requirements as the single-token
+                # paths (padded-head caches are only sliceable for plain
+                # non-stacked pages below).
+                assert cache_heads == self.num_kv_heads, (
+                    "multi-query decode over stacked/int4 caches "
+                    "requires homogeneous KV heads")
             rows = md.slot_mapping.reshape(batch, q_len)
             if stacked:
                 k_pages, v_pages = write_prefill_rows(

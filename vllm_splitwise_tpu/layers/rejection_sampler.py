@@ -83,3 +83,63 @@ def rejection_sample(
     return RejectionSamplerOutput(out.astype(jnp.int32),
                                   num_emitted.astype(jnp.int32),
                                   num_accepted.astype(jnp.int32))
+
+
+def rejection_sample_onehot_draft(
+    seeds: jax.Array,             # [B] uint32 per-row PRNG seeds
+    draft_token_ids: jax.Array,   # [B, k] int32 (greedy/top-1 draft)
+    target_probs: jax.Array,      # [B, k+1, V] f32 (REAL softmax probs)
+    greedy_mask: jax.Array,       # [B] bool — greedy target rows
+    greedy_tokens: jax.Array,     # [B, k+1] int32 target argmax per pos
+    bonus_token_ids: jax.Array,   # [B] int32 (sampled from pos k)
+) -> RejectionSamplerOutput:
+    """Specialization of :func:`rejection_sample` for ONE-HOT draft
+    distributions (top-1 proposers) with per-row keys.
+
+    Avoids materializing the [B, k, V] draft one-hot (and, for greedy
+    rows, the target one-hot): with p_draft = 1 the acceptance test is
+    ``u < p_target(draft_id)`` — for greedy targets exactly
+    ``draft_id == argmax`` — and the residual is the target row with the
+    draft id zeroed out.  Per-row keys keep seeded requests reproducible
+    regardless of batch composition (one shared batch key would couple
+    co-batched requests' draws).
+    """
+    b, k = draft_token_ids.shape
+
+    def one_row(seed, d_ids, probs, greedy, gm, bonus):
+        key = jax.random.PRNGKey(seed)
+        key_u, key_r = jax.random.split(key)
+        p_t = jnp.take_along_axis(probs[:k], d_ids[:, None],
+                                  axis=-1)[:, 0]              # [k]
+        p_t = jnp.where(greedy, (d_ids == gm[:k]).astype(jnp.float32),
+                        p_t)
+        u = jax.random.uniform(key_u, (k, ))
+        rejected = u >= p_t
+        fr = jnp.where(rejected.any(), jnp.argmax(rejected), k)
+
+        # Residual at the first rejected position: target row with the
+        # draft token's mass removed (p_draft is a one-hot there).
+        at = jnp.minimum(fr, k - 1)
+        row = probs[at]
+        row = row.at[d_ids[at]].set(0.0)
+        rsum = row.sum()
+        row = jnp.where(rsum > 1e-9, row / jnp.maximum(rsum, 1e-30),
+                        probs[at])
+        rec_rand = jax.random.categorical(
+            key_r, jnp.log(row + 1e-30)).astype(jnp.int32)
+        recovered = jnp.where(greedy, gm[at], rec_rand)
+
+        pos = jnp.arange(k + 1)
+        stop_tok = jnp.where(fr == k, bonus, recovered)
+        out = jnp.where(pos < fr,
+                        jnp.concatenate([d_ids, jnp.zeros((1, ),
+                                                          jnp.int32)]),
+                        -1)
+        out = jnp.where(pos == fr, stop_tok, out)
+        return out.astype(jnp.int32), (fr + 1).astype(jnp.int32), \
+            fr.astype(jnp.int32)
+
+    out, emitted, accepted = jax.vmap(one_row)(
+        seeds, draft_token_ids, target_probs, greedy_mask, greedy_tokens,
+        bonus_token_ids)
+    return RejectionSamplerOutput(out, emitted, accepted)

@@ -441,7 +441,7 @@ class ModelRunner:
         vocab_size = self.model_config.get_vocab_size()
         block_size = self.block_size
         from vllm_splitwise_tpu.layers.rejection_sampler import \
-            rejection_sample
+            rejection_sample_onehot_draft
         from vllm_splitwise_tpu.layers.sampler import \
             _apply_top_k_top_p_min_p
 
@@ -477,6 +477,38 @@ class ModelRunner:
         self._draft_prefill_fn = jax.jit(
             draft_prefill,
             static_argnames=("batch", "t_pad", "prefix_pages"),
+            donate_argnums=(1, ))
+
+        def draft_decode(draft_params, draft_caches, ibuf, *, batch,
+                         pages):
+            """Draft-side catch-up for window-INELIGIBLE decode steps
+            (beam/penalties/processors in the batch degrade the whole
+            step to plain single-token decode): write the step's token
+            into the draft KV cache so later speculative windows don't
+            propose against holes.  Reuses the target step's uploaded
+            buffer; logits discarded."""
+            off = 0
+
+            def take(n):
+                nonlocal off
+                part = jax.lax.dynamic_slice_in_dim(ibuf, off, n)
+                off += n
+                return part
+
+            input_ids = take(batch).reshape(batch, 1)
+            positions = take(batch).reshape(batch, 1)
+            slot_mapping = take(batch)
+            context_lens = take(batch)
+            block_tables = take(batch * pages).reshape(batch, pages)
+            md = DecodeMetadata(block_tables=block_tables,
+                                context_lens=context_lens,
+                                slot_mapping=slot_mapping)
+            _, draft_caches = draft_model(draft_params, input_ids,
+                                          positions, draft_caches, md)
+            return draft_caches
+
+        self._draft_decode_fn = jax.jit(
+            draft_decode, static_argnames=("batch", "pages"),
             donate_argnums=(1, ))
 
         def spec_step(params, draft_params, kv_caches, draft_caches, ibuf,
@@ -562,9 +594,10 @@ class ModelRunner:
             logits = logits.reshape(batch, k + 1, vocab_size)
             logits = jnp.take(logits, sample_indices, axis=0, mode="clip")
 
-            # Target distribution per position: greedy rows use the
-            # argmax one-hot (acceptance test degenerates to token
-            # equality and stays fully deterministic).
+            # Target distribution per position.  Greedy rows accept by
+            # token equality with the argmax (fully deterministic); no
+            # [.., V] one-hot is ever materialized — the specialized
+            # rejection sampler gathers target probs at the draft ids.
             gm_tok = jnp.argmax(logits, axis=-1)          # [s_pad, k+1]
             temp = jnp.maximum(tensors.temperature, 1e-5)[:, None, None]
             lf = logits / temp
@@ -582,40 +615,46 @@ class ModelRunner:
                     lf.reshape(s_pad * (k + 1), vocab_size),
                     flat_tensors).reshape(s_pad, k + 1, vocab_size)
             probs = jax.nn.softmax(lf, axis=-1)
-            vocab_iota = jnp.arange(vocab_size, dtype=jnp.int32)
-            onehot_g = (vocab_iota[None, None, :] ==
-                        gm_tok[..., None]).astype(jnp.float32)
-            t_probs = jnp.where(tensors.greedy_mask[:, None, None],
-                                onehot_g, probs)
 
             d_ids = jnp.take(draft_tokens, sample_indices, axis=0,
                              mode="clip")                 # [s_pad, k]
-            d_probs = (vocab_iota[None, None, :] ==
-                       d_ids[..., None]).astype(jnp.float32)
-            key = jax.random.PRNGKey(jnp.sum(seeds.astype(jnp.uint32)))
+            # Per-row keys: a seeded request reproduces regardless of
+            # which other requests share its batch.  Distinct stream for
+            # the bonus draw.
             bonus_rand = jax.vmap(
                 lambda s, row: jax.random.categorical(
-                    jax.random.PRNGKey(s), row))(seeds, lf[:, k])
+                    jax.random.PRNGKey(s ^ jnp.uint32(0x5EC0FFEE)),
+                    row))(seeds, lf[:, k])
             bonus = jnp.where(tensors.greedy_mask, gm_tok[:, k],
                               bonus_rand).astype(jnp.int32)
-            out = rejection_sample(key, d_ids, d_probs, t_probs, bonus)
+            out = rejection_sample_onehot_draft(seeds, d_ids, probs,
+                                                tensors.greedy_mask,
+                                                gm_tok, bonus)
             out_ids = out.output_token_ids                # [s_pad, k+1]
 
-            # logprob of each emitted token under the target distribution
-            lp = jnp.log(
-                jnp.take_along_axis(t_probs,
-                                    jnp.maximum(out_ids, 0)[..., None],
-                                    axis=-1)[..., 0] + 1e-30)
+            # True model logprobs of the emitted tokens (the plain paths
+            # report real values even for greedy rows — match them).
+            logp = jax.nn.log_softmax(lf, axis=-1)
+            lp = jnp.take_along_axis(logp,
+                                     jnp.maximum(out_ids, 0)[..., None],
+                                     axis=-1)[..., 0]
             lp = jnp.where(out_ids >= 0, lp, 0.0)
 
             packed = jnp.stack([
                 out_ids.T.astype(jnp.float32), lp.T, lp.T,
                 out_ids.T.astype(jnp.float32)
             ], axis=-1)                                   # [k+1, s_pad, 4]
-            num_acc = jnp.take(out.num_accepted,
-                               jnp.arange(batch), axis=0, mode="clip")
-            num_emit = jnp.take(out.num_emitted,
-                                jnp.arange(batch), axis=0, mode="clip")
+            # Pad bucket rows carry garbage: count only real rows.
+            rows_valid = jnp.take(valid, jnp.arange(batch), axis=0,
+                                  mode="clip")
+            num_acc = jnp.where(
+                rows_valid,
+                jnp.take(out.num_accepted, jnp.arange(batch), axis=0,
+                         mode="clip"), 0)
+            num_emit = jnp.where(
+                rows_valid,
+                jnp.take(out.num_emitted, jnp.arange(batch), axis=0,
+                         mode="clip"), 0)
             return packed, num_acc, num_emit, kv_caches, draft_caches
 
         self._spec_fn = jax.jit(
@@ -653,8 +692,9 @@ class ModelRunner:
 
         num_acc = np.asarray(num_acc)
         num_emit = np.asarray(num_emit)
-        self.spec_stats.num_steps += batch
-        self.spec_stats.num_draft_tokens += batch * k
+        num_real = len(seq_group_metadata_list)
+        self.spec_stats.num_steps += num_real
+        self.spec_stats.num_draft_tokens += num_real * k
         self.spec_stats.num_accepted += int(num_acc.sum())
         self.spec_stats.num_emitted += int(num_emit.sum())
 
@@ -1040,14 +1080,21 @@ class ModelRunner:
             lo=tensors.output_tokens.shape[1],
             return_prompt_logprobs=want_prompt_lp)
 
-        if is_prompt and self.draft_model is not None:
-            # Speculative decoding: the draft model ingests the prompt
-            # too (its KV rides the same page indices); the already-
-            # uploaded ibuf is reused, so this costs one dispatch and no
-            # extra transport.
-            self.draft_caches = self._draft_prefill_fn(
-                self.draft_params, self.draft_caches, ibuf_dev,
-                batch=batch, t_pad=t_pad, prefix_pages=prefix_pages)
+        if self.draft_model is not None:
+            if is_prompt:
+                # Speculative decoding: the draft model ingests the
+                # prompt too (its KV rides the same page indices); the
+                # already-uploaded ibuf is reused, so this costs one
+                # dispatch and no extra transport.
+                self.draft_caches = self._draft_prefill_fn(
+                    self.draft_params, self.draft_caches, ibuf_dev,
+                    batch=batch, t_pad=t_pad, prefix_pages=prefix_pages)
+            else:
+                # Window-ineligible step: keep the draft cache in sync so
+                # later speculative windows don't propose against holes.
+                self.draft_caches = self._draft_decode_fn(
+                    self.draft_params, self.draft_caches, ibuf_dev,
+                    batch=batch, pages=pages)
 
         sampler_output = self._process_sampler_output(
             _unpack_sampler_output(out, max_logprobs), plan)
