@@ -109,6 +109,71 @@ def test_spec_sampling_smoke(ckpt):
     assert all(0 <= t < config.vocab_size for t in toks)
 
 
+def test_spec_with_tensor_parallel(ckpt):
+    """Spec decode over a 2-device model-parallel mesh: the draft params
+    shard alongside the target's and greedy output still matches the
+    non-speculative engine."""
+    from vllm_splitwise_tpu import LLM
+    d, config = ckpt
+    rng = np.random.RandomState(7)
+    prompts = [rng.randint(3, config.vocab_size, size=n).tolist()
+               for n in (10, 14)]
+    kwargs = dict(model=d, dtype="float32", max_model_len=256,
+                  num_gpu_blocks_override=64, max_num_seqs=4,
+                  max_paddings=512, swap_space=0.05,
+                  tensor_parallel_size=2)
+    ref = _greedy(LLM(**kwargs), prompts, max_tokens=8)
+    llm = LLM(speculative_model=d, num_speculative_tokens=3, **kwargs)
+    runner = llm.llm_engine.executor.worker.model_runner
+    assert len(runner.draft_params["layers"]["q_proj"].sharding
+               .device_set) == 2
+    got = _greedy(llm, prompts, max_tokens=8)
+    assert got == ref
+
+
+def test_spec_with_int4_kv_cache(ckpt):
+    """Spec decode over int4 QuantPages caches (multi-query verify +
+    draft scan both ride the nibble-packed pages)."""
+    from vllm_splitwise_tpu import LLM
+    d, config = ckpt
+    rng = np.random.RandomState(9)
+    prompts = [rng.randint(3, config.vocab_size, size=12).tolist()]
+    kwargs = dict(model=d, dtype="float32", max_model_len=256,
+                  num_gpu_blocks_override=64, max_num_seqs=4,
+                  max_paddings=512, swap_space=0.05,
+                  kv_cache_dtype="int4")
+    ref = _greedy(LLM(**kwargs), prompts, max_tokens=8)
+    llm = LLM(speculative_model=d, num_speculative_tokens=3, **kwargs)
+    got = _greedy(llm, prompts, max_tokens=8)
+    # int4 KV is lossy: require the continuation to match the plain
+    # int4 engine exactly (same quantized cache semantics both sides).
+    assert got == ref
+
+
+def test_spec_logprobs_requests_degrade(ckpt):
+    """Requests asking for logprobs must bypass the spec window (spec
+    packs only top-1) and still return the requested number."""
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    d, config = ckpt
+    rng = np.random.RandomState(4)
+    prompts = [rng.randint(3, config.vocab_size, size=10).tolist()]
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=64, max_num_seqs=4, max_paddings=512,
+              swap_space=0.05, speculative_model=d,
+              num_speculative_tokens=3)
+    sp = SamplingParams(temperature=0.0, max_tokens=4, logprobs=3,
+                        ignore_eos=True)
+    outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp,
+                        use_tqdm=False)
+    comp = outs[0].outputs[0]
+    assert len(comp.token_ids) == 4
+    for lp in comp.logprobs:
+        assert len(lp) >= 3
+    # No spec step should have run for this request.
+    runner = llm.llm_engine.executor.worker.model_runner
+    assert runner.spec_stats.num_steps == 0
+
+
 def test_spec_config_validation(ckpt):
     from vllm_splitwise_tpu.engine.arg_utils import EngineArgs
     d, _ = ckpt
