@@ -95,7 +95,7 @@ class ModelConfig:
         self.tokenizer_mode = tokenizer_mode
 
     def _verify_quantization(self) -> None:
-        supported = ("gptq", "awq", "squeezellm", "int8")
+        supported = ("gptq", "awq", "squeezellm", "marlin", "int8")
         if self.quantization is not None:
             self.quantization = self.quantization.lower()
         hf_quant_config = getattr(self.hf_config, "quantization_config", None)

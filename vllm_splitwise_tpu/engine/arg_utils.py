@@ -159,8 +159,8 @@ class EngineArgs:
                             "host<->device sync latency)")
         parser.add_argument("--disable-log-stats", action="store_true")
         parser.add_argument("--quantization", "-q", type=str,
-                            choices=["awq", "gptq", "squeezellm", "int8",
-                                     None],
+                            choices=["awq", "gptq", "squeezellm", "marlin",
+                                     "int8", None],
                             default=EngineArgs.quantization)
         parser.add_argument("--enforce-eager", action="store_true")
         parser.add_argument("--max-context-len-to-capture", type=int,

@@ -9,6 +9,7 @@ from vllm_splitwise_tpu.layers.quantization.base_config import (
 from vllm_splitwise_tpu.layers.quantization.awq import AWQConfig
 from vllm_splitwise_tpu.layers.quantization.gptq import GPTQConfig
 from vllm_splitwise_tpu.layers.quantization.int8 import Int8Config
+from vllm_splitwise_tpu.layers.quantization.marlin import MarlinConfig
 from vllm_splitwise_tpu.layers.quantization.squeezellm import (
     SqueezeLLMConfig)
 
@@ -17,6 +18,7 @@ _QUANTIZATION_CONFIG_REGISTRY: Dict[str, Type[QuantizationConfig]] = {
     "gptq": GPTQConfig,
     "squeezellm": SqueezeLLMConfig,
     "int8": Int8Config,
+    "marlin": MarlinConfig,
 }
 
 
@@ -32,5 +34,6 @@ __all__ = [
     "GPTQConfig",
     "SqueezeLLMConfig",
     "Int8Config",
+    "MarlinConfig",
     "get_quantization_config",
 ]

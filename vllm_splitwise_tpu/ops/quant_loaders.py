@@ -179,3 +179,90 @@ def pack_awq_hf(w_int: np.ndarray, zeros: np.ndarray,
         qweight |= w_int[:, j::factor].astype(np.uint32) << shift
         qzeros |= z_store[:, j::factor] << shift
     return qweight.view(np.int32), qzeros.view(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Marlin (IST-DASLab W4A16) serialization.  The reference runs these
+# checkpoints through a dedicated CUDA GEMM (csrc/quantization/marlin/
+# marlin_cuda_kernel.cu); here the tile/thread permutation is inverted
+# ONCE at load time and the weights flow through the same int4 Pallas
+# kernel as GPTQ/AWQ.
+# ---------------------------------------------------------------------------
+
+_MARLIN_PERMS = None
+
+
+def _marlin_perms():
+    """The marlin kernel's weight/scale permutations (mirrors
+    marlin/__init__.py _get_perms in the upstream repo)."""
+    global _MARLIN_PERMS
+    if _MARLIN_PERMS is not None:
+        return _MARLIN_PERMS
+    perm = []
+    for i in range(32):
+        perm1 = []
+        col = i // 4
+        for block in (0, 1):
+            for row in (2 * (i % 4), 2 * (i % 4) + 1, 2 * (i % 4) + 8,
+                        2 * (i % 4) + 9):
+                perm1.append(16 * row + col + 8 * block)
+        for j in range(4):
+            perm.extend(p + 256 * j for p in perm1)
+    perm = np.asarray(perm)
+    interleave = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+    perm = perm.reshape((-1, 8))[:, interleave].ravel()
+    scale_perm = np.asarray(
+        [i + 8 * j for i in range(8) for j in range(8)])
+    scale_perm_single = np.asarray(
+        [2 * i + j for i in range(4) for j in (0, 1, 8, 9, 16, 17, 24, 25)])
+    _MARLIN_PERMS = (perm, scale_perm, scale_perm_single)
+    return _MARLIN_PERMS
+
+
+def unpack_marlin(
+    qweight: np.ndarray,   # int32 [K/16, N*16/8]
+    scales: np.ndarray,    # f16 [K/G, N] (or [1, N] channelwise)
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Invert marlin's tile permutation.  Returns (w_int uint8 [K, N]
+    with zero point 8, scales f32 [K/G, N], zeros f32 [K/G, N] == 8)."""
+    perm, scale_perm, scale_perm_single = _marlin_perms()
+    p = qweight.astype(np.uint32)
+    kt, cols = p.shape
+    res = np.empty((kt, cols * 8), dtype=np.uint8)
+    for i in range(8):
+        res[:, i::8] = (p >> (4 * i)) & 0xF
+    inv = np.argsort(perm)
+    res = res.reshape(-1, perm.size)[:, inv].reshape(kt, -1)
+    k = kt * 16
+    n = res.shape[1] // 16
+    w_int = res.reshape(kt, n // 16, 16, 16).transpose(0, 2, 1,
+                                                       3).reshape(k, n)
+
+    s = scales.astype(np.float32)
+    sp = scale_perm if s.shape[0] > 1 else scale_perm_single
+    s = s.reshape(-1, sp.size)[:, np.argsort(sp)].reshape(s.shape[0], n)
+    if s.shape[0] == 1 and k > 128:
+        # Channelwise (group_size -1): expand to 128-groups so the
+        # banded-metadata pack sees an even group count.
+        s = np.repeat(s, k // 128, axis=0)
+    zeros = np.full_like(s, 8.0)
+    return w_int, s, zeros
+
+
+def pack_marlin_hf(w_int: np.ndarray,
+                   scales: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(w_int [K,N] uint8 zero-point-8, scales [K/G,N]) -> marlin
+    serialization (B int32 [K/16, N*16/8], s f16 [K/G, N]) — mirrors the
+    upstream pack() for round-trip tests / synthetic checkpoints."""
+    perm, scale_perm, scale_perm_single = _marlin_perms()
+    k, n = w_int.shape
+    res = w_int.reshape(k // 16, 16, n // 16, 16).transpose(
+        0, 2, 1, 3).reshape(k // 16, n * 16)
+    res = res.reshape(-1, perm.size)[:, perm].reshape(k // 16, n * 16)
+    q = np.zeros((k // 16, n * 16 // 8), dtype=np.uint32)
+    for i in range(8):
+        q |= res[:, i::8].astype(np.uint32) << (4 * i)
+    s = scales.astype(np.float16)
+    sp = scale_perm if s.shape[0] > 1 else scale_perm_single
+    s = s.reshape(-1, sp.size)[:, sp].reshape(s.shape[0], n)
+    return q.view(np.int32), s
