@@ -91,3 +91,29 @@ def test_prefix_cached_generation_matches_hf(cached_llm):
             ref = hf.generate(torch.tensor([ids]), max_new_tokens=8,
                               do_sample=False)
         assert out.outputs[0].token_ids == ref[0, len(ids):].tolist()
+
+
+def test_prefix_split_matches_full_prefill_all_rows():
+    """Splitting a prompt into (cached prefix, computed suffix) must give
+    the SAME attention output at every suffix position as one full
+    prefill.  Regression: the suffix causal mask offset only q positions,
+    letting earlier suffix rows attend future suffix tokens (invisible to
+    greedy generation — only the last row samples — but corrupting
+    prompt logprobs and any chunked-prefill use)."""
+    import jax.numpy as jnp
+
+    from vllm_splitwise_tpu.ops.prefill_attention import prefill_attention
+    rng = np.random.RandomState(0)
+    B, T, H, D = 2, 12, 2, 16
+    fq = jnp.asarray(rng.randn(B, T, H, D), jnp.float32)
+    fk = jnp.asarray(rng.randn(B, T, H, D), jnp.float32)
+    fv = jnp.asarray(rng.randn(B, T, H, D), jnp.float32)
+    ref = prefill_attention(fq, fk, fv, jnp.full((B, ), T, jnp.int32))
+    P = 4
+    out = prefill_attention(
+        fq[:, P:], fk[:, P:], fv[:, P:],
+        jnp.full((B, ), T - P, jnp.int32),
+        start_positions=jnp.full((B, ), P, jnp.int32),
+        prefix_kv=(fk[:, :P], fv[:, :P], jnp.full((B, ), P, jnp.int32)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, P:]),
+                               atol=1e-5)

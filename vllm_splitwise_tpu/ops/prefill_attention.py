@@ -56,12 +56,19 @@ def prefill_attention(
     s = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf) * scale
 
     q_pos = jnp.arange(q_len)[None, :]  # [1, Tq]
-    if start_positions is not None:
-        q_pos = q_pos + start_positions[:, None]
     k_pos = jnp.arange(kv_len)[None, :]
+    if start_positions is not None:
+        # k here is the SAME suffix chunk as q: both sit at absolute
+        # positions start..start+T.  Offsetting only q made the causal
+        # mask too permissive (suffix queries attended future suffix
+        # tokens whenever a cached prefix was in play).
+        q_pos = q_pos + start_positions[:, None]
+        k_pos = k_pos + start_positions[:, None]
 
     causal = q_pos[:, :, None] >= k_pos[:, None, :]      # [B, Tq, Tk]
-    valid = k_pos[:, None, :] < seq_lens[:, None, None]  # [B, 1->Tq, Tk]
+    # seq_lens counts SUFFIX tokens: validity uses the local k index.
+    k_local = jnp.arange(kv_len)[None, None, :]
+    valid = k_local < seq_lens[:, None, None]            # [B, 1->Tq, Tk]
     mask = jnp.logical_and(causal, valid)
     if alibi_slopes is not None:
         # ALiBi: bias = slope_h * (k_pos - q_pos) (<= 0 under causality).
