@@ -186,14 +186,27 @@ class Attention:
             prefix_kv = (to_tokens(pages_k), to_tokens(pages_v),
                          md.prefix_lens)
 
-        out = prefill_attention(
-            q, k, v, md.seq_lens,
-            scale=self.scale,
-            sliding_window=self.sliding_window,
-            start_positions=md.start_positions,
-            alibi_slopes=self.alibi_slopes,
-            prefix_kv=prefix_kv,
-        )
+        if prefix_kv is None and _use_pallas() and self.head_dim % 128 == 0:
+            # Flash kernel: O(T) memory instead of the dense path's
+            # O(T^2) score tensor (start offsets cancel when q and k are
+            # the same chunk, and non-prefix prompts start at 0 anyway).
+            from vllm_splitwise_tpu.ops.flash_prefill import \
+                flash_prefill_attention
+            out = flash_prefill_attention(
+                q, k, v, md.seq_lens,
+                scale=self.scale,
+                sliding_window=self.sliding_window,
+                alibi_slopes=self.alibi_slopes,
+            )
+        else:
+            out = prefill_attention(
+                q, k, v, md.seq_lens,
+                scale=self.scale,
+                sliding_window=self.sliding_window,
+                start_positions=md.start_positions,
+                alibi_slopes=self.alibi_slopes,
+                prefix_kv=prefix_kv,
+            )
         return out.reshape(batch, seq_len, -1), (k_pages, v_pages)
 
     def _decode(self, q, k, v, k_pages, v_pages,
