@@ -117,3 +117,79 @@ def test_prefix_split_matches_full_prefill_all_rows():
         prefix_kv=(fk[:, :P], fv[:, :P], jnp.full((B, ), P, jnp.int32)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, P:]),
                                atol=1e-5)
+
+
+def test_prefix_multiquery_kernel_matches_dense():
+    """The TPU prefix path (multi-query paged kernel over prefix+suffix
+    pages with ctx = prefix + padded_suffix) must match the dense
+    prefix_kv path at every VALID suffix row, including ragged suffixes."""
+    import jax
+    import jax.numpy as jnp
+
+    from vllm_splitwise_tpu.ops.paged_attention import paged_attention
+    from vllm_splitwise_tpu.ops.prefill_attention import prefill_attention
+
+    rng = np.random.RandomState(0)
+    B, H, D, PS = 2, 4, 128, 16
+    prefix_lens = np.asarray([32, 16], np.int32)
+    suf_lens = np.asarray([8, 5], np.int32)
+    T = 8  # padded suffix
+
+    num_pages = 16
+    kp = np.zeros((num_pages, H, PS, D), np.float32)
+    vp = np.zeros((num_pages, H, PS, D), np.float32)
+    bt = np.zeros((B, 4), np.int32)
+    q = jnp.asarray(rng.randn(B, T, H, D), jnp.float32)
+    k_pre, v_pre = [], []
+    next_page = 0
+    for b in range(B):
+        total = int(prefix_lens[b]) + T
+        kv_k = rng.randn(total, H, D).astype(np.float32)
+        kv_v = rng.randn(total, H, D).astype(np.float32)
+        npages = -(-total // PS)
+        for j in range(npages):
+            pg = next_page; next_page += 1
+            bt[b, j] = pg
+            chunk_k = kv_k[j * PS:(j + 1) * PS]
+            kp[pg, :, :chunk_k.shape[0]] = chunk_k.transpose(1, 0, 2)
+            chunk_v = kv_v[j * PS:(j + 1) * PS]
+            vp[pg, :, :chunk_v.shape[0]] = chunk_v.transpose(1, 0, 2)
+        k_pre.append(kv_k[:int(prefix_lens[b])])
+        v_pre.append(kv_v[:int(prefix_lens[b])])
+
+    # Dense oracle: suffix k/v fresh + prefix via prefix_kv.
+    pmax = int(prefix_lens.max())
+    kpre = np.zeros((B, pmax, H, D), np.float32)
+    vpre = np.zeros((B, pmax, H, D), np.float32)
+    ksuf = np.zeros((B, T, H, D), np.float32)
+    vsuf = np.zeros((B, T, H, D), np.float32)
+    for b in range(B):
+        p = int(prefix_lens[b])
+        kpre[b, :p] = k_pre[b]
+        vpre[b, :p] = v_pre[b]
+    # Suffix k/v as stored in the pages (positions prefix..prefix+T).
+    for b in range(B):
+        p = int(prefix_lens[b])
+        for t in range(T):
+            pos = p + t
+            pg = bt[b, pos // PS]
+            ksuf[b, t] = kp[pg, :, pos % PS]
+            vsuf[b, t] = vp[pg, :, pos % PS]
+
+    ref = prefill_attention(
+        q, jnp.asarray(ksuf), jnp.asarray(vsuf),
+        jnp.asarray(suf_lens),
+        start_positions=jnp.asarray(prefix_lens),
+        prefix_kv=(jnp.asarray(kpre), jnp.asarray(vpre),
+                   jnp.asarray(prefix_lens)))
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    out = paged_attention(q, jnp.asarray(kp), jnp.asarray(vp),
+                          jnp.asarray(bt),
+                          jnp.asarray(prefix_lens + T, dtype=np.int32),
+                          pages_per_chunk=2, interpret=not on_tpu)
+    for b in range(B):
+        n = int(suf_lens[b])
+        np.testing.assert_allclose(np.asarray(out[b, :n]),
+                                   np.asarray(ref[b, :n]), atol=2e-2,
+                                   rtol=2e-2)

@@ -147,6 +147,28 @@ class Attention:
         if self.kv_push_fn is not None:
             self.kv_push_fn(self.layer_id, k_pages, v_pages)
 
+        group = self.num_heads // self.num_kv_heads
+        if (md.block_tables is not None and _use_pallas()
+                and self.head_dim % 128 == 0
+                and self.sliding_window is None
+                and cache_heads == self.num_kv_heads
+                and seq_len * group <= 2048):
+            # Prefix-cached prefill via the multi-query paged kernel
+            # (the reference's prefix-prefill Triton kernel role): the
+            # suffix K/V was just written to its pages, the full block
+            # table covers prefix + suffix, and the per-row causal bound
+            # prefix + qi + 1 is exactly ctx - q_len + 1 + qi with
+            # ctx = prefix + padded-suffix (rows past a ragged suffix are
+            # garbage and discarded).  Avoids the dense path's O(prefix)
+            # page gather per layer.
+            ctx = md.prefix_lens + seq_len
+            out = paged_attention(q, k_pages, v_pages, md.block_tables,
+                                  ctx, scale=self.scale,
+                                  kv_scale=self.kv_scale,
+                                  alibi_slopes=self.alibi_slopes,
+                                  layer_index=layer_index)
+            return out.reshape(batch, seq_len, -1), (k_pages, v_pages)
+
         prefix_kv = None
         if md.block_tables is not None:
             # Prefix caching: suffix queries must also attend over the

@@ -741,11 +741,11 @@ class ModelRunner:
             rows_tokens.append(tokens)
             rows_slots.append(slots)
             start_positions.append(prefix_len)
-            # Pages holding the cached prefix (attended over alongside
-            # the fresh suffix when prefix caching kicks in).
-            prefix_tables.append(
-                block_table[:cdiv(prefix_len, self.block_size)]
-                if prefix_len else [])
+            # FULL table (prefix + suffix pages): the TPU prefix path
+            # attends both through the multi-query paged kernel; the
+            # dense fallback gathers the prefix pages and masks by
+            # prefix_lens, so extra (suffix) pages are harmless.
+            prefix_tables.append(list(block_table) if prefix_len else [])
 
         batch = _bucket(len(seq_lens), self.PREFILL_BATCH_BUCKETS)
         t_pad = _bucket(max(seq_lens), self.PREFILL_LEN_BUCKETS)
