@@ -8,9 +8,10 @@ batched einsum over stacked [E, H, F] weights with a [T, E] combine
 matrix — dense-dispatch.  On the MXU a batched matmul at decode batch
 sizes costs about the same as the gathered variant (both stream every
 expert's weights from HBM once; weight streaming, not FLOPs, is the
-bound), while avoiding sort/scatter ops XLA handles poorly.  A
-capacity-grouped Pallas ragged matmul is the planned optimization for
-large-batch prefill where FLOPs begin to dominate.
+bound), while avoiding sort/scatter ops XLA handles poorly.  Prefill
+(T >= 128) routes to the grouped Pallas ragged matmul
+(ops/grouped_matmul.py) where FLOPs dominate and dense dispatch would
+cost E/topk x extra.
 
 Quantized experts (per-expert pack2G int4 / int8 dicts) take the
 per-expert loop path through layers.linear.dense — the reference's
@@ -81,6 +82,15 @@ def fused_moe(
                 else act_fn(h1)
             out = out + combine[:, e:e + 1] * dense(inner, w2[e])
         return out
+
+    if x.shape[0] >= 128 and jax.default_backend() == "tpu" and \
+            w1.shape[1] % 128 == 0 and w1.shape[2] % 128 == 0:
+        # Prefill-size batches are FLOPs-bound: the grouped (ragged)
+        # Pallas matmul computes only routed (token, expert) pairs —
+        # E/topk x fewer FLOPs than dense dispatch.
+        from vllm_splitwise_tpu.ops.grouped_matmul import fused_moe_grouped
+        return fused_moe_grouped(x, w1, w3, w2, topk_weights, topk_ids,
+                                 act_fn)
 
     # Dense-dispatch batched path.
     h1 = jnp.einsum("th,ehf->etf", x, w1)
