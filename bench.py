@@ -290,6 +290,27 @@ def _run_leg(quant, size, batch, context, args):
     return None
 
 
+def _install_watchdog(seconds: int = 900):
+    """Exit (instead of hanging forever) if the device/transport wedges:
+    the axon tunnel has been observed to block jax initialization for
+    hours, and a hung bench run records nothing for the round."""
+    import os
+    import threading
+    state = {"armed": True}
+
+    def fire():
+        if state["armed"]:
+            print(f"[bench] WATCHDOG: no progress after {seconds}s "
+                  "(device/transport wedged?) — aborting", file=sys.stderr,
+                  flush=True)
+            os._exit(3)
+
+    timer = threading.Timer(seconds, fire)
+    timer.daemon = True
+    timer.start()
+    return state
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
@@ -321,10 +342,15 @@ def main():
     from vllm_splitwise_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
+    # Disarmed once the device proves alive; compiles after that may
+    # legitimately take many minutes.
+    watchdog = _install_watchdog()
+
     _log(f"building {size} {args.quant} params...")
     model, params, config = build(size, args.quant)
     import jax as _jax
     _jax.block_until_ready(_jax.tree_util.tree_leaves(params)[0])
+    watchdog["armed"] = False
     _log("params ready")
     if args.prefill:
         ttft, prefill_tput = measure_prefill(model, params, config,
