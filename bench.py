@@ -342,15 +342,18 @@ def main():
     from vllm_splitwise_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
-    # Disarmed once the device proves alive; compiles after that may
-    # legitimately take many minutes.
+    # Disarmed once device init returns — that is exactly what hangs
+    # when the transport wedges; compiles after that may legitimately
+    # take many minutes (cold caches measured >10 min).
     watchdog = _install_watchdog()
+    import jax as _jax_probe
+    _jax_probe.devices()
+    watchdog["armed"] = False
 
     _log(f"building {size} {args.quant} params...")
     model, params, config = build(size, args.quant)
     import jax as _jax
     _jax.block_until_ready(_jax.tree_util.tree_leaves(params)[0])
-    watchdog["armed"] = False
     _log("params ready")
     if args.prefill:
         ttft, prefill_tput = measure_prefill(model, params, config,

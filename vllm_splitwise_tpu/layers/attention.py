@@ -148,11 +148,15 @@ class Attention:
             self.kv_push_fn(self.layer_id, k_pages, v_pages)
 
         group = self.num_heads // self.num_kv_heads
+        # VMEM bound: the multi-query kernel's q/m/l/acc buffers are each
+        # ~[kvh, seq_len*group, 128] f32 — cap their combined footprint.
+        mq_vmem = self.num_kv_heads * seq_len * group * max(
+            self.head_dim, 128) * 4 * 4
         if (md.block_tables is not None and _use_pallas()
                 and self.head_dim % 128 == 0
                 and self.sliding_window is None
                 and cache_heads == self.num_kv_heads
-                and seq_len * group <= 2048):
+                and mq_vmem <= 8 * 2**20):
             # Prefix-cached prefill via the multi-query paged kernel
             # (the reference's prefix-prefill Triton kernel role): the
             # suffix K/V was just written to its pages, the full block

@@ -83,11 +83,15 @@ def fused_moe(
             out = out + combine[:, e:e + 1] * dense(inner, w2[e])
         return out
 
-    if x.shape[0] >= 128 and jax.default_backend() == "tpu" and \
+    t = x.shape[0]
+    # Grouped work ~ (t*topk + E*128) row-matmuls vs dense dispatch's
+    # t*E: route grouped only where it actually does fewer FLOPs (plus
+    # sort/scatter overhead margin).
+    grouped_wins = (t * topk + num_experts * 128) * 2 < t * num_experts
+    if grouped_wins and jax.default_backend() == "tpu" and \
             w1.shape[1] % 128 == 0 and w1.shape[2] % 128 == 0:
         # Prefill-size batches are FLOPs-bound: the grouped (ragged)
-        # Pallas matmul computes only routed (token, expert) pairs —
-        # E/topk x fewer FLOPs than dense dispatch.
+        # Pallas matmul computes only routed (token, expert) pairs.
         from vllm_splitwise_tpu.ops.grouped_matmul import fused_moe_grouped
         return fused_moe_grouped(x, w1, w3, w2, topk_weights, topk_ids,
                                  act_fn)

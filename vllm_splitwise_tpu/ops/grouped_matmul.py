@@ -67,6 +67,9 @@ def moe_align(
     bounds = jnp.cumsum(padded)                               # [E]
     expert_per_tile = jnp.searchsorted(bounds, tile_start,
                                        side="right").astype(jnp.int32)
+    # Trailing all-padding tiles fall past the last bound (id == E):
+    # clamp — their rows are zeros, any valid weight block works.
+    expert_per_tile = jnp.minimum(expert_per_tile, num_experts - 1)
     return src, expert_per_tile, dest, counts
 
 

@@ -37,9 +37,10 @@ def prefill_attention(
 
     Padding tokens (position >= seq_len) attend only to themselves
     numerically (their output is garbage and later discarded).  When
-    ``start_positions`` is given, query block positions are offset (used
-    for chunked prefill where earlier tokens live in the KV cache — the
-    caller must then also pass those cached tokens in k/v).
+    ``start_positions`` is given, q AND k are the SAME suffix chunk
+    sitting at absolute positions start..start+T (both get the offset);
+    the cached tokens before `start` are attended via ``prefix_kv``, NOT
+    by widening k.
     """
     batch, q_len, num_q_heads, head_dim = q.shape
     _, kv_len, num_kv_heads, _ = k.shape

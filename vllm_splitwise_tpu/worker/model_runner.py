@@ -741,11 +741,14 @@ class ModelRunner:
             rows_tokens.append(tokens)
             rows_slots.append(slots)
             start_positions.append(prefix_len)
-            # FULL table (prefix + suffix pages): the TPU prefix path
-            # attends both through the multi-query paged kernel; the
-            # dense fallback gathers the prefix pages and masks by
-            # prefix_lens, so extra (suffix) pages are harmless.
-            prefix_tables.append(list(block_table) if prefix_len else [])
+            # FULL table (prefix + suffix pages) for EVERY row: in a
+            # mixed batch the TPU prefix path sends prefix-less rows
+            # through the same multi-query paged kernel (ctx = 0 +
+            # suffix), so their tables must point at their own pages —
+            # an empty row would silently attend page 0.  The dense
+            # fallback gathers prefix pages and masks by prefix_lens, so
+            # the extra (suffix) pages are harmless there.
+            prefix_tables.append(list(block_table))
 
         batch = _bucket(len(seq_lens), self.PREFILL_BATCH_BUCKETS)
         t_pad = _bucket(max(seq_lens), self.PREFILL_LEN_BUCKETS)
