@@ -262,7 +262,10 @@ class DeepseekForCausalLM:
                     continue
                 ordered = [vals[e] for e in sorted(vals)]
                 if isinstance(ordered[0], dict):
-                    lp[wn] = ordered
+                    from vllm_splitwise_tpu.ops.grouped_matmul import \
+                        stack_expert_quant
+                    stacked_q = stack_expert_quant(ordered)
+                    lp[wn] = stacked_q if stacked_q is not None else ordered
                 else:
                     lp[wn] = jnp.stack(ordered, axis=0)
         return params

@@ -227,6 +227,17 @@ class MixtralForCausalLM:
         for lp in layers:
             for wn in ("w1", "w3", "w2"):
                 vals = lp[wn]
-                if vals and not isinstance(vals[0], dict):
+                if not vals:
+                    continue
+                if not isinstance(vals[0], dict):
                     lp[wn] = jnp.stack(vals, axis=0)
+                    continue
+                # Uniform int4 experts stack into one banded [E, ...]
+                # dict for the grouped quant kernel; non-uniform /
+                # act-ordered experts keep the per-expert loop.
+                from vllm_splitwise_tpu.ops.grouped_matmul import \
+                    stack_expert_quant
+                stacked_q = stack_expert_quant(vals)
+                if stacked_q is not None:
+                    lp[wn] = stacked_q
         return params

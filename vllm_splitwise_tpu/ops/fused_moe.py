@@ -72,8 +72,20 @@ def fused_moe(
     combine = _combine_matrix(topk_weights, topk_ids,
                               num_experts).astype(x.dtype)  # [T, E]
 
+    if isinstance(w1, dict):
+        # Stacked quantized experts: grouped fused dequant+matmul over
+        # expert-sorted tiles (the fork's group_gptq_gemm /
+        # awq_group_gemm role) — 3 kernel dispatches per layer instead
+        # of 3E.
+        from vllm_splitwise_tpu.ops.grouped_matmul import \
+            fused_moe_grouped_quant
+        return fused_moe_grouped_quant(
+            x, w1, w3, w2, topk_weights, topk_ids, act_fn,
+            interpret=jax.default_backend() not in ("tpu", ))
+
     if isinstance(w1, (list, tuple)):
-        # Quantized / per-expert path: E separate fused dequant matmuls.
+        # Quantized / per-expert path (non-uniform or act-ordered
+        # experts): E separate fused dequant matmuls.
         from vllm_splitwise_tpu.layers.linear import dense
         out = jnp.zeros_like(x)
         for e in range(len(w1)):

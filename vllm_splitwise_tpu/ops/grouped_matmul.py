@@ -57,7 +57,10 @@ def moe_align(
     rank = jnp.arange(tk, dtype=jnp.int32) - run_start[sorted_experts]
     dest_sorted = group_start[sorted_experts] + rank          # [TK]
 
-    tkp = tk + num_experts * tile
+    # Tile-aligned worst case: sum(padded) <= tk + E*(tile-1), and the
+    # matmul grids walk tkp // tile tiles, so tkp itself must be a tile
+    # multiple that covers the bound.
+    tkp = ((tk + tile - 1) // tile) * tile + num_experts * tile
     src = jnp.full((tkp, ), -1, dtype=jnp.int32)
     src = src.at[dest_sorted].set(order.astype(jnp.int32))
     dest = jnp.zeros((tk, ), jnp.int32).at[order].set(dest_sorted)
@@ -151,6 +154,75 @@ def fused_moe_grouped(
                                 interpret=interpret)      # [TKP, H]
 
     # Scatter back + weighted combine over each token's k experts.
+    gathered = jnp.take(out_sorted, dest, axis=0,
+                        mode="clip").reshape(t, k, h)
+    return jnp.einsum("tkh,tk->th", gathered.astype(jnp.float32),
+                      topk_weights.astype(jnp.float32)).astype(x.dtype)
+
+
+def stack_expert_quant(vals):
+    """Stack a uniform list of per-expert pack2G int4 dicts into one
+    banded [E, ...] dict for the grouped kernels; returns None if the
+    experts are not uniform plain-int4 dicts (caller keeps the list)."""
+    if not vals or not all(isinstance(v, dict) for v in vals):
+        return None
+    names = set(vals[0])
+    if names != {"qweight", "scales", "zeros"}:
+        return None
+    if any(set(v) != names or v["qweight"].shape != vals[0]["qweight"].shape
+           for v in vals):
+        return None
+    from vllm_splitwise_tpu.ops.quant_matmul import (pack_sz_bands,
+                                                     pad_qweight_even)
+    sub = {k: jnp.stack([v[k] for v in vals]) for k in names}
+    k_dim = sub["qweight"].shape[1] * 2
+    group = k_dim // sub["scales"].shape[1]
+    sub["sz_bands"] = pack_sz_bands(sub.pop("scales"), sub.pop("zeros"),
+                                    group)
+    sub["qweight"] = pad_qweight_even(sub["qweight"], group)
+    sub["sz_group"] = jnp.zeros((1, group, 0), jnp.float32)
+    return sub
+
+
+def fused_moe_grouped_quant(
+    x: jax.Array,             # [T, H]
+    w1: dict,                 # stacked int4 dict [E, ...]
+    w3,                       # stacked int4 dict or None
+    w2: dict,
+    topk_weights: jax.Array,  # [T, k] f32
+    topk_ids: jax.Array,      # [T, k] i32
+    act_fn,
+    interpret: bool = False,
+) -> jax.Array:
+    """Quantized grouped MoE (the fork's group_gptq_gemm/awq_group_gemm
+    role): three grouped fused dequant+matmuls over expert-sorted tiles
+    instead of E separate kernel dispatch chains per layer."""
+    from vllm_splitwise_tpu.ops.quant_matmul import quant_matmul_int4_grouped
+
+    t, h = x.shape
+    k = topk_ids.shape[1]
+    num_experts = w1["qweight"].shape[0]
+    group1 = int(w1["sz_group"].shape[-2])
+    group2 = int(w2["sz_group"].shape[-2])
+    src, expert_per_tile, dest, _ = moe_align(topk_ids, num_experts)
+
+    x_sorted = jnp.where(src[:, None] >= 0,
+                         jnp.take(x, jnp.maximum(src, 0) // k, axis=0,
+                                  mode="clip"), 0).astype(x.dtype)
+
+    h1 = quant_matmul_int4_grouped(x_sorted, w1["qweight"], w1["sz_bands"],
+                                   expert_per_tile, group_size=group1,
+                                   interpret=interpret)
+    if w3 is not None:
+        inner = act_fn(h1) * quant_matmul_int4_grouped(
+            x_sorted, w3["qweight"], w3["sz_bands"], expert_per_tile,
+            group_size=group1, interpret=interpret)
+    else:
+        inner = act_fn(h1)
+    out_sorted = quant_matmul_int4_grouped(
+        inner.astype(x.dtype), w2["qweight"], w2["sz_bands"],
+        expert_per_tile, group_size=group2, interpret=interpret)
+
     gathered = jnp.take(out_sorted, dest, axis=0,
                         mode="clip").reshape(t, k, h)
     return jnp.einsum("tkh,tk->th", gathered.astype(jnp.float32),

@@ -737,3 +737,68 @@ def quant_matmul_int4_mxu_stacked(
     )(layer_arr, xq, sums_wide, qweight, sz_bands)
     out = (out * sx).astype(x.dtype)
     return out[:m] if m_pad else out
+
+
+def quant_matmul_int4_grouped(
+    x_sorted: jax.Array,     # [TKP, K] expert-sorted rows (TILE-aligned)
+    qweight: jax.Array,      # [E, K/2(+pad), N] int8 pack2G
+    sz_bands: jax.Array,     # [E, ceil(nb/2)*8, N]
+    expert_per_tile: jax.Array,  # [TKP // 128] int32
+    *,
+    group_size: int,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Grouped (ragged MoE) variant of quant_matmul_int4_stacked: the
+    leading stack dim is EXPERTS and each 128-row tile of the sorted
+    activations selects its expert's blocks via the prefetched per-tile
+    expert ids (reference role: ops.group_gptq_gemm / awq_group_gemm,
+    csrc/ops.h:100-110 — the fork's quantized fused-MoE kernels)."""
+    m, k = x_sorted.shape
+    num_experts, kk, n = qweight.shape
+    g = group_size
+    nb = k // (2 * g)
+    assert kk * 2 >= k, (k, kk)
+    assert m % 128 == 0
+
+    lane_ok = (2 * g) % 128 == 0 or 2 * g == k
+    if not ((_use_pallas() and lane_ok) or interpret):
+        # XLA fallback: per-expert exact dequant matmul over tiles.
+        outs = []
+        for t in range(m // 128):
+            e = expert_per_tile[t]
+            qw = jax.lax.dynamic_index_in_dim(qweight, e,
+                                              keepdims=False)[:k // 2]
+            sz = jax.lax.dynamic_index_in_dim(sz_bands, e, keepdims=False)
+            s, z = unpack_sz_bands(sz, k, g)
+            outs.append(quant_matmul_int4_reference(
+                x_sorted[t * 128:(t + 1) * 128], qw, s, z, g))
+        return jnp.concatenate(outs, axis=0)
+
+    block_n = _pick_block(n, block_n)
+    bk = 2 * g
+    grid = (m // 128, n // block_n, nb)
+
+    out = pl.pallas_call(
+        functools.partial(_int4_matmul_kernel_stacked,
+                          group_size=g, out_dtype=x_sorted.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((128, bk), lambda i, j, kb, E: (i, kb)),
+                pl.BlockSpec((1, group_size, block_n),
+                             lambda i, j, kb, E: (E[i], kb, j)),
+                pl.BlockSpec((1, 8, block_n),
+                             lambda i, j, kb, E: (E[i], kb // 2, j)),
+            ],
+            out_specs=pl.BlockSpec((128, block_n),
+                                   lambda i, j, kb, E: (i, j)),
+            scratch_shapes=[pltpu.VMEM((128, block_n), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), x_sorted.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(expert_per_tile, x_sorted.astype(jnp.bfloat16), qweight, sz_bands)
+    return out
