@@ -167,14 +167,18 @@ def stack_expert_quant(vals):
     if not vals or not all(isinstance(v, dict) for v in vals):
         return None
     names = set(vals[0])
-    if names != {"qweight", "scales", "zeros"}:
+    if names not in ({"qweight", "scales", "zeros"},
+                     {"qweight", "scales"}):
         return None
     if any(set(v) != names or v["qweight"].shape != vals[0]["qweight"].shape
            for v in vals):
         return None
+    sub = {k: jnp.stack([v[k] for v in vals]) for k in names}
+    if "zeros" not in names:
+        # int8 experts ({qweight [K, N] int8, scales [1, N]}).
+        return sub
     from vllm_splitwise_tpu.ops.quant_matmul import (pack_sz_bands,
                                                      pad_qweight_even)
-    sub = {k: jnp.stack([v[k] for v in vals]) for k in names}
     k_dim = sub["qweight"].shape[1] * 2
     group = k_dim // sub["scales"].shape[1]
     sub["sz_bands"] = pack_sz_bands(sub.pop("scales"), sub.pop("zeros"),
@@ -197,31 +201,34 @@ def fused_moe_grouped_quant(
     """Quantized grouped MoE (the fork's group_gptq_gemm/awq_group_gemm
     role): three grouped fused dequant+matmuls over expert-sorted tiles
     instead of E separate kernel dispatch chains per layer."""
-    from vllm_splitwise_tpu.ops.quant_matmul import quant_matmul_int4_grouped
+    from vllm_splitwise_tpu.ops.quant_matmul import (
+        quant_matmul_int4_grouped, quant_matmul_int8_grouped)
 
     t, h = x.shape
     k = topk_ids.shape[1]
     num_experts = w1["qweight"].shape[0]
-    group1 = int(w1["sz_group"].shape[-2])
-    group2 = int(w2["sz_group"].shape[-2])
     src, expert_per_tile, dest, _ = moe_align(topk_ids, num_experts)
 
     x_sorted = jnp.where(src[:, None] >= 0,
                          jnp.take(x, jnp.maximum(src, 0) // k, axis=0,
                                   mode="clip"), 0).astype(x.dtype)
 
-    h1 = quant_matmul_int4_grouped(x_sorted, w1["qweight"], w1["sz_bands"],
-                                   expert_per_tile, group_size=group1,
-                                   interpret=interpret)
+    def gmm(rows, wd):
+        if "sz_bands" in wd:
+            return quant_matmul_int4_grouped(
+                rows, wd["qweight"], wd["sz_bands"], expert_per_tile,
+                group_size=int(wd["sz_group"].shape[-2]),
+                interpret=interpret)
+        return quant_matmul_int8_grouped(rows, wd["qweight"],
+                                         wd["scales"], expert_per_tile,
+                                         interpret=interpret)
+
+    h1 = gmm(x_sorted, w1)
     if w3 is not None:
-        inner = act_fn(h1) * quant_matmul_int4_grouped(
-            x_sorted, w3["qweight"], w3["sz_bands"], expert_per_tile,
-            group_size=group1, interpret=interpret)
+        inner = act_fn(h1) * gmm(x_sorted, w3)
     else:
         inner = act_fn(h1)
-    out_sorted = quant_matmul_int4_grouped(
-        inner.astype(x.dtype), w2["qweight"], w2["sz_bands"],
-        expert_per_tile, group_size=group2, interpret=interpret)
+    out_sorted = gmm(inner.astype(x.dtype), w2)
 
     gathered = jnp.take(out_sorted, dest, axis=0,
                         mode="clip").reshape(t, k, h)

@@ -802,3 +802,59 @@ def quant_matmul_int4_grouped(
         interpret=interpret,
     )(expert_per_tile, x_sorted.astype(jnp.bfloat16), qweight, sz_bands)
     return out
+
+
+def quant_matmul_int8_grouped(
+    x_sorted: jax.Array,     # [TKP, K] expert-sorted rows (TILE-aligned)
+    qweight: jax.Array,      # [E, K, N] int8
+    scales: jax.Array,       # [E, 1, N]
+    expert_per_tile: jax.Array,  # [TKP // 128] int32
+    *,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Grouped int8 expert matmul (int8 sibling of
+    quant_matmul_int4_grouped)."""
+    m, k = x_sorted.shape
+    num_experts, _, n = qweight.shape
+    assert m % 128 == 0
+    if not (_use_pallas() or interpret):
+        outs = []
+        for t in range(m // 128):
+            e = expert_per_tile[t]
+            w = (jax.lax.dynamic_index_in_dim(qweight, e, keepdims=False)
+                 .astype(jnp.float32) *
+                 jax.lax.dynamic_index_in_dim(scales, e, keepdims=False)
+                 .astype(jnp.float32))
+            outs.append(jnp.dot(
+                x_sorted[t * 128:(t + 1) * 128].astype(jnp.float32),
+                w).astype(x_sorted.dtype))
+        return jnp.concatenate(outs, axis=0)
+
+    block_n = _pick_block(n, block_n)
+    block_k = _pick_block(k, block_k)
+    grid = (m // 128, n // block_n, k // block_k)
+    out = pl.pallas_call(
+        functools.partial(_int8_matmul_kernel_stacked,
+                          out_dtype=x_sorted.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((128, block_k), lambda i, j, kb, E: (i, kb)),
+                pl.BlockSpec((1, block_k, block_n),
+                             lambda i, j, kb, E: (E[i], kb, j)),
+                pl.BlockSpec((1, 1, block_n),
+                             lambda i, j, kb, E: (E[i], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((128, block_n),
+                                   lambda i, j, kb, E: (i, j)),
+            scratch_shapes=[pltpu.VMEM((128, block_n), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), x_sorted.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(expert_per_tile, x_sorted.astype(jnp.bfloat16), qweight, scales)
+    return out
