@@ -173,3 +173,42 @@ def test_int4_quality_vs_full_precision():
     # accuracy-oriented default.
     assert cos.min() > 0.97, cos.min()
     assert cos.mean() > 0.985, cos.mean()
+
+
+def test_int4_cache_engine_swap_roundtrip():
+    """Host swap (preemption) must round-trip QuantPages leaf-wise."""
+    from vllm_splitwise_tpu.config import CacheConfig, ModelConfig, ParallelConfig
+    from vllm_splitwise_tpu.worker.cache_engine import CacheEngine
+    from transformers import LlamaConfig
+
+    hf = LlamaConfig(vocab_size=128, hidden_size=256, intermediate_size=256,
+                     num_hidden_layers=2, num_attention_heads=2,
+                     num_key_value_heads=2, max_position_embeddings=128)
+    mc = ModelConfig("x", "x", "auto", False, None, "auto", "float32", 0,
+                     None, None, None, 128, None, False, None, 5,
+                     hf_config=hf)
+    cc = CacheConfig(block_size=16, hbm_utilization=0.9, swap_space=0.01,
+                     cache_dtype="int4")
+    cc.num_device_blocks = 8
+    cc.num_host_blocks = 8
+    pc = ParallelConfig(1, 1, False, False)
+    eng = CacheEngine(cc, mc, pc, stacked=True)
+
+    rng = np.random.RandomState(0)
+    k_all, v_all = eng.device_cache
+    filled = QuantPages(
+        jnp.asarray(rng.randint(-128, 128, k_all.data.shape), jnp.int8),
+        jnp.asarray(rng.rand(*k_all.scale.shape), jnp.bfloat16))
+    eng.device_cache = (filled, v_all)
+
+    eng.swap_out({2: 5})
+    zeroed = QuantPages(jnp.zeros_like(filled.data),
+                        jnp.zeros_like(filled.scale))
+    eng.device_cache = (zeroed, v_all)
+    eng.swap_in({5: 3})
+    k_new, _ = eng.device_cache
+    np.testing.assert_array_equal(np.asarray(k_new.data[:, 3]),
+                                  np.asarray(filled.data[:, 2]))
+    np.testing.assert_array_equal(
+        np.asarray(k_new.scale[:, 3]).view(np.uint16),
+        np.asarray(filled.scale[:, 2]).view(np.uint16))
