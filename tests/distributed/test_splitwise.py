@@ -144,3 +144,41 @@ def test_splitwise_multi_step_decode(tiny_checkpoint):
                                  do_sample=False)
         assert out.outputs[0].token_ids == hf_out[0, len(ids):].tolist()
     assert llm.llm_engine.executor.kv_migration.num_migrations >= 1
+
+
+def test_splitwise_int4_kv_migration(tiny_checkpoint):
+    """Disaggregated serving over int4 QuantPages caches: the KV
+    migration must move data AND scale leaves (tree-mapped paths), and
+    decode on the token pool must continue the prefill correctly."""
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    d, hf, config = tiny_checkpoint
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=64, block_size=16,
+              max_num_seqs=8, max_paddings=512, swap_space=0.1,
+              sep_prompt_token=True, kv_cache_dtype="int4")
+
+    from vllm_splitwise_tpu.ops.kv_cache import QuantPages
+    dec = llm.llm_engine.executor.decode_worker.kv_caches
+    assert isinstance(dec[0], QuantPages)
+
+    import torch
+    rng = np.random.RandomState(2)
+    prompts = [rng.randint(3, config.vocab_size, size=n).tolist()
+               for n in (14, 9)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp,
+                        use_tqdm=False)
+    km = llm.llm_engine.executor.kv_migration
+    assert km.num_migrations > 0 and km.num_pages_moved > 0
+    for ids, out in zip(prompts, outs):
+        got = out.outputs[0].token_ids
+        with torch.no_grad():
+            ref = hf.generate(torch.tensor([ids]), max_new_tokens=6,
+                              do_sample=False)[0, len(ids):].tolist()
+        # First token comes from full-precision prefill attention and
+        # must be exact; later tokens read the int4 cache on the decode
+        # pool (finite, in-vocab — exactness not guaranteed on a random
+        # tiny model).
+        assert got[0] == ref[0]
+        assert len(got) == 6
+        assert all(0 <= t < config.vocab_size for t in got)
