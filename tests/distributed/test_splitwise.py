@@ -182,3 +182,34 @@ def test_splitwise_int4_kv_migration(tiny_checkpoint):
         assert got[0] == ref[0]
         assert len(got) == 6
         assert all(0 <= t < config.vocab_size for t in got)
+
+
+def test_splitwise_with_speculative_decoding(tiny_checkpoint):
+    """Spec decode on the disaggregated decode pool: draft KV pages
+    migrate alongside the target's, and greedy output matches the plain
+    (non-disaggregated, non-speculative) engine exactly."""
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    d, hf, config = tiny_checkpoint
+    rng = np.random.RandomState(6)
+    prompts = [rng.randint(3, config.vocab_size, size=n).tolist()
+               for n in (12, 17)]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+
+    base = LLM(model=d, dtype="float32", max_model_len=256,
+               num_gpu_blocks_override=64, block_size=16, max_num_seqs=8,
+               max_paddings=512, swap_space=0.1)
+    ref = [o.outputs[0].token_ids for o in base.generate(
+        prompt_token_ids=prompts, sampling_params=sp, use_tqdm=False)]
+    del base
+
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=64, block_size=16, max_num_seqs=8,
+              max_paddings=512, swap_space=0.1, sep_prompt_token=True,
+              speculative_model=d, num_speculative_tokens=3)
+    got = [o.outputs[0].token_ids for o in llm.generate(
+        prompt_token_ids=prompts, sampling_params=sp, use_tqdm=False)]
+    assert got == ref
+
+    stats = llm.llm_engine.executor.decode_worker.model_runner.spec_stats
+    assert stats.num_steps > 0
+    assert stats.acceptance_rate > 0.8, stats.acceptance_rate

@@ -180,6 +180,6 @@ def test_spec_config_validation(ckpt):
     with pytest.raises(ValueError, match="mutually exclusive"):
         EngineArgs(model=d, speculative_model=d,
                    num_decode_steps=8).create_engine_configs()
-    with pytest.raises(ValueError, match="sep-prompt-token"):
+    with pytest.raises(ValueError, match="LoRA"):
         EngineArgs(model=d, speculative_model=d,
-                   sep_prompt_token=True).create_engine_configs()
+                   enable_lora=True).create_engine_configs()

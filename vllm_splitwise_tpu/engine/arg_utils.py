@@ -222,9 +222,6 @@ class EngineArgs:
                 raise ValueError(
                     "--num-decode-steps and --speculative-model are "
                     "mutually exclusive (a spec step IS a fused window).")
-            if self.sep_prompt_token:
-                raise ValueError("Speculative decoding is not supported "
-                                 "with --sep-prompt-token yet.")
             if self.enable_lora:
                 raise ValueError("Speculative decoding is not supported "
                                  "with LoRA yet.")

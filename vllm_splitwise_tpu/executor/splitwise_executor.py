@@ -42,9 +42,6 @@ class SplitwiseExecutor(ExecutorBase):
         lora_config: Optional[LoRAConfig] = None,
         speculative_config=None,
     ) -> None:
-        assert speculative_config is None, (
-            "Speculative decoding is not supported with --sep-prompt-token "
-            "(phase disaggregation) yet.")
         assert parallel_config.sep_prompt_token
         self.model_config = model_config
         self.cache_config = cache_config
@@ -64,14 +61,20 @@ class SplitwiseExecutor(ExecutorBase):
                     list(prefill_mesh.devices.flat),
                     list(decode_mesh.devices.flat), tp)
 
+        # Speculative decoding composes with disaggregation: the prefill
+        # pool also runs the draft prefill and the migration manager
+        # ships draft KV pages alongside the target's; spec windows then
+        # run on the decode pool, where TPOT is the bottleneck.
         self.prefill_worker = Worker(model_config, parallel_config,
                                      scheduler_config, cache_config,
                                      mesh=prefill_mesh,
-                                     worker_type=WorkerType.PREFILL)
+                                     worker_type=WorkerType.PREFILL,
+                                     speculative_config=speculative_config)
         self.decode_worker = Worker(model_config, parallel_config,
                                     scheduler_config, cache_config,
                                     mesh=decode_mesh,
-                                    worker_type=WorkerType.DECODE)
+                                    worker_type=WorkerType.DECODE,
+                                    speculative_config=speculative_config)
 
         self.prefill_worker.load_model()
         self.decode_worker.load_model()

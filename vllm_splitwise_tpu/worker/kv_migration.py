@@ -73,8 +73,34 @@ class KVMigrationManager:
             self._migrated_slots.add(slot)
         idx = jnp.asarray(all_pages, dtype=jnp.int32)
 
-        src_cache = self.prefill_worker.kv_caches
-        dst_cache = self.decode_worker.kv_caches
+        self.decode_worker.kv_caches = self._migrate_cache(
+            self.prefill_worker.kv_caches, self.decode_worker.kv_caches,
+            idx)
+        if self.decode_worker.cache_engine is not None:
+            self.decode_worker.cache_engine.device_cache = \
+                self.decode_worker.kv_caches
+
+        # Speculative decoding on the decode pool: the draft model's
+        # prompt KV (written by the prefill pool's draft prefill) rides
+        # the same page indices and must follow — without it the decode
+        # pool's draft proposes against holes forever.
+        src_draft = self.prefill_worker.model_runner.draft_caches
+        dst_draft = self.decode_worker.model_runner.draft_caches
+        if src_draft is not None and dst_draft is not None:
+            new_draft = self._migrate_cache(src_draft, dst_draft, idx)
+            self.decode_worker.model_runner.draft_caches = new_draft
+            if self.decode_worker.draft_cache_engine is not None:
+                self.decode_worker.draft_cache_engine.device_cache = \
+                    new_draft
+
+        self.num_migrations += 1
+        self.num_pages_moved += len(all_pages)
+        self.last_migration_seconds = time.perf_counter() - start
+
+    def _migrate_cache(self, src_cache, dst_cache, idx):
+        """Gather `idx` pages from one cache, ship them to the decode
+        pool's placement, scatter into the destination; returns the new
+        destination pytree (stacked tuple or per-layer list)."""
         dst_sharding = self._dst_sharding()
 
         if isinstance(src_cache, tuple):  # stacked [L, P, kvh, ps, hd]
@@ -98,17 +124,10 @@ class KVMigrationManager:
                 gathered = jax.tree.map(
                     lambda a: jax.device_put(a, self.decode_worker.device),
                     gathered)
-            new_stacked = jax.tree.map(
+            return jax.tree.map(
                 lambda dst, src: dst.at[:, idx].set(src.astype(dst.dtype),
                                                     mode="drop"),
                 dst_cache, gathered)
-            self.decode_worker.kv_caches = new_stacked
-            if self.decode_worker.cache_engine is not None:
-                self.decode_worker.cache_engine.device_cache = new_stacked
-            self.num_migrations += 1
-            self.num_pages_moved += len(all_pages)
-            self.last_migration_seconds = time.perf_counter() - start
-            return
 
         new_dst: List = []
         for (k_src, v_src), (k_dst, v_dst) in zip(src_cache, dst_cache):
@@ -137,14 +156,7 @@ class KVMigrationManager:
                     v_pages)
             new_dst.append((scatter_pages(k_dst, idx, k_pages),
                             scatter_pages(v_dst, idx, v_pages)))
-
-        self.decode_worker.kv_caches = new_dst
-        if self.decode_worker.cache_engine is not None:
-            self.decode_worker.cache_engine.device_cache = new_dst
-
-        self.num_migrations += 1
-        self.num_pages_moved += len(all_pages)
-        self.last_migration_seconds = time.perf_counter() - start
+        return new_dst
 
     def ensure_migrated(self, slots: Iterable[int]) -> None:
         """Decode-side check before attending over migrated pages.  With
