@@ -204,47 +204,98 @@ def write_to_kv_cache_stacked(
     offs = jnp.where(slots < 0, 0, slots % page_size)
     layer_b = jnp.broadcast_to(layer, slots.shape)
 
-    def rmw(all_pages, rows):
-        old = all_pages.at[layer_b, pages].get(mode="fill", fill_value=0)
-        #                                  [T, kvh, ps, hd]
-        off_iota = jax.lax.broadcasted_iota(jnp.int32, old.shape, 2)
-        tile = jnp.where(off_iota == offs[:, None, None, None],
-                         rows[:, :, None, :], old)
-        return all_pages.at[layer_b, pages].set(tile, mode="drop")
-
-    def rmw_scale(all_scales, rows):
-        # rows: [T, kvh]; scale pages: [L, P, kvh, ps]; old: [T, kvh, ps]
-        old = all_scales.at[layer_b, pages].get(mode="fill", fill_value=0)
-        off_iota = jax.lax.broadcasted_iota(jnp.int32, old.shape, 2)
-        tile = jnp.where(off_iota == offs[:, None, None],
-                         rows[:, :, None].astype(old.dtype), old)
-        return all_scales.at[layer_b, pages].set(tile, mode="drop")
-
-    def rmw_int4(all_pages, rows):
-        # rows: [T, kvh, hd] int4-in-int8; data pages [L, P, kvh, ps/2, hd]
-        # token at offset `off` owns nibble (off % 2) of byte row
-        # (off // 2): merge into the gathered page, keep neighbors.
-        old = all_pages.at[layer_b, pages].get(mode="fill", fill_value=0)
-        byte_row = (offs // 2)[:, None, None, None]
-        par3 = (offs % 2)[:, None, None]           # vs rows [T, kvh, hd]
-        par4 = (offs % 2)[:, None, None, None]     # vs old  [T, kvh, r, hd]
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, old.shape, 2)
-        nib = jnp.where(
-            par3 == 0,
-            jnp.bitwise_and(rows + jnp.int8(8), jnp.int8(0xF)),
-            jnp.left_shift(rows, jnp.int8(4)))[:, :, None, :]
-        keep = jnp.where(par4 == 0, jnp.int8(0xF0 - 256),
-                         jnp.int8(0x0F)).astype(jnp.int8)
-        merged = jnp.bitwise_or(jnp.bitwise_and(old, keep), nib)
-        tile = jnp.where(row_iota == byte_row, merged, old)
-        return all_pages.at[layer_b, pages].set(tile, mode="drop")
-
     if int4:
-        return (QuantPages(rmw_int4(k_all.data, k),
-                           rmw_scale(k_all.scale, k_sc)),
-                QuantPages(rmw_int4(v_all.data, v),
-                           rmw_scale(v_all.scale, v_sc)))
-    return rmw(k_all, k), rmw(v_all, v)
+        return (QuantPages(_rmw_token_int4(k_all.data, k, layer_b, pages,
+                                           offs),
+                           _rmw_token_scale(k_all.scale, k_sc, layer_b,
+                                            pages, offs)),
+                QuantPages(_rmw_token_int4(v_all.data, v, layer_b, pages,
+                                           offs),
+                           _rmw_token_scale(v_all.scale, v_sc, layer_b,
+                                            pages, offs)))
+    return (_rmw_token(k_all, k, layer_b, pages, offs),
+            _rmw_token(v_all, v, layer_b, pages, offs))
+
+
+def _rmw_token(all_pages, rows, layer_b, pages, offs):
+    """Page-granularity RMW of one token row per touched page."""
+    old = all_pages.at[layer_b, pages].get(mode="fill", fill_value=0)
+    #                                  [T, kvh, ps, hd]
+    off_iota = jax.lax.broadcasted_iota(jnp.int32, old.shape, 2)
+    tile = jnp.where(off_iota == offs[:, None, None, None],
+                     rows[:, :, None, :], old)
+    return all_pages.at[layer_b, pages].set(tile, mode="drop")
+
+
+def _rmw_token_scale(all_scales, rows, layer_b, pages, offs):
+    # rows: [T, kvh]; scale pages: [L, P, kvh, ps]; old: [T, kvh, ps]
+    old = all_scales.at[layer_b, pages].get(mode="fill", fill_value=0)
+    off_iota = jax.lax.broadcasted_iota(jnp.int32, old.shape, 2)
+    tile = jnp.where(off_iota == offs[:, None, None],
+                     rows[:, :, None].astype(old.dtype), old)
+    return all_scales.at[layer_b, pages].set(tile, mode="drop")
+
+
+def _rmw_token_int4(all_pages, rows, layer_b, pages, offs):
+    # rows: [T, kvh, hd] int4-in-int8; data pages [L, P, kvh, ps/2, hd]
+    # token at offset `off` owns nibble (off % 2) of byte row
+    # (off // 2): merge into the gathered page, keep neighbors.
+    old = all_pages.at[layer_b, pages].get(mode="fill", fill_value=0)
+    byte_row = (offs // 2)[:, None, None, None]
+    par3 = (offs % 2)[:, None, None]           # vs rows [T, kvh, hd]
+    par4 = (offs % 2)[:, None, None, None]     # vs old  [T, kvh, r, hd]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, old.shape, 2)
+    nib = jnp.where(
+        par3 == 0,
+        jnp.bitwise_and(rows + jnp.int8(8), jnp.int8(0xF)),
+        jnp.left_shift(rows, jnp.int8(4)))[:, :, None, :]
+    keep = jnp.where(par4 == 0, jnp.int8(0xF0 - 256),
+                     jnp.int8(0x0F)).astype(jnp.int8)
+    merged = jnp.bitwise_or(jnp.bitwise_and(old, keep), nib)
+    tile = jnp.where(row_iota == byte_row, merged, old)
+    return all_pages.at[layer_b, pages].set(tile, mode="drop")
+
+
+def write_to_kv_cache_stacked_fused(
+    k: jax.Array,             # [num_tokens, num_kv_heads, head_dim]
+    v: jax.Array,
+    kv_all,                   # [L, 2P, kvh, ps, hd] (or int4 QuantPages)
+    slot_mapping: jax.Array,  # [num_tokens] int32 LOGICAL slots, -1 pad
+    layer: jax.Array,         # scalar int32
+    kv_scale: float = 1.0,
+):
+    """Decode-size write into an INTERLEAVED fused cache: logical block b
+    keeps K at physical page 2b and V at 2b+1 (one attention DMA per
+    logical page — see ops/paged_attention.py).  Returns the updated
+    fused array (donate under jit)."""
+    int4 = isinstance(kv_all, QuantPages)
+    if int4:
+        num_phys, _, half_ps, _ = kv_all.data.shape[1:]
+        page_size = half_ps * 2
+        k, k_sc = quantize_int4_values(k)
+        v, v_sc = quantize_int4_values(v)
+    else:
+        _, num_phys, _, page_size, _ = kv_all.shape
+        k = quantize_for_cache(k, kv_all.dtype, kv_scale)
+        v = quantize_for_cache(v, kv_all.dtype, kv_scale)
+    layer = jnp.asarray(layer, jnp.int32)
+
+    slots = slot_mapping
+    pages = slots // page_size
+    k_pages = jnp.where(slots < 0, num_phys, 2 * pages)
+    v_pages = jnp.where(slots < 0, num_phys, 2 * pages + 1)
+    offs = jnp.where(slots < 0, 0, slots % page_size)
+    layer_b = jnp.broadcast_to(layer, slots.shape)
+
+    # K pages and V pages are disjoint, so the two RMWs chain safely.
+    if int4:
+        data = _rmw_token_int4(kv_all.data, k, layer_b, k_pages, offs)
+        data = _rmw_token_int4(data, v, layer_b, v_pages, offs)
+        sc = _rmw_token_scale(kv_all.scale, k_sc, layer_b, k_pages, offs)
+        sc = _rmw_token_scale(sc, v_sc, layer_b, v_pages, offs)
+        return QuantPages(data, sc)
+    kv_all = _rmw_token(kv_all, k, layer_b, k_pages, offs)
+    return _rmw_token(kv_all, v, layer_b, v_pages, offs)
 
 
 def write_prefill_rows(

@@ -43,9 +43,8 @@ def _paged_attention_kernel(
     layer_ref,         # [1] int32
     # inputs
     q_ref,             # [1, kvh, group_padded, head_dim] VMEM block
-    k_pages_hbm,       # [(L,) P, KVH, PS, HD] (ANY)
-    v_pages_hbm,
-    *rest,             # [slopes_ref if has_alibi], out_ref, scratch...
+    *rest,             # k_pages_hbm, v_pages_hbm (or one fused kv_pages),
+                       # [scales...], [slopes], out_ref, scratch...
     pages_per_seq: int,
     pages_per_chunk: int,
     page_size: int,
@@ -57,8 +56,20 @@ def _paged_attention_kernel(
     stacked: bool = False,
     int8_kv: bool = False,
     int4_kv: bool = False,
+    fused_kv: bool = False,
     q_len: int = 1,
 ):
+    if fused_kv:
+        # Interleaved fused layout: ONE page array [(L,) 2P, KVH, PS, HD]
+        # where logical block b stores its K half at page 2b and its V
+        # half at page 2b+1 — one DMA per logical page moves both halves
+        # (the split layout issues two).
+        kv_pages_hbm = rest[0]
+        k_pages_hbm = v_pages_hbm = None
+        rest = rest[1:]
+    else:
+        k_pages_hbm, v_pages_hbm = rest[0], rest[1]
+        rest = rest[2:]
     if int4_kv:
         # W8A4 path: token-pair nibble-packed pages ([kvh, ps/2, hd]
         # int8, token 2r in the low nibble).  Per-token scales arrive as
@@ -82,13 +93,23 @@ def _paged_attention_kernel(
         rest = rest[1:]
     else:
         slopes_ref = None
-    (out_ref,          # [1, kvh, group_padded, head_dim]
-     k_vmem,           # [2, kvh, chunk_tokens(//2 if int4), head_dim]
-     v_vmem,
-     sems,             # DMA sems [2, 2]
-     m_ref,            # [kvh, group_padded, 128] f32
-     l_ref,
-     acc_ref) = rest   # [kvh, group_padded, head_dim] f32
+    if fused_kv:
+        (out_ref,      # [1, kvh, group_padded, head_dim]
+         kv_vmem,      # [2, 2, kvh, chunk_tokens(//2 if int4), head_dim]
+         sems,         # DMA sems [2]
+         m_ref,        # [kvh, group_padded, 128] f32
+         l_ref,
+         acc_ref) = rest
+        k_vmem = v_vmem = None
+    else:
+        (out_ref,      # [1, kvh, group_padded, head_dim]
+         k_vmem,       # [2, kvh, chunk_tokens(//2 if int4), head_dim]
+         v_vmem,
+         sems,         # DMA sems [2, 2]
+         m_ref,        # [kvh, group_padded, 128] f32
+         l_ref,
+         acc_ref) = rest  # [kvh, group_padded, head_dim] f32
+        kv_vmem = None
     layer = layer_ref[0]
 
     b = pl.program_id(0)
@@ -111,6 +132,15 @@ def _paged_attention_kernel(
             page_idx = block_tables_ref[b * pages_per_seq +
                                         chunk * pages_per_chunk + p]
             dst = pl.ds(p * rows_per_page, rows_per_page)
+            if fused_kv:
+                # K half (page 2b) and V half (page 2b+1) in one copy.
+                two = pl.ds(2 * page_idx, 2)
+                src = (kv_pages_hbm.at[layer, two] if stacked
+                       else kv_pages_hbm.at[two])
+                dmas.append(
+                    pltpu.make_async_copy(src, kv_vmem.at[slot, :, :, dst],
+                                          sems.at[slot]))
+                continue
             if stacked:
                 k_src = k_pages_hbm.at[layer, page_idx]
                 v_src = v_pages_hbm.at[layer, page_idx]
@@ -157,7 +187,8 @@ def _paged_attention_kernel(
         # Feed the MXU bf16 operands with f32 ACCUMULATION — explicit
         # f32 casts of the 2 MB K/V chunks are pure VPU overhead.
         q = q_ref[0]                          # [kvh, gp, hd] bf16/int8
-        k = k_vmem[slot]                      # [kvh, tok(//2), hd]
+        k = kv_vmem[slot, 0] if fused_kv else k_vmem[slot]
+        #                                     # [kvh, tok(//2), hd]
         if int4_kv:
             # W8A4 without unpacking: the biased-low packing makes the
             # signed byte EXACTLY 16*x_odd + (x_even + 8), so two int8
@@ -228,7 +259,8 @@ def _paged_attention_kernel(
         p = jnp.exp(s - m_new)               # [kvh, gp, tok]
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-        v = v_vmem[slot]                      # [kvh, tok(//2), hd]
+        v = kv_vmem[slot, 1] if fused_kv else v_vmem[slot]
+        #                                     # [kvh, tok(//2), hd]
         if int4_kv:
             # Fold per-token V scales into the probs (both already in
             # [evens | odds] lane order), re-quantize the small probs
@@ -298,7 +330,7 @@ def _round_up(x: int, m: int) -> int:
 def paged_attention(
     q: jax.Array,             # [B, num_q_heads, head_dim]
     k_pages: jax.Array,       # [(L,) num_pages, kvh, page_size, head_dim]
-    v_pages: jax.Array,
+    v_pages: Optional[jax.Array],  # None => k_pages is a FUSED cache
     block_tables: jax.Array,  # [B, pages_per_seq] int32
     context_lens: jax.Array,  # [B] int32
     *,
@@ -322,8 +354,14 @@ def paged_attention(
     attends tokens 0 .. ctx - q_len + qi, causal within the window) and
     the window tokens' K/V must already be written to the cache.
     Returns [B, q_len, H, head_dim].
+
+    FUSED layout: ``v_pages=None`` means ``k_pages`` is an INTERLEAVED
+    fused cache [(L,) 2*num_pages, kvh, ps, hd] where logical block b
+    holds K at page 2b and V at page 2b+1; the kernel then issues one
+    DMA per logical page instead of two (see worker/cache_engine.py).
     """
     from vllm_splitwise_tpu.ops.kv_cache import QuantPages
+    fused_kv = v_pages is None
     int4_kv = isinstance(k_pages, QuantPages)
     multiquery = q.ndim == 4
     if multiquery:
@@ -333,12 +371,14 @@ def paged_attention(
         q_len = 1
     stacked = k_pages.ndim == 5
     k_data = k_pages.data if int4_kv else k_pages
-    v_data = v_pages.data if int4_kv else v_pages
+    v_data = None if fused_kv else (v_pages.data if int4_kv else v_pages)
     if stacked:
         assert layer_index is not None
         _, num_pages, num_kv_heads, page_size, head_dim_k = k_data.shape
     else:
         num_pages, num_kv_heads, page_size, head_dim_k = k_data.shape
+    if fused_kv:
+        num_pages //= 2   # physical pages interleave K/V halves
     if int4_kv:
         page_size *= 2    # data rows pack token pairs
     assert head_dim == head_dim_k
@@ -402,6 +442,7 @@ def paged_attention(
         stacked=stacked,
         int8_kv=int8_kv,
         int4_kv=int4_kv,
+        fused_kv=fused_kv,
         q_len=q_len,
     )
 
@@ -411,12 +452,13 @@ def paged_attention(
             lambda b, i, *_: (b, 0, 0, 0),
         ),
         pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
     ]
+    if not fused_kv:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
     layer_arr = (jnp.asarray([layer_index], dtype=jnp.int32).reshape(1)
                  if stacked else jnp.zeros((1, ), dtype=jnp.int32))
     inputs = [block_tables.reshape(-1), context_lens, layer_arr, q_view,
-              k_data, v_data]
+              k_data] + ([] if fused_kv else [v_data])
     if int4_kv:
         # Gather the per-token scales for every scheduled page into dense
         # [B, kvh, tokens] arrays (one fused XLA gather — ~1.5% of the
@@ -428,15 +470,16 @@ def paged_attention(
         # ms/step at b32 and >10 min compiles); a [rows, P] one-hot
         # matmul fetches the same scale rows at MXU speed.
         idx = block_tables.reshape(-1)                   # [B * pps]
-        onehot = (idx[:, None] == jnp.arange(num_pages, dtype=jnp.int32)
-                  [None, :]).astype(jnp.bfloat16)
+        num_phys = num_pages * 2 if fused_kv else num_pages
 
-        def gather_scales(scale_pages):
+        def gather_scales(scale_pages, phys_idx):
+            onehot = (phys_idx[:, None] == jnp.arange(
+                num_phys, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
             sl = scale_pages
             if stacked:
                 sl = jax.lax.dynamic_index_in_dim(
                     sl, jnp.asarray(layer_index, jnp.int32), keepdims=False)
-            flat = sl.reshape(num_pages, num_kv_heads * page_size)
+            flat = sl.reshape(num_phys, num_kv_heads * page_size)
             g = jax.lax.dot(onehot, flat.astype(jnp.bfloat16),
                             precision=jax.lax.Precision.DEFAULT)
             g = g.reshape(batch, pages_per_seq, num_kv_heads, page_size)
@@ -453,8 +496,12 @@ def paged_attention(
             pl.BlockSpec((1, num_kv_heads, chunk_tokens),
                          lambda b, i, *_: (b, 0, i)),
         ]
-        inputs += [gather_scales(k_pages.scale),
-                   gather_scales(v_pages.scale)]
+        if fused_kv:
+            inputs += [gather_scales(k_pages.scale, 2 * idx),
+                       gather_scales(k_pages.scale, 2 * idx + 1)]
+        else:
+            inputs += [gather_scales(k_pages.scale, idx),
+                       gather_scales(v_pages.scale, idx)]
     if int8_kv or int4_kv:
         in_specs.append(
             pl.BlockSpec((1, num_kv_heads, group_padded, 128),
@@ -482,7 +529,12 @@ def paged_attention(
                 (1, num_kv_heads, group_padded, head_dim),
                 lambda b, i, *_: (b, 0, 0, 0),
             ),
-            scratch_shapes=[
+            scratch_shapes=([
+                pltpu.VMEM((2, 2, num_kv_heads,
+                            chunk_tokens // 2 if int4_kv else chunk_tokens,
+                            head_dim), k_data.dtype),
+                pltpu.SemaphoreType.DMA((2, )),
+            ] if fused_kv else [
                 pltpu.VMEM((2, num_kv_heads,
                             chunk_tokens // 2 if int4_kv else chunk_tokens,
                             head_dim), k_data.dtype),
@@ -490,6 +542,7 @@ def paged_attention(
                             chunk_tokens // 2 if int4_kv else chunk_tokens,
                             head_dim), v_data.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
+            ]) + [
                 pltpu.VMEM((num_kv_heads, group_padded, 128), jnp.float32),
                 pltpu.VMEM((num_kv_heads, group_padded, 128), jnp.float32),
                 pltpu.VMEM((num_kv_heads, group_padded, head_dim),
@@ -527,8 +580,29 @@ def paged_attention_reference(
 
     Gathers every sequence's pages into a dense [B, T, ...] view — memory
     hungry but simple; used for correctness tests and non-TPU backends.
+    ``v_pages=None`` deinterleaves a fused cache (see paged_attention).
     """
     from vllm_splitwise_tpu.ops.kv_cache import QuantPages, dequantize_int4
+    if v_pages is None:
+        def split(a):  # [(L,) 2P, ...] -> ([(L,) P, ...] K, V)
+            pax = a.ndim - 4
+            s = a.reshape(a.shape[:pax] + (a.shape[pax] // 2, 2) +
+                          a.shape[pax + 1:])
+            return (jnp.take(s, 0, axis=pax + 1),
+                    jnp.take(s, 1, axis=pax + 1))
+        if isinstance(k_pages, QuantPages):
+            kd, vd = split(k_pages.data)
+            pax = k_pages.scale.ndim - 3
+            ss = k_pages.scale.reshape(
+                k_pages.scale.shape[:pax] +
+                (k_pages.scale.shape[pax] // 2, 2) +
+                k_pages.scale.shape[pax + 1:])
+            ks, vs = (jnp.take(ss, 0, axis=pax + 1),
+                      jnp.take(ss, 1, axis=pax + 1))
+            k_pages = QuantPages(kd, ks)
+            v_pages = QuantPages(vd, vs)
+        else:
+            k_pages, v_pages = split(k_pages)
     if isinstance(k_pages, QuantPages):
         if k_pages.ndim == 5:
             k_pages = jax.tree.map(
