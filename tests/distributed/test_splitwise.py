@@ -213,3 +213,33 @@ def test_splitwise_with_speculative_decoding(tiny_checkpoint):
     stats = llm.llm_engine.executor.decode_worker.model_runner.spec_stats
     assert stats.num_steps > 0
     assert stats.acceptance_rate > 0.8, stats.acceptance_rate
+
+
+def test_splitwise_fused_kv_migration(tiny_checkpoint):
+    """Disaggregated serving over the fused interleaved layout: the KV
+    migration expands logical page ids to [2i, 2i+1] physical pairs, and
+    greedy output must exactly match HF (full-precision cache)."""
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    d, hf, config = tiny_checkpoint
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=64, block_size=16,
+              max_num_seqs=8, max_paddings=512, swap_space=0.1,
+              sep_prompt_token=True, kv_layout="fused")
+
+    dec = llm.llm_engine.executor.decode_worker.kv_caches
+    assert dec[1] is None and dec[0].shape[1] == 2 * 64
+
+    import torch
+    rng = np.random.RandomState(4)
+    prompts = [rng.randint(3, config.vocab_size, size=n).tolist()
+               for n in (14, 9)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp,
+                        use_tqdm=False)
+    km = llm.llm_engine.executor.kv_migration
+    assert km.num_migrations > 0 and km.num_pages_moved > 0
+    for ids, out in zip(prompts, outs):
+        with torch.no_grad():
+            ref = hf.generate(torch.tensor([ids]), max_new_tokens=6,
+                              do_sample=False)[0, len(ids):].tolist()
+        assert out.outputs[0].token_ids == ref

@@ -193,3 +193,38 @@ def test_prefix_multiquery_kernel_matches_dense():
         np.testing.assert_allclose(np.asarray(out[b, :n]),
                                    np.asarray(ref[b, :n]), atol=2e-2,
                                    rtol=2e-2)
+
+
+def test_prefix_cached_generation_fused_kv(tmp_path_factory):
+    """Prefix-cached prefill over the fused interleaved layout: suffix
+    queries gather the cached prefix from physical pages (2b, 2b+1) and
+    output must exactly match HF."""
+    import torch
+
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    from ..models.utils import (hf_model_and_weights, save_local_checkpoint,
+                                save_tiny_tokenizer, tiny_llama_config)
+    d = str(tmp_path_factory.mktemp("tiny_prefix_fused"))
+    config = tiny_llama_config()
+    hf, weights = hf_model_and_weights(config)
+    save_local_checkpoint(config, weights, d)
+    save_tiny_tokenizer(d, config.vocab_size)
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=64, max_num_seqs=8,
+              max_paddings=512, swap_space=0.1,
+              enable_prefix_caching=True, kv_layout="fused")
+
+    rng = np.random.RandomState(21)
+    prefix = rng.randint(3, config.vocab_size, size=32).tolist()
+    p1 = prefix + rng.randint(3, config.vocab_size, size=5).tolist()
+    p2 = prefix + rng.randint(3, config.vocab_size, size=7).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    outs = llm.generate(prompt_token_ids=[p1], sampling_params=sp,
+                        use_tqdm=False)
+    outs2 = llm.generate(prompt_token_ids=[p2], sampling_params=sp,
+                         use_tqdm=False)
+    for ids, out in ((p1, outs[0]), (p2, outs2[0])):
+        with torch.no_grad():
+            ref = hf.generate(torch.tensor([ids]), max_new_tokens=8,
+                              do_sample=False)
+        assert out.outputs[0].token_ids == ref[0, len(ids):].tolist()

@@ -183,3 +183,23 @@ def test_spec_config_validation(ckpt):
     with pytest.raises(ValueError, match="LoRA"):
         EngineArgs(model=d, speculative_model=d,
                    enable_lora=True).create_engine_configs()
+
+
+def test_spec_greedy_equals_plain_fused_kv(ckpt):
+    """Speculative decoding composes with the fused interleaved KV
+    layout (target AND draft caches both fused)."""
+    from vllm_splitwise_tpu import LLM
+    d, config = ckpt
+    rng = np.random.RandomState(17)
+    prompts = [rng.randint(3, config.vocab_size, size=n).tolist()
+               for n in (16, 9, 24)]
+    kwargs = dict(model=d, dtype="float32", max_model_len=256,
+                  num_gpu_blocks_override=64, max_num_seqs=4,
+                  max_paddings=512, swap_space=0.05)
+    ref = _greedy(LLM(**kwargs), prompts)
+    llm = LLM(speculative_model=d, num_speculative_tokens=3,
+              kv_layout="fused", **kwargs)
+    worker = llm.llm_engine.executor.worker
+    assert worker.cache_engine.fused and worker.draft_cache_engine.fused
+    got = _greedy(llm, prompts)
+    assert got == ref

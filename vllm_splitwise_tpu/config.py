@@ -200,12 +200,20 @@ class CacheConfig:
         cache_dtype: str = "auto",
         sliding_window: Optional[int] = None,
         kv_scale: Optional[float] = None,
+        kv_layout: str = "split",
     ) -> None:
         self.block_size = block_size
         self.hbm_utilization = hbm_utilization
         self.swap_space_bytes = int(swap_space * _GiB)
         self.cache_dtype = cache_dtype
         self.sliding_window = sliding_window
+        # "split": separate K and V page arrays (two attention DMAs per
+        # logical page).  "fused": ONE interleaved array where logical
+        # block b keeps K at physical page 2b and V at 2b+1, so decode
+        # attention issues one DMA per logical page (the decode kernel is
+        # DMA-issue-bound at serving batch sizes).  Fused requires a
+        # stacked-KV-capable model (all flagship families).
+        self.kv_layout = kv_layout
         # Quantized caches store x / kv_scale; attention multiplies back
         # on read.  Default: 1/16 for int8 (step 0.0625, range +-7.9 --
         # covers typical RMSNorm'd K/V with headroom), 1.0 for fp8
@@ -237,6 +245,8 @@ class CacheConfig:
             raise ValueError(f"block_size must be >= 1, got {self.block_size}")
 
     def _verify_cache_dtype(self) -> None:
+        if self.kv_layout not in ("split", "fused"):
+            raise ValueError(f"Unknown kv layout: {self.kv_layout}")
         if self.cache_dtype not in ("auto", "fp8_e5m2", "fp8_e4m3",
                                     "int8", "int4"):
             raise ValueError(f"Unknown kv cache dtype: {self.cache_dtype}")

@@ -30,6 +30,7 @@ class EngineArgs:
     dtype: str = "auto"
     kv_cache_dtype: str = "auto"
     kv_scale: 'Optional[float]' = None
+    kv_layout: str = "split"
     max_logprobs: int = 5  # OpenAI default value
     seed: int = 0
     max_model_len: Optional[int] = None
@@ -100,6 +101,12 @@ class EngineArgs:
         parser.add_argument("--kv-scale", type=float, default=None,
                             help="dequant scale for quantized KV caches "
                             "(default: 1/16 for int8, 1.0 for fp8)")
+        parser.add_argument("--kv-layout", type=str,
+                            default=EngineArgs.kv_layout,
+                            choices=["split", "fused"],
+                            help="KV page layout: split K/V arrays or one "
+                            "interleaved fused array (one attention DMA "
+                            "per logical page)")
         parser.add_argument("--max-logprobs", type=int,
                             default=EngineArgs.max_logprobs,
                             help="max number of log probs to return per "
@@ -207,7 +214,8 @@ class EngineArgs:
             swap_space=self.swap_space,
             cache_dtype=self.kv_cache_dtype,
             sliding_window=model_config.get_sliding_window(),
-            kv_scale=self.kv_scale)
+            kv_scale=self.kv_scale,
+            kv_layout=self.kv_layout)
         cache_config.enable_prefix_caching = self.enable_prefix_caching
         if self.num_gpu_blocks_override is not None:
             cache_config.num_device_blocks = self.num_gpu_blocks_override

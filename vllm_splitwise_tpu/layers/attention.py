@@ -22,8 +22,10 @@ from vllm_splitwise_tpu.models.input_metadata import (DecodeMetadata,
                                                       PrefillMetadata)
 from vllm_splitwise_tpu.ops.kv_cache import (QuantPages, dequantize_int4,
                                              write_prefill_rows,
+                                             write_prefill_rows_fused,
                                              write_to_kv_cache,
-                                             write_to_kv_cache_stacked)
+                                             write_to_kv_cache_stacked,
+                                             write_to_kv_cache_stacked_fused)
 from vllm_splitwise_tpu.ops.paged_attention import (paged_attention,
                                                     paged_attention_reference)
 from vllm_splitwise_tpu.ops.prefill_attention import prefill_attention
@@ -120,6 +122,7 @@ class Attention:
                  md: PrefillMetadata,
                  layer_index=None) -> Tuple[jax.Array, KVCache]:
         batch, seq_len, _ = q.shape
+        fused = v_pages is None  # interleaved fused layout (K@2b, V@2b+1)
         stacked = k_pages.ndim == 5
         cache_heads = self._cache_heads(k_pages)
         q = q.reshape(batch, seq_len, self.num_heads, self.head_dim)
@@ -132,7 +135,16 @@ class Attention:
         v_flat = self._pad_heads(
             v.reshape(batch * seq_len, self.num_kv_heads, self.head_dim),
             cache_heads)
-        if stacked:
+        if fused:
+            if stacked:
+                k_pages = write_prefill_rows_fused(
+                    k_flat, v_flat, k_pages, md.slot_mapping, layer_index,
+                    kv_scale=self.kv_scale)
+            else:
+                k_pages = _squeeze0(write_prefill_rows_fused(
+                    k_flat, v_flat, _expand0(k_pages), md.slot_mapping,
+                    jnp.int32(0), kv_scale=self.kv_scale))
+        elif stacked:
             k_pages, v_pages = write_prefill_rows(
                 k_flat, v_flat, k_pages, v_pages, md.slot_mapping,
                 layer_index, kv_scale=self.kv_scale)
@@ -184,17 +196,19 @@ class Attention:
                 pages_k = jax.tree.map(
                     lambda a: jax.lax.dynamic_index_in_dim(
                         a, layer_index, keepdims=False), pages_k)
-                pages_v = jax.tree.map(
-                    lambda a: jax.lax.dynamic_index_in_dim(
-                        a, layer_index, keepdims=False), pages_v)
+                if not fused:
+                    pages_v = jax.tree.map(
+                        lambda a: jax.lax.dynamic_index_in_dim(
+                            a, layer_index, keepdims=False), pages_v)
             bsz, max_pages = md.block_tables.shape
             page_size = pages_k.shape[-2] * (
                 2 if isinstance(pages_k, QuantPages) else 1)
+            flat_bt = md.block_tables.reshape(-1)
 
-            def to_tokens(pages):
+            def to_tokens(pages, page_idx=flat_bt):
                 g = jax.tree.map(
-                    lambda a: jnp.take(a, md.block_tables.reshape(-1),
-                                       axis=0, mode="clip"), pages)
+                    lambda a: jnp.take(a, page_idx, axis=0, mode="clip"),
+                    pages)
                 if isinstance(g, QuantPages):
                     g = dequantize_int4(g).astype(q.dtype)
                 elif g.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2,
@@ -209,8 +223,13 @@ class Attention:
                     self.head_dim)
                 return g[:, :, :self.num_kv_heads]
 
-            prefix_kv = (to_tokens(pages_k), to_tokens(pages_v),
-                         md.prefix_lens)
+            if fused:
+                prefix_kv = (to_tokens(pages_k, 2 * flat_bt),
+                             to_tokens(pages_k, 2 * flat_bt + 1),
+                             md.prefix_lens)
+            else:
+                prefix_kv = (to_tokens(pages_k), to_tokens(pages_v),
+                             md.prefix_lens)
 
         if prefix_kv is None and _use_pallas() and self.head_dim % 128 == 0:
             # Flash kernel: O(T) memory instead of the dense path's
@@ -242,13 +261,36 @@ class Attention:
         # K/V are written first, then every window query attends the
         # paged cache causally in one multi-query kernel pass.
         batch, q_len, _ = q.shape
+        fused = v_pages is None  # interleaved fused layout (K@2b, V@2b+1)
         stacked = k_pages.ndim == 5
         cache_heads = self._cache_heads(k_pages)
         q = q.reshape(batch, q_len, self.num_heads, self.head_dim)
         k = k.reshape(batch * q_len, self.num_kv_heads, self.head_dim)
         v = v.reshape(batch * q_len, self.num_kv_heads, self.head_dim)
 
-        if q_len > 1:
+        if fused:
+            assert cache_heads == self.num_kv_heads, (
+                "fused KV caches require homogeneous KV heads")
+            if q_len > 1:
+                rows = md.slot_mapping.reshape(batch, q_len)
+                if stacked:
+                    k_pages = write_prefill_rows_fused(
+                        k, v, k_pages, rows, layer_index,
+                        kv_scale=self.kv_scale)
+                else:
+                    k_pages = _squeeze0(write_prefill_rows_fused(
+                        k, v, _expand0(k_pages), rows, jnp.int32(0),
+                        kv_scale=self.kv_scale))
+            elif stacked:
+                k_pages = write_to_kv_cache_stacked_fused(
+                    k, v, k_pages, md.slot_mapping, layer_index,
+                    kv_scale=self.kv_scale)
+            else:
+                k_pages = _squeeze0(write_to_kv_cache_stacked_fused(
+                    k, v, _expand0(k_pages), md.slot_mapping,
+                    jnp.int32(0), kv_scale=self.kv_scale))
+            k_view, v_view = k_pages, None
+        elif q_len > 1:
             # Window tokens occupy CONSECUTIVE positions per sequence:
             # the page-tile prefill writer handles many tokens per page
             # (the single-token decode RMW would drop collisions).

@@ -298,6 +298,99 @@ def write_to_kv_cache_stacked_fused(
     return _rmw_token(kv_all, v, layer_b, v_pages, offs)
 
 
+def _plan_prefill_tiles(slot_rows: jax.Array, page_size: int):
+    """Tile planning shared by the prefill writers.
+
+    Page tiles per row: a row starting at offset `shift` covers
+    ceil((shift + t_pad) / ps) pages — up to t_pad // ps + 2 when it
+    starts mid-page (speculative-verify windows do; prompt rows start
+    at offset 0).  Empty tiles resolve to page -1.
+
+    Returns ``(tclip, valid, tile_page)``: ``tclip[b, j, off]`` is the
+    (clipped) index within the row of the token landing at offset ``off``
+    of the row's j-th touched page; ``valid`` masks live entries;
+    ``tile_page[b, j]`` is the LOGICAL page of tile j (-1 if empty).
+    """
+    bsz, t_pad = slot_rows.shape
+    npr = t_pad // page_size + 2
+    first = slot_rows[:, 0]             # start slot (may be -1: empty)
+    shift = jnp.where(first < 0, 0, first % page_size)    # [B]
+
+    j_iota = jnp.arange(npr, dtype=jnp.int32)[None, :, None]
+    off_iota = jnp.arange(page_size, dtype=jnp.int32)[None, None, :]
+    token_idx = j_iota * page_size + off_iota - shift[:, None, None]
+    in_range = (token_idx >= 0) & (token_idx < t_pad)
+    tclip = jnp.clip(token_idx, 0, t_pad - 1)
+    slot_at = jnp.take_along_axis(
+        slot_rows[:, None, :].repeat(npr, axis=1), tclip, axis=2)
+    valid = in_range & (slot_at >= 0)                     # [B, npr, ps]
+
+    page_ids = jnp.where(valid, slot_at // page_size, -1)
+    # One page id per tile (or -1 if the tile is empty).
+    tile_page = jnp.max(page_ids, axis=2)                 # [B, npr]
+    return tclip, valid, tile_page
+
+
+def _rmw_tile(all_pages, rows, layer_b, flat_pages, tclip, valid):
+    # rows: [B, T_pad, kvh, hd]; pages [L, P, kvh, ps, hd]
+    bsz, npr, page_size = tclip.shape
+    kvh, hd = rows.shape[-2], rows.shape[-1]
+    vals = jnp.take_along_axis(
+        rows[:, None], tclip[..., None, None], axis=2)
+    # vals: [B, npr, ps, kvh, hd] -> head-major tile
+    vals = vals.transpose(0, 1, 3, 2, 4)
+    old = all_pages.at[layer_b, flat_pages].get(mode="fill",
+                                                fill_value=0)
+    old = old.reshape(bsz, npr, kvh, page_size, hd)
+    tile = jnp.where(valid[:, :, None, :, None], vals, old)
+    return all_pages.at[layer_b, flat_pages].set(
+        tile.reshape(bsz * npr, kvh, page_size, hd), mode="drop")
+
+
+def _rmw_tile_scale(all_scales, rows, layer_b, flat_pages, tclip, valid):
+    # rows: [B, T_pad, kvh]; scale pages: [L, P, kvh, ps]
+    bsz, npr, page_size = tclip.shape
+    kvh = rows.shape[-1]
+    vals = jnp.take_along_axis(rows[:, None], tclip[..., None], axis=2)
+    vals = vals.transpose(0, 1, 3, 2)      # [B, npr, kvh, ps]
+    old = all_scales.at[layer_b, flat_pages].get(mode="fill",
+                                                 fill_value=0)
+    old = old.reshape(bsz, npr, kvh, page_size)
+    tile = jnp.where(valid[:, :, None, :], vals.astype(old.dtype), old)
+    return all_scales.at[layer_b, flat_pages].set(
+        tile.reshape(bsz * npr, kvh, page_size), mode="drop")
+
+
+def _rmw_tile_int4(all_pages, rows, layer_b, flat_pages, tclip, valid):
+    # rows: [B, T_pad, kvh, hd] int4-in-int8 values.  Byte row r of a
+    # page packs the tokens at offsets 2r (low nibble) and 2r+1
+    # (high): gather both token lanes, merge nibble-wise with the old
+    # page so half-filled pairs keep their neighbor.
+    bsz, npr, page_size = tclip.shape
+    kvh, head_dim = rows.shape[-2], rows.shape[-1]
+    half = page_size // 2
+    vals = jnp.take_along_axis(
+        rows[:, None], tclip[..., None, None], axis=2)
+    # [B, npr, ps, kvh, hd] -> [B, npr, kvh, ps, hd]
+    vals = vals.transpose(0, 1, 3, 2, 4)
+    v_lo = vals[:, :, :, 0::2]             # [B, npr, kvh, ps/2, hd]
+    v_hi = vals[:, :, :, 1::2]
+    ok_lo = valid[:, :, None, 0::2, None]
+    ok_hi = valid[:, :, None, 1::2, None]
+    old = all_pages.at[layer_b, flat_pages].get(mode="fill",
+                                                fill_value=0)
+    old = old.reshape(bsz, npr, kvh, half, head_dim)
+    lo_nib = jnp.where(ok_lo,
+                       jnp.bitwise_and(v_lo + jnp.int8(8),
+                                       jnp.int8(0xF)),
+                       jnp.bitwise_and(old, jnp.int8(0x0F)))
+    hi_nib = jnp.where(ok_hi, jnp.left_shift(v_hi, jnp.int8(4)),
+                       jnp.bitwise_and(old, jnp.int8(0xF0 - 256)))
+    tile = jnp.bitwise_or(lo_nib, hi_nib)
+    return all_pages.at[layer_b, flat_pages].set(
+        tile.reshape(bsz * npr, kvh, half, head_dim), mode="drop")
+
+
 def write_prefill_rows(
     k: jax.Array,             # [B*T_pad, num_kv_heads, head_dim]
     v: jax.Array,
@@ -337,92 +430,81 @@ def write_prefill_rows(
             bsz, t_pad, num_kv_heads, head_dim)
     layer = jnp.asarray(layer, jnp.int32)
 
-    # Page tiles per row: a row starting at offset `shift` covers
-    # ceil((shift + t_pad) / ps) pages — up to t_pad // ps + 2 when it
-    # starts mid-page (speculative-verify windows do; prompt rows start
-    # at offset 0).  Empty tiles resolve to page -1 and are dropped.
-    npr = t_pad // page_size + 2
-    first = slot_rows[:, 0]             # start slot (may be -1: empty)
-    shift = jnp.where(first < 0, 0, first % page_size)    # [B]
-
-    # token_idx[b, j, off] = index (within the row) of the token that
-    # lands at offset `off` of the row's j-th touched page.
-    j_iota = jnp.arange(npr, dtype=jnp.int32)[None, :, None]
-    off_iota = jnp.arange(page_size, dtype=jnp.int32)[None, None, :]
-    token_idx = j_iota * page_size + off_iota - shift[:, None, None]
-    in_range = (token_idx >= 0) & (token_idx < t_pad)
-    tclip = jnp.clip(token_idx, 0, t_pad - 1)
-    slot_at = jnp.take_along_axis(
-        slot_rows[:, None, :].repeat(npr, axis=1), tclip, axis=2)
-    valid = in_range & (slot_at >= 0)                     # [B, npr, ps]
-
-    page_ids = jnp.where(valid, slot_at // page_size, -1)
-    # One page id per tile (or -1 if the tile is empty).
-    tile_page = jnp.max(page_ids, axis=2)                 # [B, npr]
+    tclip, valid, tile_page = _plan_prefill_tiles(slot_rows, page_size)
     flat_pages = jnp.where(tile_page < 0, num_pages,
                            tile_page).reshape(-1)
     layer_b = jnp.broadcast_to(layer, flat_pages.shape)
 
-    def rmw(all_pages, rows):
-        # rows: [B, T_pad, kvh, hd]
-        hd = rows.shape[-1]
-        vals = jnp.take_along_axis(
-            rows[:, None], tclip[..., None, None], axis=2)
-        # vals: [B, npr, ps, kvh, hd] -> head-major tile
-        vals = vals.transpose(0, 1, 3, 2, 4)
-        old = all_pages.at[layer_b, flat_pages].get(mode="fill",
-                                                    fill_value=0)
-        old = old.reshape(bsz, npr, num_kv_heads, page_size, hd)
-        tile = jnp.where(valid[:, :, None, :, None], vals, old)
-        return all_pages.at[layer_b, flat_pages].set(
-            tile.reshape(bsz * npr, num_kv_heads, page_size, hd),
-            mode="drop")
-
-    def rmw_scale(all_scales, rows):
-        # rows: [B, T_pad, kvh]; scale pages: [L, P, kvh, ps]
-        vals = jnp.take_along_axis(rows[:, None], tclip[..., None], axis=2)
-        vals = vals.transpose(0, 1, 3, 2)      # [B, npr, kvh, ps]
-        old = all_scales.at[layer_b, flat_pages].get(mode="fill",
-                                                     fill_value=0)
-        old = old.reshape(bsz, npr, num_kv_heads, page_size)
-        tile = jnp.where(valid[:, :, None, :], vals.astype(old.dtype), old)
-        return all_scales.at[layer_b, flat_pages].set(
-            tile.reshape(bsz * npr, num_kv_heads, page_size), mode="drop")
-
-    def rmw_int4(all_pages, rows):
-        # rows: [B, T_pad, kvh, hd] int4-in-int8 values.  Byte row r of a
-        # page packs the tokens at offsets 2r (low nibble) and 2r+1
-        # (high): gather both token lanes, merge nibble-wise with the old
-        # page so half-filled pairs keep their neighbor.
-        half = page_size // 2
-        vals = jnp.take_along_axis(
-            rows[:, None], tclip[..., None, None], axis=2)
-        # [B, npr, ps, kvh, hd] -> [B, npr, kvh, ps, hd]
-        vals = vals.transpose(0, 1, 3, 2, 4)
-        v_lo = vals[:, :, :, 0::2]             # [B, npr, kvh, ps/2, hd]
-        v_hi = vals[:, :, :, 1::2]
-        ok_lo = valid[:, :, None, 0::2, None]
-        ok_hi = valid[:, :, None, 1::2, None]
-        old = all_pages.at[layer_b, flat_pages].get(mode="fill",
-                                                    fill_value=0)
-        old = old.reshape(bsz, npr, num_kv_heads, half, head_dim)
-        lo_nib = jnp.where(ok_lo,
-                           jnp.bitwise_and(v_lo + jnp.int8(8),
-                                           jnp.int8(0xF)),
-                           jnp.bitwise_and(old, jnp.int8(0x0F)))
-        hi_nib = jnp.where(ok_hi, jnp.left_shift(v_hi, jnp.int8(4)),
-                           jnp.bitwise_and(old, jnp.int8(0xF0 - 256)))
-        tile = jnp.bitwise_or(lo_nib, hi_nib)
-        return all_pages.at[layer_b, flat_pages].set(
-            tile.reshape(bsz * npr, num_kv_heads, half, head_dim),
-            mode="drop")
-
     if int4:
-        return (QuantPages(rmw_int4(k_all.data, k),
-                           rmw_scale(k_all.scale, k_sc)),
-                QuantPages(rmw_int4(v_all.data, v),
-                           rmw_scale(v_all.scale, v_sc)))
-    return rmw(k_all, k), rmw(v_all, v)
+        return (QuantPages(
+            _rmw_tile_int4(k_all.data, k, layer_b, flat_pages, tclip,
+                           valid),
+            _rmw_tile_scale(k_all.scale, k_sc, layer_b, flat_pages, tclip,
+                            valid)),
+                QuantPages(
+            _rmw_tile_int4(v_all.data, v, layer_b, flat_pages, tclip,
+                           valid),
+            _rmw_tile_scale(v_all.scale, v_sc, layer_b, flat_pages, tclip,
+                            valid)))
+    return (_rmw_tile(k_all, k, layer_b, flat_pages, tclip, valid),
+            _rmw_tile(v_all, v, layer_b, flat_pages, tclip, valid))
+
+
+def write_prefill_rows_fused(
+    k: jax.Array,             # [B*T_pad, num_kv_heads, head_dim]
+    v: jax.Array,
+    kv_all,                   # [L, 2P, kvh, ps, hd] (or int4 QuantPages)
+    slot_rows: jax.Array,     # [B, T_pad] int32 LOGICAL slots (-1 pad)
+    layer: jax.Array,         # scalar int32
+    kv_scale: float = 1.0,
+):
+    """Prefill-size write into the INTERLEAVED fused cache (logical block
+    b keeps K at physical page 2b, V at 2b+1 — see paged_attention).
+    Same tile plan as write_prefill_rows, applied twice with disjoint
+    physical page ids."""
+    int4 = isinstance(kv_all, QuantPages)
+    bsz, t_pad = slot_rows.shape
+    if int4:
+        num_phys, num_kv_heads, half_ps, head_dim = kv_all.data.shape[1:]
+        page_size = half_ps * 2
+        k, k_sc = quantize_int4_values(k)
+        v, v_sc = quantize_int4_values(v)
+        k = k.reshape(bsz, t_pad, num_kv_heads, head_dim)
+        v = v.reshape(bsz, t_pad, num_kv_heads, head_dim)
+        k_sc = k_sc.reshape(bsz, t_pad, num_kv_heads)
+        v_sc = v_sc.reshape(bsz, t_pad, num_kv_heads)
+    else:
+        (_, num_phys, num_kv_heads, page_size, head_dim) = kv_all.shape
+        k = quantize_for_cache(k, kv_all.dtype, kv_scale).reshape(
+            bsz, t_pad, num_kv_heads, head_dim)
+        v = quantize_for_cache(v, kv_all.dtype, kv_scale).reshape(
+            bsz, t_pad, num_kv_heads, head_dim)
+    layer = jnp.asarray(layer, jnp.int32)
+
+    tclip, valid, tile_page = _plan_prefill_tiles(slot_rows, page_size)
+    k_flat = jnp.where(tile_page < 0, num_phys,
+                       2 * tile_page).reshape(-1)
+    v_flat = jnp.where(tile_page < 0, num_phys,
+                       2 * tile_page + 1).reshape(-1)
+    layer_b = jnp.broadcast_to(layer, k_flat.shape)
+
+    # K tiles and V tiles land on disjoint pages, so the RMWs chain.
+    if int4:
+        data = _rmw_tile_int4(kv_all.data, k, layer_b, k_flat, tclip, valid)
+        data = _rmw_tile_int4(data, v, layer_b, v_flat, tclip, valid)
+        sc = _rmw_tile_scale(kv_all.scale, k_sc, layer_b, k_flat, tclip,
+                             valid)
+        sc = _rmw_tile_scale(sc, v_sc, layer_b, v_flat, tclip, valid)
+        return QuantPages(data, sc)
+    out = _rmw_tile(kv_all, k, layer_b, k_flat, tclip, valid)
+    return _rmw_tile(out, v, layer_b, v_flat, tclip, valid)
+
+
+def fused_page_indices(idx: jax.Array) -> jax.Array:
+    """Logical page ids -> interleaved physical ids [2i, 2i+1, ...] for
+    the fused KV layout (copy/swap/migration index expansion)."""
+    idx = jnp.asarray(idx, dtype=jnp.int32)
+    return jnp.stack([2 * idx, 2 * idx + 1], axis=-1).reshape(-1)
 
 
 def copy_blocks(

@@ -63,6 +63,16 @@ class CacheEngine:
         self.dtype = (jnp.int8 if self.int4 else
                       _cache_dtype(cache_config, model_config))
 
+        # Fused layout: ONE interleaved array (K of logical block b at
+        # physical page 2b, V at 2b+1) instead of a (K, V) pair — the
+        # attention kernel then issues one DMA per logical page.  Total
+        # bytes are identical; the cache pytree becomes (kv_all, None).
+        self.fused = getattr(cache_config, "kv_layout", "split") == "fused"
+        if self.fused and not stacked:
+            logger.warning("kv_layout=fused requires a stacked-KV model; "
+                           "falling back to the split layout.")
+            self.fused = False
+
         self.device_cache = self._allocate_device_cache()
         self.host_cache = self._allocate_host_cache()
 
@@ -77,8 +87,10 @@ class CacheEngine:
         return (num_pages, self.num_kv_heads, self.page_size)
 
     def _allocate_device_cache(self):
-        shape = self._page_shape(self.num_device_pages)
-        scale_shape = self._scale_shape(self.num_device_pages)
+        pages = self.num_device_pages * 2 if self.fused \
+            else self.num_device_pages
+        shape = self._page_shape(pages)
+        scale_shape = self._scale_shape(pages)
         if self.stacked:
             shape = (self.num_layers, ) + shape
             scale_shape = (self.num_layers, ) + scale_shape
@@ -106,6 +118,8 @@ class CacheEngine:
                 s = jax.device_put(s, scale_sharding)
             return QuantPages(z, s)
 
+        if self.fused:
+            return (alloc(), None)
         if self.stacked:
             return (alloc(), alloc())
         return [(alloc(), alloc()) for _ in range(self.num_layers)]
@@ -113,8 +127,10 @@ class CacheEngine:
     def _allocate_host_cache(self) -> List[Tuple[np.ndarray, np.ndarray]]:
         if not self.num_host_pages:
             return []
-        shape = self._page_shape(self.num_host_pages)
-        scale_shape = self._scale_shape(self.num_host_pages)
+        pages = self.num_host_pages * 2 if self.fused \
+            else self.num_host_pages
+        shape = self._page_shape(pages)
+        scale_shape = self._scale_shape(pages)
         if self.stacked:
             shape = (self.num_layers, ) + shape
             scale_shape = (self.num_layers, ) + scale_shape
@@ -130,18 +146,33 @@ class CacheEngine:
             return QuantPages(
                 z, np.zeros(scale_shape, dtype=np.dtype(ml_dtypes.bfloat16)))
 
+        if self.fused:
+            return (alloc(), None)
         if self.stacked:
             return (alloc(), alloc())
         return [(alloc(), alloc()) for _ in range(self.num_layers)]
 
     # ---- per-step plans ----
 
+    @staticmethod
+    def _fused_ids(ids: List[int]) -> List[int]:
+        # Logical page ids -> interleaved physical ids [2i, 2i+1, ...].
+        out: List[int] = []
+        for i in ids:
+            out.append(2 * i)
+            out.append(2 * i + 1)
+        return out
+
     def swap_in(self, mapping: Dict[int, int]) -> None:
         if self.stacked:
             if not mapping:
                 return
             src = sorted(mapping.keys())
-            dst = jnp.asarray([mapping[s] for s in src], dtype=jnp.int32)
+            dst_ids = [mapping[s] for s in src]
+            if self.fused:
+                src = self._fused_ids(src)
+                dst_ids = self._fused_ids(dst_ids)
+            dst = jnp.asarray(dst_ids, dtype=jnp.int32)
 
             def leaf_in(dev, host):
                 vals = jnp.asarray(np.ascontiguousarray(host[:, src]))
@@ -163,13 +194,17 @@ class CacheEngine:
             if not mapping:
                 return
             src = sorted(mapping.keys())
+            dst_ids = [mapping[s] for s in src]
+            if self.fused:
+                src = self._fused_ids(src)
+                dst_ids = self._fused_ids(dst_ids)
             idx = jnp.asarray(src, dtype=jnp.int32)
 
             def leaf_out(dev, host):
                 gathered = np.asarray(jnp.take(dev, idx, axis=1,
                                                mode="clip"))
-                for j, sp in enumerate(src):
-                    host[:, mapping[sp]] = gathered[:, j]
+                for j, hp in enumerate(dst_ids):
+                    host[:, hp] = gathered[:, j]
 
             for dev, host in zip(self.device_cache, self.host_cache):
                 jax.tree.map(leaf_out, dev, host)
@@ -188,6 +223,9 @@ class CacheEngine:
             for dst in dst_list:
                 srcs.append(src)
                 dsts.append(dst)
+        if self.fused:
+            srcs = self._fused_ids(srcs)
+            dsts = self._fused_ids(dsts)
         src_arr = jnp.asarray(srcs, dtype=jnp.int32)
         dst_arr = jnp.asarray(dsts, dtype=jnp.int32)
         if self.stacked:

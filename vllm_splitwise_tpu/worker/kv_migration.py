@@ -104,6 +104,12 @@ class KVMigrationManager:
         dst_sharding = self._dst_sharding()
 
         if isinstance(src_cache, tuple):  # stacked [L, P, kvh, ps, hd]
+            if len(src_cache) == 2 and src_cache[1] is None:
+                # Fused interleaved layout: logical page i lives at
+                # physical pages 2i (K) and 2i+1 (V) of one array.
+                from vllm_splitwise_tpu.ops.kv_cache import \
+                    fused_page_indices
+                idx = fused_page_indices(idx)
             # Leaf-wise so int4 QuantPages (data + scale leaves of
             # different ranks) migrate alongside plain page arrays.
             gathered = jax.tree.map(

@@ -1304,12 +1304,14 @@ class ModelRunner:
 
     @staticmethod
     def _num_device_pages(kv_caches) -> int:
-        """Page count of the live cache, for either layout:
-        stacked ``(k_all, v_all)`` of ``[L, pages, kvh, ps, hd]`` or a
-        per-layer list of ``(k, v)`` pairs of ``[pages, kvh, ps, hd]``."""
+        """LOGICAL page count of the live cache, for any layout: stacked
+        ``(k_all, v_all)`` of ``[L, pages, kvh, ps, hd]``, fused
+        ``(kv_all, None)`` of ``[L, 2*pages, ...]``, or a per-layer list
+        of ``(k, v)`` pairs of ``[pages, kvh, ps, hd]``."""
         first = kv_caches[0]
         if hasattr(first, "ndim") and first.ndim == 5:
-            return first.shape[1]
+            phys = first.shape[1]
+            return phys // 2 if kv_caches[1] is None else phys
         return first[0].shape[0]
 
     def warm_up(self, kv_caches):
