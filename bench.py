@@ -111,7 +111,7 @@ def build(size: str, quant: str, seed: int = 0):
 
 
 def measure_decode(model, params, config, batch, context, steps,
-                   page_size=32, kv_dtype="bf16"):
+                   page_size=32, kv_dtype="bf16", kv_layout="split"):
     from vllm_splitwise_tpu.layers.sampler import SamplingTensors, sample
     from vllm_splitwise_tpu.models.input_metadata import DecodeMetadata
 
@@ -130,26 +130,33 @@ def measure_decode(model, params, config, batch, context, steps,
         # write, dequant multiply in-kernel on read).
         for attn in model.attn:
             attn.kv_scale = 1.0 / 16.0 if kv_dtype == "int8" else 1.0
+    fused = kv_layout == "fused"
     if kv_dtype == "int4":
         from vllm_splitwise_tpu.ops.kv_cache import QuantPages
 
-        def alloc():
+        def alloc(pages=num_pages):
             return QuantPages(
-                jnp.zeros((model.num_layers, num_pages,
+                jnp.zeros((model.num_layers, pages,
                            model.num_kv_heads, page_size // 2,
                            model.head_dim), dtype=jnp.int8),
-                jnp.zeros((model.num_layers, num_pages,
+                jnp.zeros((model.num_layers, pages,
                            model.num_kv_heads, page_size),
                           dtype=jnp.bfloat16))
 
-        kv_caches = (alloc(), alloc())
+        # Fused interleaved layout: ONE array with 2x physical pages
+        # (K of logical block b at 2b, V at 2b+1) -> one attention DMA
+        # per logical page.
+        kv_caches = (alloc(2 * num_pages), None) if fused \
+            else (alloc(), alloc())
     else:
-        kv_caches = (
-            jnp.zeros((model.num_layers, num_pages, model.num_kv_heads,
-                       page_size, model.head_dim), dtype=cache_dt),
-            jnp.zeros((model.num_layers, num_pages, model.num_kv_heads,
-                       page_size, model.head_dim), dtype=cache_dt),
-        )
+
+        def alloc(pages=num_pages):
+            return jnp.zeros(
+                (model.num_layers, pages, model.num_kv_heads,
+                 page_size, model.head_dim), dtype=cache_dt)
+
+        kv_caches = (alloc(2 * num_pages), None) if fused \
+            else (alloc(), alloc())
 
     tables = np.zeros((b, pages_per_seq), dtype=np.int32)
     for i in range(b):
@@ -328,6 +335,10 @@ def main():
     parser.add_argument("--kv-dtype",
                         choices=["bf16", "fp8", "int8", "int4"],
                         default="int8")
+    parser.add_argument("--kv-layout", choices=["split", "fused"],
+                        default="split",
+                        help="fused = interleaved K/V pages, one "
+                        "attention DMA per logical page")
     parser.add_argument("--size", choices=list(_SHAPES), default=None)
     parser.add_argument("--quant", choices=["int4", "int8", "bf16"],
                         default="int4")
@@ -371,7 +382,8 @@ def main():
     toks, stream = measure_decode(model, params, config, args.batch,
                                   args.context, args.steps,
                                   page_size=args.page_size,
-                                  kv_dtype=args.kv_dtype)
+                                  kv_dtype=args.kv_dtype,
+                                  kv_layout=args.kv_layout)
     del params
 
     # North-star ratio: int4 vs bf16 at the SAME config.  The 7B bf16 leg
@@ -421,7 +433,8 @@ def main():
     print(json.dumps({
         "metric": (f"decode_tokens_per_s_per_chip_llama_{size}_"
                    f"{args.quant}_kv{args.kv_dtype}"
-                   f"_b{args.batch}_ctx{args.context}" + suffix),
+                   + ("_fused" if args.kv_layout == "fused" else "")
+                   + f"_b{args.batch}_ctx{args.context}" + suffix),
         "value": round(toks, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": vs_baseline,
