@@ -42,6 +42,14 @@ def main(args):
         np.arange(num_pages, dtype=np.int32).reshape(b, pages_per_seq))
     ctx = jnp.full((b, ), args.context, dtype=jnp.int32)
 
+    if args.fused:
+        # Production fused interleaved layout: ONE array, K of logical
+        # block p at physical page 2p, V at 2p+1 -> one DMA per logical
+        # page (same harness, so directly comparable to the split run).
+        fused = jnp.stack([k_pages, v_pages], axis=2).reshape(
+            (L, 2 * num_pages) + shape[2:])
+        k_pages, v_pages = fused, None
+
     qshape = (L, b, args.num_heads, args.head_dim)
     qs_a = jax.random.normal(ka, qshape, dtype=jnp.bfloat16)
     qs_b = jax.random.normal(kb2, qshape, dtype=jnp.bfloat16)
@@ -74,7 +82,8 @@ def main(args):
     bw = kv_bytes / elapsed / 1e9
     print(f"latency: {elapsed*1e6:.1f} us/layer "
           f"(b{b} ctx{args.context} kvh{args.num_kv_heads} "
-          f"ps{ps} chunk{args.pages_per_chunk})")
+          f"ps{ps} chunk{args.pages_per_chunk}"
+          f"{' FUSED' if args.fused else ''})")
     print(f"KV bytes/layer: {kv_bytes/1e6:.2f} MB")
     print(f"achieved read BW: {bw:.1f} GB/s "
           f"({100*bw/V5E_HBM_GBPS:.1f}% of v5e HBM roofline)")
@@ -89,5 +98,8 @@ if __name__ == "__main__":
     parser.add_argument("--head-dim", type=int, default=128)
     parser.add_argument("--page-size", type=int, default=16)
     parser.add_argument("--pages-per-chunk", type=int, default=8)
+    parser.add_argument("--fused", action="store_true",
+                        help="interleaved fused K/V layout (one DMA per "
+                        "logical page)")
     parser.add_argument("--layers", type=int, default=32)
     main(parser.parse_args())
