@@ -314,6 +314,7 @@ def _clone_cache_config(cache_config: CacheConfig,
         swap_space=0,
         cache_dtype=cache_config.cache_dtype,
         sliding_window=cache_config.sliding_window,
+        kv_layout=getattr(cache_config, "kv_layout", "split"),
     )
     probe.num_device_blocks = num_pages
     probe.num_host_blocks = 0
