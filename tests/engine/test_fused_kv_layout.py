@@ -65,19 +65,36 @@ def test_fused_int4_greedy_equals_split_int4(ckpt):
 
 
 def test_fused_preemption_swap_roundtrip(ckpt):
-    """Force swap-based preemption so fused swap-out/swap-in paths run;
-    output must still match the unconstrained split engine."""
-    from vllm_splitwise_tpu import LLM
+    """Force SWAP-based preemption (beam groups: max_num_running_seqs > 1
+    selects PreemptionMode.SWAP, scheduler.py) so the fused engine-level
+    swap-out/swap-in paths run; output must still match the
+    unconstrained split engine."""
+    from vllm_splitwise_tpu import LLM, SamplingParams
     d, config = ckpt
-    prompts = _prompts(config, seed=13)
+    rng = np.random.RandomState(13)
+    # Two beam groups whose prompts fit TOGETHER at prefill (1 page
+    # each) but whose beams outgrow the budget as they decode: the
+    # scheduler must SWAP the lower-priority group out and back in.
+    prompts = [rng.randint(3, config.vocab_size, size=16).tolist()
+               for _ in range(2)]
+    sp = SamplingParams(temperature=0.0, use_beam_search=True, best_of=2,
+                        n=1, max_tokens=40, ignore_eos=True,
+                        length_penalty=1.0, early_stopping=False)
+
+    def beam(llm):
+        outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp,
+                            use_tqdm=False)
+        return [o.outputs[0].token_ids for o in outs]
+
     kwargs = _kwargs(d)
-    kwargs["max_model_len"] = 128
-    ref = _greedy(LLM(**kwargs), prompts)
-    # Tight page budget: 3 seqs of up to 24+12 tokens over 16-token pages
-    # cannot all stay resident -> scheduler preempts by swap.
-    kwargs["num_gpu_blocks_override"] = 8
+    kwargs["max_model_len"] = 144  # fits the 9-page budget below
+    ref = beam(LLM(**kwargs))
+    kwargs["num_gpu_blocks_override"] = 9
     llm = LLM(kv_layout="fused", **kwargs)
-    got = _greedy(llm, prompts)
+    got = beam(llm)
+    scheduler = llm.llm_engine.scheduler
+    assert scheduler.num_swapped_total > 0, (
+        "test config no longer triggers swap preemption")
     assert got == ref
 
 

@@ -109,6 +109,9 @@ class Scheduler:
         self.waiting: Deque[SequenceGroup] = deque()
         self.running: Deque[SequenceGroup] = deque()
         self.swapped: Deque[SequenceGroup] = deque()
+        # Cumulative swap-preemption count (observability; lets tests
+        # assert the swap path actually ran).
+        self.num_swapped_total = 0
 
         self.seq_to_slot_mapper: Optional[SeqToSlotMapper] = (
             SeqToSlotMapper() if track_prompt_blocks else None)
@@ -519,6 +522,7 @@ class Scheduler:
         for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
             seq.status = SequenceStatus.SWAPPED
         self.swapped.append(seq_group)
+        self.num_swapped_total += 1
 
     def _swap_in(
         self,

@@ -309,7 +309,13 @@ class LLMEngine:
             for seq, parent in child_seqs:
                 if seq is not parent:
                     seq_group.add(seq)
-                    self.scheduler.fork_seq(parent, seq)
+                    # A child that finished on its very first token must
+                    # NOT get a block-table fork: nothing would ever free
+                    # it (reference llm_engine.py:425-426 guards the
+                    # same way; unguarded this leaks KV pages until the
+                    # scheduler livelocks on a permanently-short pool).
+                    if not seq.is_finished():
+                        self.scheduler.fork_seq(parent, seq)
             for seq, parent in child_seqs:
                 if seq is parent and seq.is_finished():
                     self.scheduler.free_seq(seq)
@@ -367,7 +373,10 @@ class LLMEngine:
         for seq, parent in selected_child_seqs:
             if seq is not parent:
                 seq_group.add(seq)
-                self.scheduler.fork_seq(parent, seq)
+                # Finished-at-selection forks get no block fork — see the
+                # non-beam path above (reference llm_engine.py:518-519).
+                if not seq.is_finished():
+                    self.scheduler.fork_seq(parent, seq)
         for seq, parent in selected_child_seqs:
             if seq is parent and seq.is_finished():
                 self.scheduler.free_seq(seq)

@@ -502,9 +502,17 @@ def write_prefill_rows_fused(
 
 def fused_page_indices(idx: jax.Array) -> jax.Array:
     """Logical page ids -> interleaved physical ids [2i, 2i+1, ...] for
-    the fused KV layout (copy/swap/migration index expansion)."""
+    the fused KV layout (copy/swap/migration index expansion).  The
+    SINGLE definition of the fused physical mapping — host-side plans
+    use :func:`fused_page_ids` below."""
     idx = jnp.asarray(idx, dtype=jnp.int32)
     return jnp.stack([2 * idx, 2 * idx + 1], axis=-1).reshape(-1)
+
+
+def fused_page_ids(ids: List[int]) -> List[int]:
+    """Host-list twin of :func:`fused_page_indices` (same mapping; keep
+    the two adjacent so the layout invariant lives in one place)."""
+    return [j for i in ids for j in (2 * i, 2 * i + 1)]
 
 
 def copy_blocks(

@@ -470,21 +470,28 @@ def paged_attention(
         # ms/step at b32 and >10 min compiles); a [rows, P] one-hot
         # matmul fetches the same scale rows at MXU speed.
         idx = block_tables.reshape(-1)                   # [B * pps]
-        num_phys = num_pages * 2 if fused_kv else num_pages
+        onehot = (idx[:, None] == jnp.arange(
+            num_pages, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
 
-        def gather_scales(scale_pages, phys_idx):
-            onehot = (phys_idx[:, None] == jnp.arange(
-                num_phys, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+        def dot_scales(scale_pages, width_mult):
+            # One [rows, P] x [P, width] dot over LOGICAL pages; the
+            # fused layout's physical pages 2b/2b+1 are adjacent, so its
+            # scale array reshapes to width 2*kvh*ps and K+V rows come
+            # out of the SAME dot (split-path cost, not double).
             sl = scale_pages
             if stacked:
                 sl = jax.lax.dynamic_index_in_dim(
                     sl, jnp.asarray(layer_index, jnp.int32), keepdims=False)
-            flat = sl.reshape(num_phys, num_kv_heads * page_size)
-            g = jax.lax.dot(onehot, flat.astype(jnp.bfloat16),
-                            precision=jax.lax.Precision.DEFAULT)
-            g = g.reshape(batch, pages_per_seq, num_kv_heads, page_size)
+            flat = sl.reshape(num_pages,
+                              width_mult * num_kv_heads * page_size)
+            return jax.lax.dot(onehot, flat.astype(jnp.bfloat16),
+                               precision=jax.lax.Precision.DEFAULT)
+
+        def lane_permute(g):
+            # [B, pps, kvh, ps] -> [B, kvh, T] in per-chunk
+            # [evens | odds] lane order (lines up with the kernel's
+            # concatenated half-dots).
             g = g.transpose(0, 2, 1, 3).reshape(batch, num_kv_heads, -1)
-            # [B, kvh, T] -> per-chunk [evens | odds] lane order
             g = g.reshape(batch, num_kv_heads, num_chunks,
                           chunk_tokens // 2, 2)
             g = g.transpose(0, 1, 2, 4, 3)
@@ -497,11 +504,16 @@ def paged_attention(
                          lambda b, i, *_: (b, 0, i)),
         ]
         if fused_kv:
-            inputs += [gather_scales(k_pages.scale, 2 * idx),
-                       gather_scales(k_pages.scale, 2 * idx + 1)]
+            g = dot_scales(k_pages.scale, 2).reshape(
+                batch, pages_per_seq, 2, num_kv_heads, page_size)
+            inputs += [lane_permute(g[:, :, 0]), lane_permute(g[:, :, 1])]
         else:
-            inputs += [gather_scales(k_pages.scale, idx),
-                       gather_scales(v_pages.scale, idx)]
+            inputs += [
+                lane_permute(dot_scales(k_pages.scale, 1).reshape(
+                    batch, pages_per_seq, num_kv_heads, page_size)),
+                lane_permute(dot_scales(v_pages.scale, 1).reshape(
+                    batch, pages_per_seq, num_kv_heads, page_size)),
+            ]
     if int8_kv or int4_kv:
         in_specs.append(
             pl.BlockSpec((1, num_kv_heads, group_padded, 128),

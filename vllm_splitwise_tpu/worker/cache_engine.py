@@ -20,6 +20,7 @@ from vllm_splitwise_tpu.config import (CacheConfig, ModelConfig,
                                        ParallelConfig)
 from vllm_splitwise_tpu.logger import init_logger
 from vllm_splitwise_tpu.ops.kv_cache import (QuantPages, copy_blocks,
+                                             fused_page_ids,
                                              swap_in_blocks,
                                              swap_out_blocks)
 
@@ -154,15 +155,6 @@ class CacheEngine:
 
     # ---- per-step plans ----
 
-    @staticmethod
-    def _fused_ids(ids: List[int]) -> List[int]:
-        # Logical page ids -> interleaved physical ids [2i, 2i+1, ...].
-        out: List[int] = []
-        for i in ids:
-            out.append(2 * i)
-            out.append(2 * i + 1)
-        return out
-
     def swap_in(self, mapping: Dict[int, int]) -> None:
         if self.stacked:
             if not mapping:
@@ -170,8 +162,8 @@ class CacheEngine:
             src = sorted(mapping.keys())
             dst_ids = [mapping[s] for s in src]
             if self.fused:
-                src = self._fused_ids(src)
-                dst_ids = self._fused_ids(dst_ids)
+                src = fused_page_ids(src)
+                dst_ids = fused_page_ids(dst_ids)
             dst = jnp.asarray(dst_ids, dtype=jnp.int32)
 
             def leaf_in(dev, host):
@@ -196,8 +188,8 @@ class CacheEngine:
             src = sorted(mapping.keys())
             dst_ids = [mapping[s] for s in src]
             if self.fused:
-                src = self._fused_ids(src)
-                dst_ids = self._fused_ids(dst_ids)
+                src = fused_page_ids(src)
+                dst_ids = fused_page_ids(dst_ids)
             idx = jnp.asarray(src, dtype=jnp.int32)
 
             def leaf_out(dev, host):
@@ -224,8 +216,8 @@ class CacheEngine:
                 srcs.append(src)
                 dsts.append(dst)
         if self.fused:
-            srcs = self._fused_ids(srcs)
-            dsts = self._fused_ids(dsts)
+            srcs = fused_page_ids(srcs)
+            dsts = fused_page_ids(dsts)
         src_arr = jnp.asarray(srcs, dtype=jnp.int32)
         dst_arr = jnp.asarray(dsts, dtype=jnp.int32)
         if self.stacked:
