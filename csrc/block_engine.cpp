@@ -362,6 +362,36 @@ PyObject* py_can_append_slot(PyObject* raw, PyObject* args) {
   return PyBool_FromLong(num_running <= eng->gpu.num_free());
 }
 
+// num_need_append(seq_ids, n_logicals) -> count of sequences whose next
+// token consumes a fresh device block: table shorter than its logical
+// blocks (and not reusing a sliding-window slot), or a shared last
+// block (copy-on-write).  Tables already extended by a lookahead window
+// count zero — the worst-case per-seq bound was preempting groups whose
+// next tokens were fully pre-reserved.
+PyObject* py_num_need_append(PyObject* raw, PyObject* args) {
+  ENGINE_GUARD(raw);
+  PyObject *ids, *lens;
+  if (!PyArg_ParseTuple(args, "OO", &ids, &lens)) return nullptr;
+  TRY_BEGIN
+  Py_ssize_t n = PyList_Size(ids);
+  long need = 0;
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    int64_t sid = PyLong_AsLongLong(PyList_GetItem(ids, i));
+    int64_t n_logical = PyLong_AsLongLong(PyList_GetItem(lens, i));
+    auto& table = eng->table(sid);
+    if (static_cast<int64_t>(table.size()) < n_logical) {
+      if (eng->sliding_window_blocks >= 0 &&
+          static_cast<int64_t>(table.size()) >= eng->sliding_window_blocks)
+        continue;
+      ++need;
+    } else if (!table.empty() && table.back()->ref_count > 1) {
+      ++need;
+    }
+  }
+  return PyLong_FromLong(need);
+  TRY_END
+}
+
 // append_slot(seq_id, num_logical, last_full, full_hash, hashed_last)
 //   -> None | (src, dst)
 PyObject* py_append_slot(PyObject* raw, PyObject* args) {
@@ -687,6 +717,7 @@ PyMethodDef engine_methods[] = {
     {"can_allocate", py_can_allocate, METH_VARARGS, nullptr},
     {"allocate", py_allocate, METH_VARARGS, nullptr},
     {"can_append_slot", py_can_append_slot, METH_VARARGS, nullptr},
+    {"num_need_append", py_num_need_append, METH_VARARGS, nullptr},
     {"append_slot", py_append_slot, METH_VARARGS, nullptr},
     {"extend_table", py_extend_table, METH_VARARGS, nullptr},
     {"fork", py_fork, METH_VARARGS, nullptr},

@@ -201,11 +201,18 @@ def test_randomized_workload_parity():
                 seq, group = live[sid]
                 if seq.status != SequenceStatus.RUNNING:
                     continue
-                if not (py.can_append_slot(group)
-                        and cc.can_append_slot(group)):
-                    continue
+                # Engine order: the sampled token is appended to the
+                # sequence BEFORE the next schedule's can_append_slot
+                # (llm_engine._process_model_outputs runs first), so the
+                # exact-need check must see the grown logical blocks.
                 tok = rng.randint(0, 10**6)
                 seq.append_token_id(tok, {tok: Logprob(0.0)})
+                ok_py = py.can_append_slot(group)
+                ok_cc = cc.can_append_slot(group)
+                assert ok_py == ok_cc
+                if not ok_py:
+                    seq.data.output_token_ids.pop()
+                    continue
                 assert py.append_slot(seq) == cc.append_slot(seq)
                 if caching:
                     clock[0] += 1

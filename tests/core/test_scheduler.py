@@ -254,3 +254,213 @@ def test_scheduler_swap_preemption_multi_seq():
     assert not out.prompt_run
     # group_a is multi-seq -> if it was the victim it went to swapped.
     assert len(scheduler.swapped) + len(scheduler.waiting) >= 1
+
+
+def test_reallocate_after_recompute_finished_sibling_no_leak():
+    """A group re-admitted after recompute-preemption while carrying a
+    FINISHED sibling must not over-count block refs (the leak: ref_count
+    = num_seqs() counted the finished seq, so the re-prefilled seq's
+    blocks never freed)."""
+    from vllm_splitwise_tpu.core.scheduler import PreemptionMode
+    block_size = 4
+    scheduler = make_scheduler(num_device_blocks=8,
+                               num_host_blocks=8,
+                               block_size=block_size)
+    bm = scheduler.block_manager
+    total_free = bm.get_num_free_gpu_blocks()
+
+    _, group = create_dummy_prompt("0", prompt_length=block_size,
+                                   block_size=block_size, best_of=2)
+    scheduler.add_seq_group(group)
+    _, out = scheduler.schedule()
+    assert out.prompt_run
+    append_token(group, 1)
+
+    # n=2: fork a child, then the child finishes immediately (stays in
+    # the group's seqs_dict for output assembly).
+    parent = group.get_seqs()[0]
+    child = parent.fork(4242)
+    group.add(child)
+    scheduler.fork_seq(parent, child)
+    child.status = SequenceStatus.FINISHED_STOPPED
+    scheduler.free_seq(child)
+
+    # Memory pressure: recompute-preempt the group (1 running seq).
+    scheduler._preempt(group, {}, PreemptionMode.RECOMPUTE)
+    assert bm.get_num_free_gpu_blocks() == total_free
+
+    # Re-admission re-prefills; finishing the survivor must return ALL
+    # blocks.
+    _, out = scheduler.schedule()
+    assert out.prompt_run
+    parent.status = SequenceStatus.FINISHED_STOPPED
+    scheduler.free_seq(parent)
+    scheduler.free_finished_seq_groups()
+    assert bm.get_num_free_gpu_blocks() == total_free
+
+
+def test_can_append_slot_with_lookahead_reserved_tables():
+    """Sequences whose tables were extended by a multi-step lookahead
+    window need NO new page — can_append_slot must not report pressure
+    (which preempted groups spuriously when the pool ran low)."""
+    block_size = 4
+    # Pool sized so the lookahead reservation takes the LAST free pages.
+    scheduler = make_scheduler(num_device_blocks=3,
+                               block_size=block_size)
+    bm = scheduler.block_manager
+    _, group = create_dummy_prompt("0", prompt_length=block_size,
+                                   block_size=block_size)
+    scheduler.add_seq_group(group)
+    scheduler.schedule()
+    seq = group.get_seqs()[0]
+    # Reserve a lookahead window (multi-step decode): table runs ahead,
+    # consuming the remaining 2 pages.
+    list(bm.append_slots(seq, lookahead=2 * block_size))
+    assert bm.get_num_free_gpu_blocks() == 0
+    append_token(group, 1)
+    assert bm.can_append_slot(group)  # table already covers the token
+    assert bm.append_slot(seq) is None
+
+
+def test_plan_decode_window_precheck_reserves_nothing_on_degrade():
+    """If the batch's lookahead cannot be reserved for EVERYONE, the
+    planner must degrade to 1 WITHOUT taking pages for a prefix of the
+    batch."""
+    block_size = 4
+    scheduler_config = SchedulerConfig(max_num_batched_tokens=4096,
+                                       max_num_seqs=64,
+                                       max_model_len=4096,
+                                       num_decode_steps=8)
+    cache_config = CacheConfig(block_size=block_size,
+                               hbm_utilization=0.9,
+                               swap_space=0.0001)
+    cache_config.num_device_blocks = 8
+    cache_config.num_host_blocks = 8
+    scheduler = Scheduler(scheduler_config, cache_config, None)
+    bm = scheduler.block_manager
+    for i in range(3):
+        _, g = create_dummy_prompt(str(i), prompt_length=block_size,
+                                   block_size=block_size, max_tokens=64)
+        scheduler.add_seq_group(g)
+        scheduler.schedule()
+        append_token(g, 1)
+    free_before = bm.get_num_free_gpu_blocks()
+    # window=8 needs (ceil(8/4)+1)=3 pages/seq * 3 seqs = 9 > free.
+    assert free_before < 9
+    copies = {}
+    assert scheduler._plan_decode_window(copies) == 1
+    assert bm.get_num_free_gpu_blocks() == free_before
+    assert copies == {}
+
+
+def test_blocks_to_nw_skips_forked_children():
+    """Splitwise: a beam/n>1 fork reads its parent's already-migrated
+    pages — it must not emit a transfer slot of its own (the decode pool
+    would wait on a push that never comes)."""
+    block_size = 4
+    scheduler = make_scheduler(num_device_blocks=16,
+                               block_size=block_size,
+                               track_prompt_blocks=True)
+    _, group = create_dummy_prompt("0", prompt_length=2 * block_size,
+                                   block_size=block_size, best_of=2)
+    scheduler.add_seq_group(group)
+    _, out = scheduler.schedule()
+    assert out.prompt_run and len(out.blocks_to_nw) == 1
+    append_token(group, 1)
+
+    parent = group.get_seqs()[0]
+    child = parent.fork(777)
+    group.add(child)
+    scheduler.fork_seq(parent, child)
+
+    _, out = scheduler.schedule()
+    # Parent's first decode step is tracked; the fork is not.
+    parent_slot = scheduler.seq_to_slot_mapper.get_slot_id(parent.seq_id)
+    child_slot = scheduler.seq_to_slot_mapper.get_slot_id(child.seq_id)
+    assert parent_slot in out.blocks_to_nw
+    assert child_slot not in out.blocks_to_nw
+
+
+class _FakeLoraRequest:
+    def __init__(self, lora_int_id):
+        self.lora_int_id = lora_int_id
+        self.lora_name = f"l{lora_int_id}"
+
+
+class _FakeLoraConfig:
+    max_loras = 1
+    max_lora_rank = 8
+    max_cpu_loras = 4
+
+
+def _lora_scheduler(num_device_blocks=64, block_size=4):
+    scheduler_config = SchedulerConfig(max_num_batched_tokens=4096,
+                                       max_num_seqs=64,
+                                       max_model_len=4096)
+    cache_config = CacheConfig(block_size=block_size,
+                               hbm_utilization=0.9,
+                               swap_space=0.0001)
+    cache_config.num_device_blocks = num_device_blocks
+    cache_config.num_host_blocks = 32
+    return Scheduler(scheduler_config, cache_config, _FakeLoraConfig())
+
+
+def test_lora_budget_defers_not_blocks_waiting_queue():
+    """A LoRA-blocked waiting group is deferred; base-model prompts
+    behind it still schedule (no head-of-line blocking)."""
+    block_size = 4
+    scheduler = _lora_scheduler(block_size=block_size)
+    _, g1 = create_dummy_prompt("1", prompt_length=block_size,
+                                block_size=block_size)
+    g1.lora_request = _FakeLoraRequest(1)
+    scheduler.add_seq_group(g1)
+    _, out = scheduler.schedule()
+    assert [g.request_id for g in out.scheduled_seq_groups] == ["1"]
+    append_token(g1, 1)
+
+    _, g2 = create_dummy_prompt("2", prompt_length=block_size,
+                                block_size=block_size)
+    g2.lora_request = _FakeLoraRequest(2)  # over budget (max_loras=1)
+    _, g3 = create_dummy_prompt("3", prompt_length=block_size,
+                                block_size=block_size)  # base model
+    scheduler.add_seq_group(g2)
+    scheduler.add_seq_group(g3)
+    _, out = scheduler.schedule()
+    ids = [g.request_id for g in out.scheduled_seq_groups]
+    assert out.prompt_run and ids == ["3"]
+    # The deferred LoRA group is still queued, not lost.
+    assert any(g.request_id == "2" for g in scheduler.waiting)
+
+
+def test_lora_budget_enforced_on_swap_in():
+    """Swapping a group back in must respect max_loras — more distinct
+    adapters than slots silently computes with wrong weights."""
+    from vllm_splitwise_tpu.core.scheduler import PreemptionMode
+    block_size = 4
+    scheduler = _lora_scheduler(block_size=block_size)
+    _, g1 = create_dummy_prompt("1", prompt_length=block_size,
+                                block_size=block_size, best_of=2)
+    g1.lora_request = _FakeLoraRequest(1)
+    scheduler.add_seq_group(g1)
+    scheduler.schedule()
+    append_token(g1, 1)
+    scheduler.running.remove(g1)  # as the decode loop does before _preempt
+    scheduler._preempt(g1, {}, PreemptionMode.SWAP)
+    assert len(scheduler.swapped) == 1
+
+    # Admit a second adapter directly (normal admission is blocked while
+    # anything is swapped — this manufactures the invariant-violating
+    # state the guard protects against).
+    _, g2 = create_dummy_prompt("2", prompt_length=block_size,
+                                block_size=block_size)
+    g2.lora_request = _FakeLoraRequest(2)
+    scheduler._allocate(g2)
+    scheduler.running.append(g2)
+    append_token(g2, 1)
+
+    # Decode: g1 must NOT swap in beside g2 (two adapters, one slot).
+    _, out = scheduler.schedule()
+    assert not out.prompt_run
+    assert [g.request_id for g in out.scheduled_seq_groups] == ["2"]
+    assert len(scheduler.swapped) == 1
+    assert out.blocks_to_swap_in == {}

@@ -210,9 +210,15 @@ class BlockSpaceManager:
                     seq.num_hashed_tokens_of_block(logical_idx))
             else:
                 block = self.gpu_allocator.allocate()
-            # One ref per candidate sequence in the group.
+            # One ref per sequence that RECEIVES the table below (fresh
+            # groups have exactly one waiting prompt seq; beam/n>1 forks
+            # add refs later via fork()).  NOT num_seqs(): a group
+            # re-admitted after recompute-preemption can carry finished
+            # siblings, and counting them leaks every block of the
+            # re-prefilled sequence when it frees (refs never reach 0).
             if not self.enable_caching:
-                block.ref_count = seq_group.num_seqs()
+                block.ref_count = len(
+                    seq_group.get_seqs(status=SequenceStatus.WAITING))
             block_table.append(block)
 
         for seq in seq_group.get_seqs(status=SequenceStatus.WAITING):
@@ -221,10 +227,29 @@ class BlockSpaceManager:
     # ---- decode-phase growth ----
 
     def can_append_slot(self, seq_group: SequenceGroup) -> bool:
-        # Worst case: every running sequence needs one new block.
         num_free_gpu_blocks = self.gpu_allocator.get_num_free_blocks()
-        num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
-        return num_seqs <= num_free_gpu_blocks
+        if self.enable_caching:
+            # Conservative under prefix caching (block promotion touches
+            # the cached pool): worst case one new block per sequence.
+            num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
+            return num_seqs <= num_free_gpu_blocks
+        # Exact need: a sequence takes a fresh block only when its table
+        # is shorter than its logical blocks (and not reusing a sliding-
+        # window slot) or its last block is shared (copy-on-write).  A
+        # table already extended by a multi-step lookahead window needs
+        # NOTHING — the worst-case count was preempting groups whose
+        # next tokens were fully pre-reserved.
+        need = 0
+        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
+            block_table = self.block_tables[seq.seq_id]
+            if len(block_table) < len(seq.logical_token_blocks):
+                if (self.block_sliding_window is not None
+                        and len(block_table) >= self.block_sliding_window):
+                    continue
+                need += 1
+            elif block_table and block_table[-1].ref_count > 1:
+                need += 1
+        return need <= num_free_gpu_blocks
 
     def can_append_slots(self, seq_group: SequenceGroup,
                          lookahead: int = 1) -> bool:
@@ -234,6 +259,13 @@ class BlockSpaceManager:
             return self.can_append_slot(seq_group)
         per_seq = -(-lookahead // self.block_size) + 1
         num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
+        return num_seqs * per_seq <= self.gpu_allocator.get_num_free_blocks()
+
+    def can_reserve_window(self, num_seqs: int, lookahead: int) -> bool:
+        """Batch-wide worst-case bound for reserving a multi-step decode
+        window for ``num_seqs`` sequences at once (the scheduler checks
+        this ONCE before extending any table)."""
+        per_seq = -(-lookahead // self.block_size) + 1
         return num_seqs * per_seq <= self.gpu_allocator.get_num_free_blocks()
 
     def _promote_last_block(self, seq: Sequence,

@@ -85,14 +85,26 @@ class NativeBlockSpaceManager:
         else:
             hashes = []
             hashed = []
+        # Ref count = the seqs receiving the table (see the Python
+        # manager's allocate: counting finished siblings after a
+        # recompute-preemption leaks the blocks forever).
         self._eng.allocate([s.seq_id for s in waiting], n, hashes, hashed,
-                           seq_group.num_seqs())
+                           len(waiting))
 
     # ---- decode-phase growth ----
 
     def can_append_slot(self, seq_group: SequenceGroup) -> bool:
-        return self._eng.can_append_slot(
-            seq_group.num_seqs(status=SequenceStatus.RUNNING))
+        running = seq_group.get_seqs(status=SequenceStatus.RUNNING)
+        if self.enable_caching or not hasattr(self._eng,
+                                              "num_need_append"):
+            # Conservative under prefix caching / stale cached .so.
+            return self._eng.can_append_slot(len(running))
+        # Exact need (mirrors block_manager.BlockSpaceManager): lookahead-
+        # extended tables and sliding-window reuse consume nothing.
+        need = self._eng.num_need_append(
+            [s.seq_id for s in running],
+            [len(s.logical_token_blocks) for s in running])
+        return self._eng.can_append_slot(need)
 
     def append_slot(self, seq: Sequence) -> Optional[Tuple[int, int]]:
         n = len(seq.logical_token_blocks)
@@ -115,6 +127,12 @@ class NativeBlockSpaceManager:
             return self.can_append_slot(seq_group)
         per_seq = -(-lookahead // self.block_size) + 1
         num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
+        return num_seqs * per_seq <= self._eng.num_free_gpu()
+
+    def can_reserve_window(self, num_seqs: int, lookahead: int) -> bool:
+        """Batch-wide lookahead reservation bound (see
+        block_manager.BlockSpaceManager.can_reserve_window)."""
+        per_seq = -(-lookahead // self.block_size) + 1
         return num_seqs * per_seq <= self._eng.num_free_gpu()
 
     def append_slots(self, seq: Sequence,

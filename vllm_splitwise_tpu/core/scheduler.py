@@ -112,6 +112,11 @@ class Scheduler:
         # Cumulative swap-preemption count (observability; lets tests
         # assert the swap path actually ran).
         self.num_swapped_total = 0
+        # Seq ids whose KV was produced by a prompt run this engine
+        # tracked (Splitwise): only these need a first-decode-step
+        # migration record.  Forked beam/n>1 children read the parent's
+        # already-migrated pages and must NOT emit transfer slots.
+        self._nw_prompt_seqs: set = set()
 
         self.seq_to_slot_mapper: Optional[SeqToSlotMapper] = (
             SeqToSlotMapper() if track_prompt_blocks else None)
@@ -167,10 +172,14 @@ class Scheduler:
             return
         assert self.seq_to_slot_mapper is not None
         for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            if prompt_run or seq.get_output_len() <= 1:
-                slot_id = self.seq_to_slot_mapper.get_slot_id(seq.seq_id)
-                block_ids = self.block_manager.get_block_table(seq)
-                blocks_to_nw[slot_id] = list(dict.fromkeys(block_ids))
+            if prompt_run:
+                self._nw_prompt_seqs.add(seq.seq_id)
+            elif (seq.get_output_len() > 1
+                  or seq.seq_id not in self._nw_prompt_seqs):
+                continue
+            slot_id = self.seq_to_slot_mapper.get_slot_id(seq.seq_id)
+            block_ids = self.block_manager.get_block_table(seq)
+            blocks_to_nw[slot_id] = list(dict.fromkeys(block_ids))
 
     def _schedule(self) -> SchedulerOutputs:
         blocks_to_swap_in: Dict[int, int] = {}
@@ -178,7 +187,10 @@ class Scheduler:
         blocks_to_copy: Dict[int, List[int]] = {}
         blocks_to_nw: Dict[int, List[int]] = {}
 
-        now = time.monotonic()
+        # Same clock as RequestMetrics.arrival_time (llm_engine
+        # add_request stamps time.time()): mixing monotonic here made
+        # priority values meaningless offsets.
+        now = time.time()
 
         # --- Prompt phase: batch waiting prompts (prompts-first policy,
         # unless sequences are swapped out — those must resume first). ---
@@ -193,6 +205,7 @@ class Scheduler:
                 if getattr(sg, "lora_request", None)) if \
                 self.lora_enabled else None
 
+            leftover_waiting: Deque[SequenceGroup] = deque()
             while self.waiting:
                 seq_group = self.waiting[0]
                 waiting_seqs = seq_group.get_seqs(
@@ -242,7 +255,13 @@ class Scheduler:
                     if (lora_id > 0 and lora_id not in curr_loras
                             and len(curr_loras) >=
                             self.lora_config.max_loras):
-                        break
+                        # No adapter slot free: defer just this group
+                        # (reference scheduler.py:233-241) — breaking
+                        # would head-of-line block base-model requests
+                        # behind it.
+                        leftover_waiting.appendleft(seq_group)
+                        self.waiting.popleft()
+                        continue
                     if lora_id > 0:
                         curr_loras.add(lora_id)
 
@@ -257,6 +276,8 @@ class Scheduler:
                 num_curr_seqs += num_new_seqs
                 scheduled.append(seq_group)
                 seq_group.maybe_set_first_scheduled_time(time.time())
+
+            self.waiting.extendleft(leftover_waiting)
 
             if scheduled or ignored_seq_groups:
                 for seq_group in scheduled:
@@ -302,19 +323,40 @@ class Scheduler:
             self.swapped = self.policy.sort_by_priority(now, self.swapped)
             num_curr_seqs = sum(
                 sg.get_max_num_running_seqs() for sg in self.running)
+            curr_loras = set(
+                sg.lora_int_id for sg in self.running
+                if getattr(sg, "lora_request", None)) if \
+                self.lora_enabled else None
+            leftover_swapped: Deque[SequenceGroup] = deque()
             while self.swapped:
                 seq_group = self.swapped[0]
+                if curr_loras is not None:
+                    lora_id = seq_group.lora_int_id
+                    if (lora_id > 0 and lora_id not in curr_loras
+                            and len(curr_loras) >=
+                            self.lora_config.max_loras):
+                        # Swapping this group in would put more distinct
+                        # adapters in the batch than device LoRA slots —
+                        # the worker's LRU slot manager would silently
+                        # evict one mid-batch (wrong weights).  Defer it
+                        # (reference scheduler.py:336-345).
+                        leftover_swapped.appendleft(seq_group)
+                        self.swapped.popleft()
+                        continue
                 if not self.block_manager.can_swap_in(seq_group):
                     break
                 num_new_seqs = seq_group.get_max_num_running_seqs()
                 if (num_curr_seqs + num_new_seqs
                         > self.scheduler_config.max_num_seqs):
                     break
+                if curr_loras is not None and seq_group.lora_int_id > 0:
+                    curr_loras.add(seq_group.lora_int_id)
                 self.swapped.popleft()
                 self._swap_in(seq_group, blocks_to_swap_in)
                 self._append_slot(seq_group, blocks_to_copy)
                 num_curr_seqs += num_new_seqs
                 self.running.append(seq_group)
+            self.swapped.extendleft(leftover_swapped)
 
         for seq_group in self.running:
             self._track_nw_blocks(seq_group, blocks_to_nw)
@@ -387,11 +429,15 @@ class Scheduler:
         window = min(window, max_remaining)
         if window <= 1:
             return 1
+        # ONE batch-wide reservation check BEFORE touching the pool:
+        # reserving group-by-group and failing on a late group would
+        # strand the earlier groups' pages this step.
+        total_seqs = sum(
+            len(g.get_seqs(status=SequenceStatus.RUNNING))
+            for g in self.running)
+        if not self.block_manager.can_reserve_window(total_seqs, window):
+            return 1
         for seq_group in self.running:
-            if not self.block_manager.can_append_slots(seq_group, window):
-                # Not enough free pages for everyone's lookahead: degrade
-                # the batch (already-reserved pages are used next window).
-                return 1
             for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
                 for src, dst in self.block_manager.append_slots(seq,
                                                                 window):
@@ -450,6 +496,7 @@ class Scheduler:
 
     def free_seq(self, seq: Sequence) -> None:
         self.block_manager.free(seq)
+        self._nw_prompt_seqs.discard(seq.seq_id)
         if (self.seq_to_slot_mapper is not None
                 and seq.seq_id in self.seq_to_slot_mapper.seq_to_slot):
             self.seq_to_slot_mapper.free_seq(seq.seq_id)
@@ -501,10 +548,7 @@ class Scheduler:
         assert len(seqs) == 1
         for seq in seqs:
             seq.status = SequenceStatus.WAITING
-            self.block_manager.free(seq)
-            if (self.seq_to_slot_mapper is not None
-                    and seq.seq_id in self.seq_to_slot_mapper.seq_to_slot):
-                self.seq_to_slot_mapper.free_seq(seq.seq_id)
+            self.free_seq(seq)
         self.waiting.appendleft(seq_group)
 
     def _preempt_by_swap(
