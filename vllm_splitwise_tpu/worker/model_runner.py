@@ -15,7 +15,6 @@ tensors); sampled token ids — not logits — cross back.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -34,7 +33,7 @@ from vllm_splitwise_tpu.sampling_params import SamplingParams, SamplingType
 from vllm_splitwise_tpu.sequence import (Logprob, SamplerOutput,
                                          SequenceGroupMetadata,
                                          SequenceGroupOutput, SequenceOutput)
-from vllm_splitwise_tpu.utils import cdiv, round_up
+from vllm_splitwise_tpu.utils import cdiv
 
 logger = init_logger(__name__)
 
@@ -47,6 +46,17 @@ def _bucket(n: int, ladder: List[int]) -> int:
         if n <= b:
             return b
     return ladder[-1]
+
+
+def _extend_ladder(ladder: List[int], cover: int) -> List[int]:
+    """Grow a bucket ladder by doubling until it covers ``cover``.
+    _bucket CLAMPS to ladder[-1]; an undersized ladder would silently
+    truncate batches/prompts and shape-mismatch downstream, so every
+    ladder is extended to the configured maximum at init."""
+    ladder = list(ladder)
+    while ladder[-1] < cover:
+        ladder.append(ladder[-1] * 2)
+    return ladder
 
 
 def _pack_sampler_output(out: SamplerOutputArrays) -> "jax.Array":
@@ -143,6 +153,27 @@ class ModelRunner:
         self.block_size = cache_config.block_size
         self.max_model_len = model_config.max_model_len
         self.max_pages_per_seq = cdiv(self.max_model_len, self.block_size)
+
+        # Per-instance ladders sized to THIS config (class defaults cover
+        # the common range; _bucket clamps at ladder[-1]).
+        max_seqs = scheduler_config.max_num_seqs
+        self.DECODE_BATCH_BUCKETS = _extend_ladder(
+            type(self).DECODE_BATCH_BUCKETS, max_seqs)
+        self.PREFILL_BATCH_BUCKETS = _extend_ladder(
+            type(self).PREFILL_BATCH_BUCKETS, max_seqs)
+        self.PREFILL_LEN_BUCKETS = _extend_ladder(
+            type(self).PREFILL_LEN_BUCKETS, self.max_model_len)
+        # Sample rows are bounded by the scheduler's seq budget.
+        self.SAMPLE_ROW_BUCKETS = _extend_ladder(
+            type(self).SAMPLE_ROW_BUCKETS, max_seqs)
+        # Penalty token histories run to the full model length.
+        self.PENALTY_LEN_BUCKETS = _extend_ladder(
+            type(self).PENALTY_LEN_BUCKETS, self.max_model_len)
+        self.LOGPROB_BUCKETS = _extend_ladder(
+            type(self).LOGPROB_BUCKETS, model_config.max_logprobs + 1)
+        self.PREFIX_PAGE_BUCKETS = _extend_ladder(
+            [4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048],
+            self.max_pages_per_seq)
 
         self.model = None
         self.params = None
@@ -297,13 +328,35 @@ class ModelRunner:
             return _pack_sampler_output(out), prompt_lp, new_caches
 
         def logits_step(params, input_ids, positions, kv_caches, metadata,
-                        sample_indices, *, is_prefill):
+                        sample_indices, lora=None, *, is_prefill,
+                        return_prompt_logprobs=False, max_logprobs=1):
             """Raw-logits variant: used when host-side logits processors
-            (guided decoding) must run between the model and the sampler."""
-            hidden, new_caches = model(params, input_ids, positions,
-                                       kv_caches, metadata)
+            (guided decoding) must run between the model and the sampler.
+            Carries the same LoRA pytree and prompt-logprob surface as the
+            packed step fn — guided requests keep their adapters and
+            prompt_logprobs."""
+            if lora is not None:
+                hidden, new_caches = model(params, input_ids, positions,
+                                           kv_caches, metadata, lora=lora)
+            else:
+                hidden, new_caches = model(params, input_ids, positions,
+                                           kv_caches, metadata)
+            prompt_lp = None
             if is_prefill:
                 batch = hidden.shape[0]
+                if return_prompt_logprobs:
+                    all_logits = model.compute_logits(params, hidden)
+                    all_logits = all_logits[..., :vocab_size]
+                    all_lp = jax.nn.log_softmax(
+                        all_logits.astype(jnp.float32), axis=-1)
+                    next_ids = jnp.roll(input_ids, -1, axis=1)
+                    chosen_lp = jnp.take_along_axis(
+                        all_lp, next_ids[..., None], axis=-1)[..., 0]
+                    topk_lp, topk_ids = jax.lax.top_k(all_lp, max_logprobs)
+                    prompt_lp = jnp.concatenate([
+                        chosen_lp[..., None], topk_lp,
+                        topk_ids.astype(jnp.float32)
+                    ], axis=-1)
                 last = jnp.maximum(metadata.seq_lens - 1, 0)
                 hidden = hidden[jnp.arange(batch), last]
             else:
@@ -311,7 +364,7 @@ class ModelRunner:
             logits = model.compute_logits(params, hidden)
             logits = logits[..., :vocab_size].astype(jnp.float32)
             return jnp.take(logits, sample_indices, axis=0,
-                            mode="clip"), new_caches
+                            mode="clip"), prompt_lp, new_caches
 
         def sample_step(logits, sampling_tensors, seeds, *,
                         needs_filtering, max_logprobs):
@@ -321,7 +374,9 @@ class ModelRunner:
                        needs_filtering=needs_filtering))
 
         self._logits_fn = jax.jit(logits_step,
-                                  static_argnames=("is_prefill", ),
+                                  static_argnames=("is_prefill",
+                                                   "return_prompt_logprobs",
+                                                   "max_logprobs"),
                                   donate_argnums=(3, ))
         self._sample_fn = jax.jit(sample_step,
                                   static_argnames=("needs_filtering",
@@ -663,6 +718,24 @@ class ModelRunner:
                              "needs_filtering"),
             donate_argnums=(2, 3))
 
+    @staticmethod
+    def _pack_decode_window_bufs(input_ids, metadata, sample_indices,
+                                 tensors, seeds):
+        """Shared i32/f32 packed-buffer layout for the fused decode
+        windows (multi-step and speculative).  The device-side unpack
+        order in BOTH jitted window fns mirrors this — keep the layout
+        defined once."""
+        ibuf = np.concatenate([
+            input_ids[:, 0], metadata.context_lens, metadata.slot_mapping,
+            metadata.block_tables.ravel(), sample_indices, tensors.top_k,
+            seeds.ravel().view(np.int32)
+        ])
+        fbuf = np.concatenate([
+            tensors.temperature, tensors.top_p, tensors.min_p,
+            tensors.greedy_mask.astype(np.float32)
+        ])
+        return ibuf, fbuf
+
     def _execute_spec_decode(self, seq_group_metadata_list, kv_caches,
                              k: int):
         """Run one fused speculative step; returns (k+1 virtual-step
@@ -675,15 +748,8 @@ class ModelRunner:
         batch = input_ids.shape[0]
         pages = metadata.block_tables.shape[1]
         s_pad = sample_indices.shape[0]
-        ibuf = np.concatenate([
-            input_ids[:, 0], metadata.context_lens, metadata.slot_mapping,
-            metadata.block_tables.ravel(), sample_indices, tensors.top_k,
-            seeds.view(np.int32)
-        ])
-        fbuf = np.concatenate([
-            tensors.temperature, tensors.top_p, tensors.min_p,
-            tensors.greedy_mask.astype(np.float32)
-        ])
+        ibuf, fbuf = self._pack_decode_window_bufs(
+            input_ids, metadata, sample_indices, tensors, seeds)
         packed, num_acc, num_emit, kv_caches, self.draft_caches = \
             self._spec_fn(self.params, self.draft_params, kv_caches,
                           self.draft_caches, jnp.asarray(ibuf),
@@ -773,7 +839,7 @@ class ModelRunner:
         if any(start_positions):
             max_prefix_pages = _bucket(
                 max(len(t) for t in prefix_tables),
-                [4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048])
+                self.PREFIX_PAGE_BUCKETS)
             bt = np.zeros((batch, max_prefix_pages), dtype=np.int32)
             plens = np.zeros((batch, ), dtype=np.int32)
             for i, (tbl, start) in enumerate(
@@ -798,6 +864,7 @@ class ModelRunner:
         as_numpy: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray, DecodeMetadata, int]:
         tokens: List[int] = []
+        abs_positions: List[int] = []
         context_lens: List[int] = []
         slots: List[int] = []
         block_rows: List[List[int]] = []
@@ -811,6 +878,7 @@ class ModelRunner:
                 seq_len = data.get_len()
                 block_table = md.block_tables[seq_id]
                 pos = seq_len - 1
+                abs_positions.append(pos)
                 page = block_table[pos // self.block_size]
                 slots.append(page * self.block_size +
                              pos % self.block_size)
@@ -830,7 +898,12 @@ class ModelRunner:
         tables = np.zeros((batch, self.max_pages_per_seq), dtype=np.int32)
         for i in range(num_rows):
             input_ids[i, 0] = tokens[i]
-            positions[i, 0] = context_lens[i] - 1
+            # ABSOLUTE position (reference model_runner.py decode prep):
+            # prefill rotated earlier K at absolute positions, so a
+            # sliding-window model's new token must too — deriving it
+            # from the window-clamped context froze RoPE at window-1 and
+            # corrupted relative distances past the window.
+            positions[i, 0] = abs_positions[i]
             slot_arr[i] = slots[i]
             ctx_arr[i] = context_lens[i]
             row = block_rows[i]
@@ -1021,11 +1094,6 @@ class ModelRunner:
 
         has_processors = any(md.sampling_params.logits_processors
                              for md in seq_group_metadata_list)
-        if has_processors:
-            return self._execute_with_host_processors(
-                seq_group_metadata_list, kv_caches, is_prompt, tensors,
-                seeds, sample_indices, needs_filtering, max_logprobs, plan,
-                (input_ids, positions, metadata))
 
         want_prompt_lp = is_prompt and any(
             md.sampling_params.prompt_logprobs is not None
@@ -1041,7 +1109,8 @@ class ModelRunner:
         lora = self._prepare_lora(seq_group_metadata_list,
                                   input_ids.shape[0])
 
-        # Pack all metadata into two buffers (layout mirrored in the
+        # Pack all metadata into two buffers even on the host-processor
+        # path: the draft-model sync fns parse this exact layout (the
         # jitted step; see its docstring for why).
         batch = input_ids.shape[0]
         s_pad = sample_indices.shape[0]
@@ -1074,6 +1143,20 @@ class ModelRunner:
         ])
 
         ibuf_dev = jnp.asarray(ibuf)
+
+        if has_processors:
+            # Slow path (guided decoding): logits -> host processors ->
+            # jitted sampler.  Keeps LoRA, prompt logprobs, and the
+            # draft-cache sync — only sampling moves to the host side.
+            sampler_output, kv_caches = self._execute_with_host_processors(
+                seq_group_metadata_list, kv_caches, is_prompt, tensors,
+                seeds, sample_indices, needs_filtering, max_logprobs, plan,
+                (input_ids, positions, metadata), lora, want_prompt_lp)
+            self._sync_draft_caches(ibuf_dev, is_prompt, batch,
+                                    t_pad if is_prompt else 1,
+                                    prefix_pages, pages)
+            return sampler_output, kv_caches
+
         out, prompt_lp, kv_caches = self._step_fn(
             self.params, kv_caches, ibuf_dev, jnp.asarray(fbuf),
             lora, needs_filtering=needs_filtering,
@@ -1083,21 +1166,8 @@ class ModelRunner:
             lo=tensors.output_tokens.shape[1],
             return_prompt_logprobs=want_prompt_lp)
 
-        if self.draft_model is not None:
-            if is_prompt:
-                # Speculative decoding: the draft model ingests the
-                # prompt too (its KV rides the same page indices); the
-                # already-uploaded ibuf is reused, so this costs one
-                # dispatch and no extra transport.
-                self.draft_caches = self._draft_prefill_fn(
-                    self.draft_params, self.draft_caches, ibuf_dev,
-                    batch=batch, t_pad=t_pad, prefix_pages=prefix_pages)
-            else:
-                # Window-ineligible step: keep the draft cache in sync so
-                # later speculative windows don't propose against holes.
-                self.draft_caches = self._draft_decode_fn(
-                    self.draft_params, self.draft_caches, ibuf_dev,
-                    batch=batch, pages=pages)
+        self._sync_draft_caches(ibuf_dev, is_prompt, batch, t_pad,
+                                 prefix_pages, pages)
 
         sampler_output = self._process_sampler_output(
             _unpack_sampler_output(out, max_logprobs), plan)
@@ -1106,6 +1176,25 @@ class ModelRunner:
                                          max_logprobs, plan,
                                          seq_group_metadata_list)
         return sampler_output, kv_caches
+
+    def _sync_draft_caches(self, ibuf_dev, is_prompt, batch, t_pad,
+                           prefix_pages, pages) -> None:
+        """Speculative decoding: keep the draft model's KV in lockstep
+        with the target (the already-uploaded ibuf is reused, so this
+        costs one dispatch and no extra transport).  Prefill ingests the
+        prompt; a window-ineligible decode step writes the committed
+        token — skipping either leaves holes the next speculative window
+        proposes against."""
+        if self.draft_model is None:
+            return
+        if is_prompt:
+            self.draft_caches = self._draft_prefill_fn(
+                self.draft_params, self.draft_caches, ibuf_dev,
+                batch=batch, t_pad=t_pad, prefix_pages=prefix_pages)
+        else:
+            self.draft_caches = self._draft_decode_fn(
+                self.draft_params, self.draft_caches, ibuf_dev,
+                batch=batch, pages=pages)
 
     def _execute_multi_decode(self, seq_group_metadata_list, kv_caches,
                               num_steps: int):
@@ -1125,15 +1214,8 @@ class ModelRunner:
         batch = input_ids.shape[0]
         pages = metadata.block_tables.shape[1]
         s_pad = sample_indices.shape[0]
-        ibuf = np.concatenate([
-            input_ids[:, 0], metadata.context_lens, metadata.slot_mapping,
-            metadata.block_tables.ravel(), sample_indices, tensors.top_k,
-            seeds.ravel().view(np.int32)
-        ])
-        fbuf = np.concatenate([
-            tensors.temperature, tensors.top_p, tensors.min_p,
-            tensors.greedy_mask.astype(np.float32)
-        ])
+        ibuf, fbuf = self._pack_decode_window_bufs(
+            input_ids, metadata, sample_indices, tensors, seeds)
         outs, kv_caches = self._multi_step_fn(
             self.params, kv_caches, jnp.asarray(ibuf), jnp.asarray(fbuf),
             num_steps=num_steps, batch=batch, pages=pages, s_pad=s_pad,
@@ -1196,19 +1278,20 @@ class ModelRunner:
     def _execute_with_host_processors(self, seq_group_metadata_list,
                                       kv_caches, is_prompt, tensors, seeds,
                                       sample_indices, needs_filtering,
-                                      max_logprobs, plan, inputs):
+                                      max_logprobs, plan, inputs,
+                                      lora=None, want_prompt_lp=False):
         """Slow path for guided decoding: raw logits come to the host,
         per-row logits processors mutate them, sampling goes back through
         the jitted sampler.  One extra device<->host round trip per step
         for the affected batch only."""
         input_ids, positions, metadata = inputs
-        logits, kv_caches = self._logits_fn(
+        logits, prompt_lp, kv_caches = self._logits_fn(
             self.params, jnp.asarray(input_ids), jnp.asarray(positions),
-            kv_caches, metadata, jnp.asarray(sample_indices),
-            is_prefill=is_prompt)
+            kv_caches, metadata, jnp.asarray(sample_indices), lora,
+            is_prefill=is_prompt, return_prompt_logprobs=want_prompt_lp,
+            max_logprobs=max_logprobs)
         logits_np = np.asarray(logits).copy()
 
-        row = 0
         for md, row_ids, parent_ids in plan:
             procs = md.sampling_params.logits_processors
             for r, parent in zip(row_ids, parent_ids):
@@ -1217,14 +1300,18 @@ class ModelRunner:
                     for proc in procs:
                         logits_np[r] = np.asarray(
                             proc(out_tokens, logits_np[r]))
-            row += len(row_ids)
 
         out = self._sample_fn(jnp.asarray(logits_np), tensors,
                               jnp.asarray(seeds),
                               needs_filtering=needs_filtering,
                               max_logprobs=max_logprobs)
-        return self._process_sampler_output(
-            _unpack_sampler_output(out, max_logprobs), plan), kv_caches
+        sampler_output = self._process_sampler_output(
+            _unpack_sampler_output(out, max_logprobs), plan)
+        if prompt_lp is not None:
+            self._attach_prompt_logprobs(sampler_output, prompt_lp,
+                                         max_logprobs, plan,
+                                         seq_group_metadata_list)
+        return sampler_output, kv_caches
 
     def _attach_prompt_logprobs(self, sampler_output, prompt_lp,
                                 max_logprobs, plan,
@@ -1241,17 +1328,23 @@ class ModelRunner:
                 continue
             seq_id = next(iter(md.seq_data))
             token_ids = md.seq_data[seq_id].get_token_ids()
-            # Position 0 has no conditional logprob (OpenAI semantics).
-            result: List[Optional[Dict[int, Logprob]]] = [None]
-            for i in range(1, len(token_ids)):
+            # The device buffer covers only the prefix-stripped SUFFIX
+            # (prefill ran on token_ids[prefix_len:]); suffix logits row
+            # j scores full-prompt token prefix_len + j + 1.  Tokens at
+            # or inside the cached prefix have no computed logits and
+            # report None (position 0 is None by OpenAI semantics).
+            prefix_len = getattr(md, "prefix_len", 0) or 0
+            none_head = min(prefix_len + 1, len(token_ids))
+            result: List[Optional[Dict[int, Logprob]]] = [None] * none_head
+            for i in range(none_head, len(token_ids)):
                 tok = token_ids[i]
-                # Logits at position i-1 predict token i.
+                j = i - prefix_len - 1
                 entry: Dict[int, Logprob] = {
-                    tok: Logprob(float(chosen_lp[row, i - 1]))
+                    tok: Logprob(float(chosen_lp[row, j]))
                 }
-                for j in range(min(num, topk_lp.shape[-1])):
-                    entry.setdefault(int(topk_ids[row, i - 1, j]),
-                                     Logprob(float(topk_lp[row, i - 1, j])))
+                for k in range(min(num, topk_lp.shape[-1])):
+                    entry.setdefault(int(topk_ids[row, j, k]),
+                                     Logprob(float(topk_lp[row, j, k])))
                 result.append(entry)
             group_out.prompt_logprobs = result
 
