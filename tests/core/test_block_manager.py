@@ -1,263 +1,236 @@
-"""Block manager unit tests (pure CPU), mirroring the reference's test
-strategy for alloc/append/CoW/swap status (tests/core/test_block_manager.py)."""
-import time
-
+"""Page-pool / block-manager unit tests (pure CPU), mirroring the
+reference's coverage for alloc/append/CoW/swap status
+(tests/core/test_block_manager.py)."""
 import pytest
 
-from vllm_splitwise_tpu.block import PhysicalTokenBlock
-from vllm_splitwise_tpu.core.block_manager import (AllocStatus, BlockAllocator,
-                                                   BlockSpaceManager)
-from vllm_splitwise_tpu.sequence import Logprob, Sequence, SequenceStatus
+from vllm_splitwise_tpu.core.block_manager import (AllocStatus,
+                                                   BlockSpaceManager,
+                                                   PagePool)
+from vllm_splitwise_tpu.sequence import Logprob, SequenceStatus
 from vllm_splitwise_tpu.utils import Device
 
 from .utils import create_dummy_prompt
 
 
-def test_block_allocator_allocate():
-    block_size = 4
-    num_cpu_blocks = 4
-    cpu_allocator = BlockAllocator(Device.CPU, block_size, num_cpu_blocks)
-
-    num_free = num_cpu_blocks
-    assert cpu_allocator.get_num_free_blocks() == num_free
+def test_page_pool_alloc():
+    pool = PagePool(Device.CPU, 4)
+    free = 4
+    assert pool.free_count() == free
     seen = set()
-    for _ in range(num_cpu_blocks):
-        block = cpu_allocator.allocate()
-        num_free -= 1
-        assert block.block_number not in seen
-        seen.add(block.block_number)
-        assert cpu_allocator.get_num_free_blocks() == num_free
-
+    for _ in range(4):
+        page = pool.alloc()
+        free -= 1
+        assert page not in seen
+        seen.add(page)
+        assert pool.free_count() == free
     with pytest.raises(ValueError):
-        cpu_allocator.allocate()
+        pool.alloc()
 
 
-def test_block_allocator_free():
-    block_size = 4
-    num_cpu_blocks = 4
-    cpu_allocator = BlockAllocator(Device.CPU, block_size, num_cpu_blocks)
-
-    blocks = []
-    for _ in range(num_cpu_blocks):
-        block = cpu_allocator.allocate()
-        blocks.append(block)
-
-    for i, block in enumerate(blocks):
-        cpu_allocator.free(block)
-        assert cpu_allocator.get_num_free_blocks() == i + 1
+def test_page_pool_release():
+    pool = PagePool(Device.CPU, 4)
+    pages = [pool.alloc() for _ in range(4)]
+    for i, page in enumerate(pages):
+        pool.release(page)
+        assert pool.free_count() == i + 1
         with pytest.raises(ValueError):
-            cpu_allocator.free(block)  # Double free.
+            pool.release(page)  # Double free.
+
+
+def test_page_pool_cached_hash_sharing():
+    pool = PagePool(Device.TPU, 4, enable_caching=True)
+    a = pool.alloc_cached(1234, 16)
+    b = pool.alloc_cached(1234, 16)
+    assert a == b
+    assert pool.refs(a) == 2
+    # Parked pages resurrect by hash after release.
+    pool.release(a)
+    pool.release(a)
+    assert pool.free_count() == 4  # 3 unminted + 1 parked
+    c = pool.alloc_cached(1234, 16)
+    assert c == a
 
 
 def test_allocate():
     block_size = 4
-    num_cpu_blocks = 4
-    num_gpu_blocks = 4
-    block_manager = BlockSpaceManager(block_size,
-                                      num_gpu_blocks,
-                                      num_cpu_blocks,
-                                      watermark=0)
+    manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
 
     # One block per prompt fits num_gpu_blocks times.
-    for i in range(num_gpu_blocks):
+    for i in range(4):
         _, seq_group = create_dummy_prompt(str(i), block_size)
-        assert block_manager.can_allocate(seq_group) == AllocStatus.OK
-        block_manager.allocate(seq_group)
-    assert block_manager.can_allocate(seq_group) != AllocStatus.OK
+        assert manager.can_allocate(seq_group) == AllocStatus.OK
+        manager.allocate(seq_group)
+    assert manager.can_allocate(seq_group) != AllocStatus.OK
 
     # Watermark reserves headroom.
-    block_manager = BlockSpaceManager(block_size,
-                                      num_gpu_blocks,
-                                      num_cpu_blocks,
-                                      watermark=1 / num_gpu_blocks)
-    for i in range(num_gpu_blocks - 1):
+    manager = BlockSpaceManager(block_size, 4, 4, watermark=1 / 4)
+    for i in range(3):
         _, seq_group = create_dummy_prompt(str(i), block_size)
-        assert block_manager.can_allocate(seq_group) == AllocStatus.OK
-        block_manager.allocate(seq_group)
-    assert block_manager.can_allocate(seq_group) != AllocStatus.OK
+        assert manager.can_allocate(seq_group) == AllocStatus.OK
+        manager.allocate(seq_group)
+    assert manager.can_allocate(seq_group) != AllocStatus.OK
 
 
 def test_allocate_never():
     block_size = 4
-    block_manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
+    manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
     # A prompt larger than the whole cache can never run.
     _, seq_group = create_dummy_prompt("0", 5 * block_size, block_size)
-    assert block_manager.can_allocate(seq_group) == AllocStatus.NEVER
+    assert manager.can_allocate(seq_group) == AllocStatus.NEVER
 
 
 def test_append_slot_single_seq():
     block_size = 4
-    num_cpu_blocks = 4
-    num_gpu_blocks = 4
-    block_manager = BlockSpaceManager(block_size,
-                                      num_gpu_blocks,
-                                      num_cpu_blocks,
-                                      watermark=0)
+    manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
 
     prompt, seq_group = create_dummy_prompt("1", block_size)
-    block_manager.allocate(seq_group)
+    manager.allocate(seq_group)
 
-    # No new block needed while the last block has room.
-    free_before = block_manager.get_num_free_gpu_blocks()
+    # No new page needed while the last block has room.
+    free_before = manager.get_num_free_gpu_blocks()
     prompt.status = SequenceStatus.RUNNING
-    assert block_manager.append_slot(prompt) is None
-    assert free_before == block_manager.get_num_free_gpu_blocks()
+    assert manager.append_slot(prompt) is None
+    assert free_before == manager.get_num_free_gpu_blocks()
 
-    # Filling the block forces a new allocation.
+    # Filling the block forces a fresh page.
     for i in range(block_size):
-        prompt.append_token_id(i + 100, {i + 100: Logprob(0.0)})
-    assert block_manager.append_slot(prompt) is None
-    assert free_before - 1 == block_manager.get_num_free_gpu_blocks()
+        prompt.append_token(i + 100, {i + 100: Logprob(0.0)})
+    assert manager.append_slot(prompt) is None
+    assert free_before - 1 == manager.get_num_free_gpu_blocks()
 
 
 def test_append_slot_cow():
     block_size = 4
-    block_manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
+    manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
 
     prompt, seq_group = create_dummy_prompt("1",
                                             block_size - 1,
                                             block_size=block_size)
-    block_manager.allocate(seq_group)
+    manager.allocate(seq_group)
 
-    # Fork: both seqs share the last (partial) block.
+    # Fork: both seqs share the last (partial) page.
     child = prompt.fork(2)
     token_id = 9999
-    child.append_token_id(token_id, {token_id: Logprob(0.0)})
+    child.append_token(token_id, {token_id: Logprob(0.0)})
     seq_group.add(child)
-    block_manager.fork(prompt, child)
+    manager.fork(prompt, child)
 
-    free_before = block_manager.get_num_free_gpu_blocks()
-    cow = block_manager.append_slot(child)
+    free_before = manager.get_num_free_gpu_blocks()
+    cow = manager.append_slot(child)
     assert cow is not None
     src, dst = cow
     assert src != dst
-    assert free_before - 1 == block_manager.get_num_free_gpu_blocks()
+    assert free_before - 1 == manager.get_num_free_gpu_blocks()
 
 
 def test_fork():
     block_size = 4
-    block_manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
+    manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
 
     prompt, seq_group = create_dummy_prompt("1",
                                             block_size - 1,
                                             block_size=block_size)
-    block_manager.allocate(seq_group)
+    manager.allocate(seq_group)
 
     child = prompt.fork(2)
-    block_manager.fork(prompt, child)
-    assert block_manager.get_block_table(prompt) == \
-        block_manager.get_block_table(child)
+    manager.fork(prompt, child)
+    assert manager.get_block_table(prompt) == manager.get_block_table(child)
 
-    # Appending within the shared partial block triggers CoW, diverging the
-    # tables.
+    # Appending within the shared partial page triggers CoW, diverging
+    # the tables.
     token_id = 4
-    child.append_token_id(token_id, {token_id: Logprob(0.0)})
-    block_manager.append_slot(child)
-    assert block_manager.get_block_table(prompt) != \
-        block_manager.get_block_table(child)
+    child.append_token(token_id, {token_id: Logprob(0.0)})
+    manager.append_slot(child)
+    assert manager.get_block_table(prompt) != manager.get_block_table(child)
 
 
 def test_swap():
     block_size = 4
-    block_manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
+    manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
 
     prompt, seq_group = create_dummy_prompt("1", prompt_length=block_size - 1)
     prompt.status = SequenceStatus.WAITING
-    block_manager.allocate(seq_group)
+    manager.allocate(seq_group)
 
     prompt.status = SequenceStatus.RUNNING
     token_id = 0
-    prompt.append_token_id(token_id, {token_id: Logprob(0.0)})
+    prompt.append_token(token_id, {token_id: Logprob(0.0)})
 
     # Swap out.
-    assert block_manager.can_swap_out(seq_group)
-    before_cpu = block_manager.get_num_free_cpu_blocks()
-    before_gpu = block_manager.get_num_free_gpu_blocks()
-    mapping = block_manager.swap_out(seq_group)
-    assert list(mapping.keys()) == block_manager.get_block_table(prompt) or \
-        set(mapping.keys()).isdisjoint(set(block_manager.get_block_table(prompt))) is False or True
-    after_cpu = block_manager.get_num_free_cpu_blocks()
-    after_gpu = block_manager.get_num_free_gpu_blocks()
-    assert before_cpu == after_cpu + len(mapping)
-    assert before_gpu + len(mapping) == after_gpu
+    assert manager.can_swap_out(seq_group)
+    before_cpu = manager.get_num_free_cpu_blocks()
+    before_gpu = manager.get_num_free_gpu_blocks()
+    mapping = manager.swap_out(seq_group)
+    assert before_cpu == manager.get_num_free_cpu_blocks() + len(mapping)
+    assert before_gpu + len(mapping) == manager.get_num_free_gpu_blocks()
     prompt.status = SequenceStatus.SWAPPED
 
     # Swap in.
-    assert block_manager.can_swap_in(seq_group)
-    before_cpu, before_gpu = after_cpu, after_gpu
-    mapping = block_manager.swap_in(seq_group)
-    after_cpu = block_manager.get_num_free_cpu_blocks()
-    after_gpu = block_manager.get_num_free_gpu_blocks()
-    assert before_cpu + len(mapping) == after_cpu
-    assert before_gpu == after_gpu + len(mapping)
+    assert manager.can_swap_in(seq_group)
+    before_cpu = manager.get_num_free_cpu_blocks()
+    before_gpu = manager.get_num_free_gpu_blocks()
+    mapping = manager.swap_in(seq_group)
+    assert before_cpu + len(mapping) == manager.get_num_free_cpu_blocks()
+    assert before_gpu == manager.get_num_free_gpu_blocks() + len(mapping)
 
 
 def test_free():
     block_size = 4
-    block_manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
+    manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
 
     prompt, seq_group = create_dummy_prompt("1", block_size)
-    block_manager.allocate(seq_group)
+    manager.allocate(seq_group)
 
-    prompt_blocks = len(block_manager.get_block_table(prompt))
-    before = block_manager.get_num_free_gpu_blocks()
-    block_manager.free(prompt)
-    after = block_manager.get_num_free_gpu_blocks()
-    assert after == before + prompt_blocks
+    prompt_pages = len(manager.get_block_table(prompt))
+    before = manager.get_num_free_gpu_blocks()
+    manager.free(prompt)
+    assert manager.get_num_free_gpu_blocks() == before + prompt_pages
 
     with pytest.raises(KeyError):
-        block_manager.get_block_table(prompt)
+        manager.get_block_table(prompt)
 
 
 def test_reset():
     block_size = 4
-    num_gpu_blocks = 4
-    block_manager = BlockSpaceManager(block_size, num_gpu_blocks, 4,
-                                      watermark=0)
+    manager = BlockSpaceManager(block_size, 4, 4, watermark=0)
 
-    original = block_manager.get_num_free_gpu_blocks()
-    for i in range(num_gpu_blocks):
+    original = manager.get_num_free_gpu_blocks()
+    for i in range(4):
         _, seq_group = create_dummy_prompt(str(i), block_size)
-        block_manager.allocate(seq_group)
-    assert block_manager.get_num_free_gpu_blocks() == 0
+        manager.allocate(seq_group)
+    assert manager.get_num_free_gpu_blocks() == 0
 
-    block_manager.reset()
-    assert block_manager.get_num_free_gpu_blocks() == original
+    manager.reset()
+    assert manager.get_num_free_gpu_blocks() == original
 
 
 def test_prefix_caching_hash_reuse():
-    """Two identical prompts share physical blocks with enable_caching."""
+    """Two identical prompts share physical pages with enable_caching."""
     block_size = 4
-    block_manager = BlockSpaceManager(block_size,
-                                      16,
-                                      16,
-                                      watermark=0,
-                                      enable_caching=True)
+    manager = BlockSpaceManager(block_size, 16, 16, watermark=0,
+                                enable_caching=True)
 
     prompt1, group1 = create_dummy_prompt("1", 2 * block_size, block_size)
-    block_manager.allocate(group1)
-    table1 = block_manager.get_block_table(prompt1)
+    manager.allocate(group1)
+    table1 = manager.get_block_table(prompt1)
 
     prompt2, group2 = create_dummy_prompt("2", 2 * block_size, block_size)
-    block_manager.allocate(group2)
-    table2 = block_manager.get_block_table(prompt2)
+    manager.allocate(group2)
+    table2 = manager.get_block_table(prompt2)
 
-    # Same content -> same physical blocks.
+    # Same content -> same physical pages.
     assert table1 == table2
 
 
 def test_computed_blocks_tracking():
     block_size = 4
-    block_manager = BlockSpaceManager(block_size,
-                                      16,
-                                      16,
-                                      watermark=0,
-                                      enable_caching=True)
+    manager = BlockSpaceManager(block_size, 16, 16, watermark=0,
+                                enable_caching=True)
     prompt, group = create_dummy_prompt("1", 3 * block_size, block_size)
-    block_manager.allocate(group)
+    manager.allocate(group)
     prompt.status = SequenceStatus.RUNNING
-    assert block_manager.get_all_computed_blocks(prompt) == []
-    block_manager.mark_blocks_as_computed(group)
-    computed = block_manager.get_all_computed_blocks(prompt)
-    # Last block is never reported computed.
+    assert manager.get_all_computed_blocks(prompt) == []
+    manager.mark_blocks_as_computed(group)
+    computed = manager.get_all_computed_blocks(prompt)
+    # Last page is never reported computed.
     assert len(computed) == 2

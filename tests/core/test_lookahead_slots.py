@@ -78,7 +78,7 @@ def _add_and_prefill(sched, seq_id, prompt_len, sp=None):
     seq, group = _make_group(seq_id, prompt_len, sp)
     sched.add_seq_group(group)
     sched.schedule()  # prompt run
-    seq.data.append_token_id(7, 0.0)  # the sampled first token
+    seq.data.append_token(7, 0.0)  # the sampled first token
     return seq, group
 
 

@@ -51,7 +51,7 @@ def test_basic_alloc_append_free_parity():
     _assert_same_tables(py, cc, [prompt])
 
     for i in range(10):
-        prompt.append_token_id(100 + i, {100 + i: Logprob(0.0)})
+        prompt.append_token(100 + i, {100 + i: Logprob(0.0)})
         assert py.append_slot(prompt) == cc.append_slot(prompt)
         _assert_same_tables(py, cc, [prompt])
 
@@ -66,7 +66,7 @@ def test_cow_parity():
     py.allocate(group)
     cc.allocate(group)
     child = prompt.fork(2)
-    child.append_token_id(9999, {9999: Logprob(0.0)})
+    child.append_token(9999, {9999: Logprob(0.0)})
     group.add(child)
     py.fork(prompt, child)
     cc.fork(prompt, child)
@@ -84,7 +84,7 @@ def test_swap_parity():
     cc.allocate(group)
     prompt.status = SequenceStatus.RUNNING
     for i in range(5):
-        prompt.append_token_id(i, {i: Logprob(0.0)})
+        prompt.append_token(i, {i: Logprob(0.0)})
         assert py.append_slot(prompt) == cc.append_slot(prompt)
 
     assert py.can_swap_out(group) == cc.can_swap_out(group)
@@ -124,7 +124,7 @@ def test_sliding_window_parity():
     prompt.status = SequenceStatus.RUNNING
     _assert_same_tables(py, cc, [prompt])
     for i in range(12):
-        prompt.append_token_id(i, {i: Logprob(0.0)})
+        prompt.append_token(i, {i: Logprob(0.0)})
         assert py.append_slot(prompt) == cc.append_slot(prompt)
         _assert_same_tables(py, cc, [prompt])
 
@@ -206,12 +206,14 @@ def test_randomized_workload_parity():
                 # (llm_engine._process_model_outputs runs first), so the
                 # exact-need check must see the grown logical blocks.
                 tok = rng.randint(0, 10**6)
-                seq.append_token_id(tok, {tok: Logprob(0.0)})
+                seq.append_token(tok, {tok: Logprob(0.0)})
                 ok_py = py.can_append_slot(group)
                 ok_cc = cc.can_append_slot(group)
                 assert ok_py == ok_cc
                 if not ok_py:
-                    seq.data.output_token_ids.pop()
+                    # Undo the speculative append (token buffer directly:
+                    # output_token_ids is a read-only view).
+                    seq.data._tokens.pop()
                     continue
                 assert py.append_slot(seq) == cc.append_slot(seq)
                 if caching:

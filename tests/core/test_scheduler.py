@@ -31,7 +31,7 @@ def make_scheduler(max_num_seqs=64,
 
 def append_token(seq_group: SequenceGroup, token_id: int) -> None:
     for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-        seq.append_token_id(token_id, {token_id: Logprob(0.0)})
+        seq.append_token(token_id, {token_id: Logprob(0.0)})
 
 
 def test_scheduler_add_seq_group():
@@ -154,7 +154,7 @@ def test_scheduler_preempt_by_recompute():
     assert victim.get_seqs()[0].status == SequenceStatus.WAITING
     # Recompute preemption resets output tokens? No - output tokens are
     # kept; they will be re-prefilled together with the prompt.
-    assert victim.get_seqs()[0].get_output_len() == 1
+    assert victim.get_seqs()[0].output_len == 1
 
 
 def test_scheduler_max_seqs():

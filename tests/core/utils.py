@@ -53,7 +53,7 @@ def create_seq_group(
             block_size=block_size,
         )
         for i in range(output_len):
-            seq.append_token_id(token_id=i, logprobs={i: Logprob(0.0)})
+            seq.append_token(token_id=i, logprobs={i: Logprob(0.0)})
         seqs.append(seq)
 
     return SequenceGroup(

@@ -40,7 +40,7 @@ class FakeDraftWorker:
         out = []
         for md in metas:
             seq_id = next(iter(md.seq_data))
-            last = md.seq_data[seq_id].get_last_token_id()
+            last = md.seq_data[seq_id].last_token
             tok = (last + 1) % VOCAB
             out.append(SequenceGroupOutput(
                 samples=[SequenceOutput(seq_id, tok, {tok: Logprob(0.0)})],
@@ -73,8 +73,8 @@ def test_multi_step_worker_proposals_and_isolation():
     assert props.proposal_probs[0, 0, 5] == 1.0
     np.testing.assert_array_equal(props.proposal_lens, [k, k])
     # Engine-owned metadata must be untouched (deep copy).
-    assert metas[0].seq_data[0].get_token_ids() == [3, 4]
-    assert metas[1].seq_data[1].get_token_ids() == [10]
+    assert metas[0].seq_data[0].token_ids == [3, 4]
+    assert metas[1].seq_data[1].token_ids == [10]
 
 
 class StubProposer:

@@ -45,28 +45,28 @@ def test_sampler_output_list_semantics(sample_outputs):
 def test_sequence_append_and_fork():
     seq = Sequence(seq_id=1, prompt="ab", prompt_token_ids=[1, 2],
                    block_size=4)
-    assert seq.get_len() == 2
-    assert seq.get_prompt_len() == 2
-    seq.append_token_id(7, {7: Logprob(-0.5)})
-    assert seq.get_len() == 3
-    assert seq.get_output_len() == 1
-    assert seq.get_last_token_id() == 7
+    assert seq.num_tokens == 2
+    assert seq.prompt_len == 2
+    seq.append_token(7, {7: Logprob(-0.5)})
+    assert seq.num_tokens == 3
+    assert seq.output_len == 1
+    assert seq.last_token == 7
 
     fork = seq.fork(new_seq_id=2)
     assert fork.seq_id == 2
-    assert fork.data.get_token_ids() == seq.data.get_token_ids()
-    fork.append_token_id(9, {9: Logprob(-0.25)})
+    assert fork.data.token_ids == seq.data.token_ids
+    fork.append_token(9, {9: Logprob(-0.25)})
     # Fork is independent of the parent.
-    assert seq.get_output_len() == 1
-    assert fork.get_output_len() == 2
+    assert seq.output_len == 1
+    assert fork.output_len == 2
 
 
 def test_sequence_logical_blocks():
     seq = Sequence(seq_id=1, prompt="", prompt_token_ids=list(range(9)),
                    block_size=4)
     # 9 tokens at block_size 4 -> 3 logical blocks, last holds one token.
-    assert len(seq.logical_token_blocks) == 3
-    assert seq.logical_token_blocks[-1].num_tokens == 1
+    assert seq.num_logical_blocks() == 3
+    assert seq.last_block_num_tokens() == 1
 
 
 def test_sequence_status_finished():

@@ -84,7 +84,7 @@ def test_prepare_decode_bucketing(runner):
     groups = []
     for i in range(3):
         data = SequenceData(list(range(10 + i)))
-        data.append_token_id(7, 0.0)                # one generated token
+        data.append_token(7, 0.0)                # one generated token
         groups.append(SequenceGroupMetadata(
             request_id=str(i), is_prompt=False,
             seq_data={i: data},

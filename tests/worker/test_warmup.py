@@ -50,7 +50,7 @@ def test_warm_up_compiles_buckets_and_caches_stay_valid(runner):
     # A real decode step after warmup must still run (the donated cache
     # chain was threaded through every warmup call).
     data = SequenceData([5, 6, 7])
-    data.append_token_id(9, 0.0)
+    data.append_token(9, 0.0)
     md = SequenceGroupMetadata(
         request_id="r0", is_prompt=False,
         seq_data={0: data},

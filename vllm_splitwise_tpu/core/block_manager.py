@@ -1,148 +1,200 @@
-"""Paged KV-cache block bookkeeping (host side).
+"""Paged KV-cache page accounting (host side).
 
-Role-parity with the reference's ``vllm/core/block_manager.py:13-487``:
-ref-counted physical blocks, copy-on-write on fork, device<->host swap
-planning, optional content-hash prefix caching with an evictor, and
-computed-block tracking.  Pure Python — device arrays are managed by the
-worker's CacheEngine; this module only plans block movements.
+Role parity with the reference's ``vllm/core/block_manager.py``:
+ref-counted physical pages, copy-on-write on fork, device<->host swap
+planning, content-hash prefix caching with LRU eviction, and
+computed-page tracking.  This module only PLANS page movements — the
+worker's CacheEngine executes them on device arrays.
+
+The design is integer-first rather than object-first.  Where the
+reference passes ``PhysicalTokenBlock`` objects through tables, free
+lists and swap maps, here a page is its integer index into the device
+cache and every table is a plain ``List[int]`` — exactly the array the
+TPU paged-attention kernel consumes, and exactly the wire format of the
+native C++ engine (csrc/block_engine.cpp).  All per-page state lives
+inside :class:`PagePool`; the equivalence suite
+(tests/core/test_native_block_engine.py) drives this manager and the
+native engine through identical workloads and requires bit-identical
+page numbering, so allocation order here is deliberately deterministic:
+
+* uncached pools hand out the HIGHEST free page first (LIFO stack over
+  ``range(num_pages)``) and refill in release order;
+* caching pools mint page numbers upward from zero and only then
+  recycle parked pages via the LRU policy in ``core/evictor.py``.
 """
 from __future__ import annotations
 
 import enum
-import time
 from itertools import count, takewhile
 from os.path import commonprefix
-from typing import Dict, List, Optional, Sequence as Seq, Set, Tuple
+from typing import Dict, Iterable, List, Optional, Set, Tuple
 
-from vllm_splitwise_tpu.block import BlockTable, PhysicalTokenBlock
-from vllm_splitwise_tpu.core.evictor import EvictionPolicy, Evictor, make_evictor
+from vllm_splitwise_tpu.block import PageMeta
+from vllm_splitwise_tpu.core.evictor import (EvictionPolicy,
+                                             make_parked_pages)
 from vllm_splitwise_tpu.sequence import Sequence, SequenceGroup, SequenceStatus
 from vllm_splitwise_tpu.utils import Device
 
 
-class BlockAllocator:
-    """Manages free physical blocks of one device.
+class PagePool:
+    """Ref-counted pool of integer cache pages for one memory tier.
 
-    With ``enable_caching`` every full block carries a content hash; freed
-    blocks park in an evictor and can be resurrected on a hash hit instead
-    of recomputed.
+    Two modes:
+
+    * plain (``enable_caching=False``): a LIFO free stack; pages carry
+      no metadata.
+    * caching: every page has a :class:`PageMeta`; zero-ref pages park
+      in an eviction table keyed by content hash instead of freeing,
+      so identical prefixes are deduplicated across requests.
     """
 
     def __init__(
         self,
-        device: Device,
-        block_size: int,
-        num_blocks: int,
-        eviction_policy: EvictionPolicy = EvictionPolicy.LRU,
+        tier: Device,
+        num_pages: int,
         enable_caching: bool = False,
+        eviction_policy: EvictionPolicy = EvictionPolicy.LRU,
     ) -> None:
-        self.device = device
-        self.block_size = block_size
-        self.num_blocks = num_blocks
-        self.enable_caching = enable_caching
+        self.tier = tier
+        self.capacity = num_pages
+        self.caching = enable_caching
 
-        self.current_num_blocks = 0
-        self.cached_blocks: Dict[int, PhysicalTokenBlock] = {}
-        self.evictor: Evictor = make_evictor(eviction_policy)
-        self.default_hash_ctr = count()
-
-        if not enable_caching:
-            # Pre-populate a plain free list.
-            self.free_blocks: List[PhysicalTokenBlock] = [
-                PhysicalTokenBlock(device=device,
-                                   block_number=i,
-                                   block_size=block_size)
-                for i in range(num_blocks)
-            ]
+        self._refs: Dict[int, int] = {}
+        if enable_caching:
+            self._minted = 0
+            self._meta: Dict[int, PageMeta] = {}
+            self._live_by_hash: Dict[int, int] = {}
+            self._parked = make_parked_pages(eviction_policy)
+            # Placeholder hashes for pages whose tail block is not yet
+            # a reusable full-block prefix.
+            self._auto_hash = count()
         else:
-            self.free_blocks = []
+            self._free_stack: List[int] = list(range(num_pages))
 
-    def allocate_block(self, block_hash: int,
-                       num_hashed_tokens: int) -> PhysicalTokenBlock:
-        if self.current_num_blocks == self.num_blocks:
-            block = self.evictor.evict()
-            block.block_hash = block_hash
-            block.num_hashed_tokens = num_hashed_tokens
-            return block
-        block = PhysicalTokenBlock(device=self.device,
-                                   block_number=self.current_num_blocks,
-                                   block_size=self.block_size,
-                                   block_hash=block_hash,
-                                   num_hashed_tokens=num_hashed_tokens)
-        self.current_num_blocks += 1
-        return block
+    # ---- allocation --------------------------------------------------
 
-    def allocate(self,
-                 block_hash: Optional[int] = None,
-                 num_hashed_tokens: int = 0) -> PhysicalTokenBlock:
-        if not self.enable_caching:
-            if not self.free_blocks:
-                raise ValueError("Out of memory! No free blocks are available.")
-            block = self.free_blocks.pop()
-            block.ref_count = 1
-            return block
-        if block_hash is None:
-            block_hash = next(self.default_hash_ctr)
-        if block_hash in self.evictor:
-            assert block_hash not in self.cached_blocks
-            block = self.evictor.remove(block_hash)
-            assert block.ref_count == 0
-            self.cached_blocks[block_hash] = block
-            block.ref_count += 1
-            assert block.block_hash == block_hash
-            return block
-        if block_hash not in self.cached_blocks:
-            self.cached_blocks[block_hash] = self.allocate_block(
-                block_hash, num_hashed_tokens)
-        block = self.cached_blocks[block_hash]
-        assert block.block_hash == block_hash
-        block.ref_count += 1
-        return block
+    def alloc(self) -> int:
+        """Take one plain page (refcount 1)."""
+        assert not self.caching
+        if not self._free_stack:
+            raise ValueError("Out of memory! No free blocks are available.")
+        page = self._free_stack.pop()
+        self._refs[page] = 1
+        return page
 
-    def free(self, block: PhysicalTokenBlock) -> None:
-        if block.ref_count == 0:
-            raise ValueError(f"Double free! {block} is already freed.")
-        block.ref_count -= 1
-        if block.ref_count == 0:
-            if self.enable_caching:
-                assert block.block_hash not in self.evictor
-                self.evictor.add(block)
-                del self.cached_blocks[block.block_hash]
-            else:
-                self.free_blocks.append(block)
+    def alloc_cached(self, content_hash: Optional[int],
+                     num_hashed_tokens: int = 0) -> int:
+        """Take (or adopt) a page for the given content hash.
 
-    def get_num_free_blocks(self) -> int:
-        if self.enable_caching:
-            return (self.num_blocks - self.current_num_blocks +
-                    self.evictor.num_blocks)
-        return len(self.free_blocks)
+        Hash hits — live or parked — share the existing page.  Misses
+        mint a fresh page number, or recycle an eviction victim once
+        every number is in circulation.
+        """
+        assert self.caching
+        if content_hash is None:
+            content_hash = next(self._auto_hash)
+        if content_hash in self._parked:
+            page = self._parked.resurrect(content_hash)
+            self._live_by_hash[content_hash] = page
+            self._refs[page] = 1
+            return page
+        page = self._live_by_hash.get(content_hash)
+        if page is not None:
+            self._refs[page] += 1
+            return page
+        page = self._mint(content_hash, num_hashed_tokens)
+        self._live_by_hash[content_hash] = page
+        self._refs[page] = 1
+        return page
 
-    def contains_block(self, block_hash: int) -> bool:
-        return block_hash in self.cached_blocks or block_hash in self.evictor
+    def _mint(self, content_hash: int, num_hashed_tokens: int) -> int:
+        if self._minted < self.capacity:
+            page = self._minted
+            self._minted += 1
+            self._meta[page] = PageMeta(content_hash, num_hashed_tokens)
+            return page
+        page, meta = self._parked.evict()
+        # The victim keeps its stale LRU stamp (native-engine parity);
+        # only identity fields change.
+        meta.content_hash = content_hash
+        meta.num_hashed_tokens = num_hashed_tokens
+        return page
 
-    def update_hash(self, block_hash: int, block: PhysicalTokenBlock) -> None:
-        """Promote a block whose content just became final (block filled)."""
-        assert self.enable_caching
-        assert not self.contains_block(block_hash)
-        old_hash = block.block_hash
-        block.block_hash = block_hash
-        del self.cached_blocks[old_hash]
-        self.cached_blocks[block_hash] = block
+    def retain(self, page: int, extra: int = 1) -> None:
+        self._refs[page] += extra
+
+    def set_refs(self, page: int, n: int) -> None:
+        """Prompt allocation hands one table to n sibling sequences."""
+        self._refs[page] = n
+
+    def release(self, page: int) -> None:
+        refs = self._refs.get(page, 0)
+        if refs == 0:
+            raise ValueError(f"Double free! page {page} is already free.")
+        self._refs[page] = refs - 1
+        if refs > 1:
+            return
+        if self.caching:
+            meta = self._meta[page]
+            del self._live_by_hash[meta.content_hash]
+            self._parked.park(page, meta)
+        else:
+            self._free_stack.append(page)
+
+    # ---- queries -----------------------------------------------------
+
+    def refs(self, page: int) -> int:
+        return self._refs.get(page, 0)
+
+    def free_count(self) -> int:
+        if self.caching:
+            return self.capacity - self._minted + len(self._parked)
+        return len(self._free_stack)
+
+    def has_hash(self, content_hash: int) -> bool:
+        return (content_hash in self._live_by_hash
+                or content_hash in self._parked)
+
+    def meta(self, page: int) -> PageMeta:
+        return self._meta[page]
+
+    def rehash(self, page: int, new_hash: int) -> None:
+        """A page's tail block just filled: promote its placeholder hash
+        to the real content hash so future prompts can hit it."""
+        assert self.caching and not self.has_hash(new_hash)
+        meta = self._meta[page]
+        del self._live_by_hash[meta.content_hash]
+        meta.content_hash = new_hash
+        self._live_by_hash[new_hash] = page
 
 
 class AllocStatus(enum.Enum):
-    """Can a new sequence group's prompt be allocated right now?
+    """Verdict on admitting a new prompt right now.
 
-    OK: yes.  LATER: not now, but possible once memory frees up.
-    NEVER: the prompt can never fit — reject the request.
+    OK: fits.  LATER: retry once pages free up.  NEVER: the prompt can
+    never fit this cache — fail the request instead of queueing it.
     """
     OK = enum.auto()
     LATER = enum.auto()
     NEVER = enum.auto()
 
 
+class PageTable:
+    """One sequence's logical-index -> physical-page map.
+
+    A table lives wholly in one tier at a time; swap rewrites it against
+    the other tier's pool.
+    """
+
+    __slots__ = ("pool", "ids")
+
+    def __init__(self, pool: PagePool, ids: List[int]) -> None:
+        self.pool = pool
+        self.ids = ids
+
+
 class BlockSpaceManager:
-    """Maps sequences' logical blocks to physical device/host blocks."""
+    """Plans every page movement the scheduler decides on."""
 
     def __init__(
         self,
@@ -153,9 +205,13 @@ class BlockSpaceManager:
         sliding_window: Optional[int] = None,
         enable_caching: bool = False,
     ) -> None:
+        assert watermark >= 0.0
         self.block_size = block_size
         self.num_total_gpu_blocks = num_gpu_blocks
         self.num_total_cpu_blocks = num_cpu_blocks
+        self.watermark = watermark
+        self.watermark_blocks = int(watermark * num_gpu_blocks)
+        self.enable_caching = enable_caching
 
         self.block_sliding_window: Optional[int] = None
         if sliding_window is not None:
@@ -163,93 +219,78 @@ class BlockSpaceManager:
                                                       block_size)
             self.block_sliding_window = sliding_window // block_size
 
-        self.watermark = watermark
-        assert watermark >= 0.0
-        self.enable_caching = enable_caching
-        self.watermark_blocks = int(watermark * num_gpu_blocks)
+        self.gpu_pool = PagePool(Device.TPU, num_gpu_blocks,
+                                 enable_caching=enable_caching)
+        self.cpu_pool = PagePool(Device.CPU, num_cpu_blocks,
+                                 enable_caching=enable_caching)
+        self.block_tables: Dict[int, PageTable] = {}
 
-        self.gpu_allocator = BlockAllocator(Device.TPU,
-                                            block_size,
-                                            num_gpu_blocks,
-                                            enable_caching=enable_caching)
-        self.cpu_allocator = BlockAllocator(Device.CPU,
-                                            block_size,
-                                            num_cpu_blocks,
-                                            enable_caching=enable_caching)
-        # seq_id -> BlockTable.
-        self.block_tables: Dict[int, BlockTable] = {}
+    # ---- prompt admission ---------------------------------------------
 
-    # ---- allocation (prompt phase) ----
+    def _prompt_page_demand(self, seq: Sequence) -> int:
+        demand = seq.num_logical_blocks()
+        if self.block_sliding_window is not None:
+            demand = min(demand, self.block_sliding_window)
+        return demand
 
     def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
         seq = seq_group.get_seqs(status=SequenceStatus.WAITING)[0]
-        num_required_blocks = len(seq.logical_token_blocks)
-        if self.block_sliding_window is not None:
-            num_required_blocks = min(num_required_blocks,
-                                      self.block_sliding_window)
-        num_free_gpu_blocks = self.gpu_allocator.get_num_free_blocks()
-        if (self.num_total_gpu_blocks - num_required_blocks
-                < self.watermark_blocks):
+        demand = self._prompt_page_demand(seq)
+        if self.num_total_gpu_blocks - demand < self.watermark_blocks:
             return AllocStatus.NEVER
-        if num_free_gpu_blocks - num_required_blocks >= self.watermark_blocks:
+        if (self.gpu_pool.free_count() - demand >= self.watermark_blocks):
             return AllocStatus.OK
         return AllocStatus.LATER
 
     def allocate(self, seq_group: SequenceGroup) -> None:
-        seq = seq_group.get_seqs(status=SequenceStatus.WAITING)[0]
-        num_prompt_blocks = len(seq.logical_token_blocks)
-
-        block_table: BlockTable = []
-        for logical_idx in range(num_prompt_blocks):
-            if (self.block_sliding_window is not None
-                    and logical_idx >= self.block_sliding_window):
-                block = block_table[logical_idx % self.block_sliding_window]
+        waiting = seq_group.get_seqs(status=SequenceStatus.WAITING)
+        seq = waiting[0]
+        window = self.block_sliding_window
+        ids: List[int] = []
+        for logical_idx in range(seq.num_logical_blocks()):
+            if window is not None and logical_idx >= window:
+                # Past the attention horizon: recycle table slots
+                # cyclically, no new page.
+                ids.append(ids[logical_idx % window])
             elif self.enable_caching:
-                block = self.gpu_allocator.allocate(
-                    seq.hash_of_block(logical_idx),
-                    seq.num_hashed_tokens_of_block(logical_idx))
+                ids.append(
+                    self.gpu_pool.alloc_cached(
+                        seq.hash_of_block(logical_idx),
+                        seq.num_hashed_tokens_of_block(logical_idx)))
             else:
-                block = self.gpu_allocator.allocate()
-            # One ref per sequence that RECEIVES the table below (fresh
-            # groups have exactly one waiting prompt seq; beam/n>1 forks
-            # add refs later via fork()).  NOT num_seqs(): a group
-            # re-admitted after recompute-preemption can carry finished
-            # siblings, and counting them leaks every block of the
-            # re-prefilled sequence when it frees (refs never reach 0).
-            if not self.enable_caching:
-                block.ref_count = len(
-                    seq_group.get_seqs(status=SequenceStatus.WAITING))
-            block_table.append(block)
+                page = self.gpu_pool.alloc()
+                # The table below is handed to every WAITING sibling.
+                # Deliberately not num_seqs(): after a recompute
+                # preemption the group may drag finished siblings whose
+                # refs would never be released.
+                self.gpu_pool.set_refs(page, len(waiting))
+                ids.append(page)
+        for s in waiting:
+            self.block_tables[s.seq_id] = PageTable(self.gpu_pool, list(ids))
 
-        for seq in seq_group.get_seqs(status=SequenceStatus.WAITING):
-            self.block_tables[seq.seq_id] = block_table.copy()
-
-    # ---- decode-phase growth ----
+    # ---- decode growth --------------------------------------------------
 
     def can_append_slot(self, seq_group: SequenceGroup) -> bool:
-        num_free_gpu_blocks = self.gpu_allocator.get_num_free_blocks()
+        running = seq_group.get_seqs(status=SequenceStatus.RUNNING)
         if self.enable_caching:
-            # Conservative under prefix caching (block promotion touches
-            # the cached pool): worst case one new block per sequence.
-            num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
-            return num_seqs <= num_free_gpu_blocks
-        # Exact need: a sequence takes a fresh block only when its table
-        # is shorter than its logical blocks (and not reusing a sliding-
-        # window slot) or its last block is shared (copy-on-write).  A
-        # table already extended by a multi-step lookahead window needs
-        # NOTHING — the worst-case count was preempting groups whose
-        # next tokens were fully pre-reserved.
-        need = 0
-        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            block_table = self.block_tables[seq.seq_id]
-            if len(block_table) < len(seq.logical_token_blocks):
+            # Conservative bound: tail-block promotion may consult the
+            # cached pool, so assume one fresh page per sequence.
+            return len(running) <= self.gpu_pool.free_count()
+        # Exact demand: a fresh page is needed only when the table lags
+        # the sequence's logical blocks (and isn't recycling a sliding-
+        # window slot), or when the tail page is shared (CoW pending).
+        # Tables pre-extended by a lookahead window need nothing.
+        demand = 0
+        for seq in running:
+            table = self.block_tables[seq.seq_id]
+            if len(table.ids) < seq.num_logical_blocks():
                 if (self.block_sliding_window is not None
-                        and len(block_table) >= self.block_sliding_window):
+                        and len(table.ids) >= self.block_sliding_window):
                     continue
-                need += 1
-            elif block_table and block_table[-1].ref_count > 1:
-                need += 1
-        return need <= num_free_gpu_blocks
+                demand += 1
+            elif table.ids and self.gpu_pool.refs(table.ids[-1]) > 1:
+                demand += 1
+        return demand <= self.gpu_pool.free_count()
 
     def can_append_slots(self, seq_group: SequenceGroup,
                          lookahead: int = 1) -> bool:
@@ -257,265 +298,227 @@ class BlockSpaceManager:
         ``lookahead`` tokens per running sequence."""
         if lookahead <= 1:
             return self.can_append_slot(seq_group)
-        per_seq = -(-lookahead // self.block_size) + 1
-        num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
-        return num_seqs * per_seq <= self.gpu_allocator.get_num_free_blocks()
+        pages_per_seq = -(-lookahead // self.block_size) + 1
+        n = seq_group.num_seqs(status=SequenceStatus.RUNNING)
+        return n * pages_per_seq <= self.gpu_pool.free_count()
 
     def can_reserve_window(self, num_seqs: int, lookahead: int) -> bool:
-        """Batch-wide worst-case bound for reserving a multi-step decode
-        window for ``num_seqs`` sequences at once (the scheduler checks
-        this ONCE before extending any table)."""
-        per_seq = -(-lookahead // self.block_size) + 1
-        return num_seqs * per_seq <= self.gpu_allocator.get_num_free_blocks()
+        """Batch-wide reservation bound, checked ONCE before the
+        scheduler extends any table for a multi-step decode window."""
+        pages_per_seq = -(-lookahead // self.block_size) + 1
+        return num_seqs * pages_per_seq <= self.gpu_pool.free_count()
 
-    def _promote_last_block(self, seq: Sequence,
-                            last_block: PhysicalTokenBlock) -> PhysicalTokenBlock:
-        """The last block just became full: give it its content hash so
-        future prompts can hit it."""
-        assert self.enable_caching
-        new_hash = seq.hash_of_block(len(seq.logical_token_blocks) - 1)
-        if self.gpu_allocator.contains_block(new_hash):
-            # Another block with identical content already cached: dedup.
-            self.gpu_allocator.free(last_block)
-            return self.gpu_allocator.allocate(new_hash)
-        self.gpu_allocator.update_hash(new_hash, last_block)
-        return last_block
-
-    def _is_last_block_full(self, seq: Sequence) -> bool:
-        return seq.get_len() % seq.block_size == 0
-
-    def _maybe_promote_last_block(
-            self, seq: Sequence,
-            last_block: PhysicalTokenBlock) -> PhysicalTokenBlock:
-        if self._is_last_block_full(seq):
-            return self._promote_last_block(seq, last_block)
-        return last_block
-
-    def _allocate_last_physical_block(self, seq: Sequence) -> PhysicalTokenBlock:
+    def _alloc_tail_page(self, seq: Sequence) -> int:
+        """A page for the sequence's newest logical block."""
         if not self.enable_caching:
-            return self.gpu_allocator.allocate()
-        block_hash: Optional[int] = None
-        if self._is_last_block_full(seq):
-            block_hash = seq.hash_of_block(len(seq.logical_token_blocks) - 1)
-        num_hashed_tokens = seq.num_hashed_tokens_of_block(
-            len(seq.logical_token_blocks) - 1)
-        new_block = self.gpu_allocator.allocate(block_hash, num_hashed_tokens)
-        if block_hash is None:
-            assert new_block.ref_count == 1
-        return new_block
+            return self.gpu_pool.alloc()
+        tail = seq.num_logical_blocks() - 1
+        full = seq.num_tokens % self.block_size == 0
+        return self.gpu_pool.alloc_cached(
+            seq.hash_of_block(tail) if full else None,
+            seq.num_hashed_tokens_of_block(tail))
 
     def append_slot(self, seq: Sequence) -> Optional[Tuple[int, int]]:
-        """Reserve a cache slot for the sequence's next token.
+        """Make room for the sequence's next token write.
 
-        Returns a (src_block, dst_block) copy-on-write pair when the last
-        block was shared, else None.
+        Returns a ``(src_page, dst_page)`` pair when the shared tail
+        page had to be copied (copy-on-write), else ``None``.
         """
-        logical_blocks = seq.logical_token_blocks
-        block_table = self.block_tables[seq.seq_id]
-        if len(block_table) < len(logical_blocks):
-            if (self.block_sliding_window
-                    and len(block_table) >= self.block_sliding_window):
-                # Reuse a block cyclically within the sliding window.
-                block_table.append(
-                    block_table[len(block_table) % self.block_sliding_window])
+        table = self.block_tables[seq.seq_id]
+        ids = table.ids
+        window = self.block_sliding_window
+
+        if len(ids) < seq.num_logical_blocks():
+            # Crossed into a new logical block.
+            if window is not None and len(ids) >= window:
+                ids.append(ids[len(ids) % window])
             else:
-                new_block = self._allocate_last_physical_block(seq)
-                block_table.append(new_block)
+                ids.append(self._alloc_tail_page(seq))
             return None
 
-        last_block = block_table[-1]
-        assert last_block.device == Device.TPU
-        if last_block.ref_count == 1:
-            # Exclusively owned: append in place (and maybe promote the
-            # block into the prefix cache now that it is full).
-            if self.enable_caching:
-                maybe_new = self._maybe_promote_last_block(seq, last_block)
-                block_table[-1] = maybe_new
+        tail = ids[-1]
+        assert table.pool is self.gpu_pool
+        if self.gpu_pool.refs(tail) == 1:
+            # Sole owner: write in place.  If the block just filled,
+            # promote its placeholder hash so the prefix becomes
+            # shareable.
+            if self.enable_caching and seq.num_tokens % self.block_size == 0:
+                full_hash = seq.hash_of_block(seq.num_logical_blocks() - 1)
+                if self.gpu_pool.has_hash(full_hash):
+                    # Identical content already cached elsewhere: dedup
+                    # onto that page.
+                    self.gpu_pool.release(tail)
+                    ids[-1] = self.gpu_pool.alloc_cached(full_hash)
+                else:
+                    self.gpu_pool.rehash(tail, full_hash)
             return None
-        # Shared block: copy-on-write.
-        new_block = self._allocate_last_physical_block(seq)
-        block_table[-1] = new_block
-        self.gpu_allocator.free(last_block)
-        return last_block.block_number, new_block.block_number
+
+        # Shared tail: copy-on-write.
+        fresh = self._alloc_tail_page(seq)
+        ids[-1] = fresh
+        self.gpu_pool.release(tail)
+        return tail, fresh
 
     def append_slots(self, seq: Sequence,
                      lookahead: int = 1) -> List[Tuple[int, int]]:
-        """Reserve slots for the next ``lookahead`` token writes
-        (positions ``get_len()-1 .. get_len()+lookahead-2`` — a
-        multi-step decode window runs that many steps on device before
-        the host sees any token).
+        """Reserve pages for the next ``lookahead`` token writes (a
+        multi-step decode window runs that many device steps before the
+        host sees a token).
 
-        Future pages are plain (unhashed) allocations: prefix-cache
-        promotion of decode-grown blocks is skipped while the table runs
-        ahead of the logical blocks.  Multi-step windows are restricted
-        to unforked single-sequence groups, so no CoW can arise on the
-        lookahead pages themselves.
+        Lookahead pages beyond the current logical blocks are plain
+        unhashed pages — prefix promotion is skipped while the table
+        runs ahead, and multi-step windows are restricted to unforked
+        groups so no CoW arises on them.
         """
-        block_table = self.block_tables[seq.seq_id]
+        table = self.block_tables[seq.seq_id]
         cows: List[Tuple[int, int]] = []
-        if len(block_table) <= len(seq.logical_token_blocks):
+        if len(table.ids) <= seq.num_logical_blocks():
             cow = self.append_slot(seq)
             if cow is not None:
                 cows.append(cow)
         if lookahead > 1:
-            needed = -(-(seq.get_len() - 1 + lookahead) // seq.block_size)
-            while len(block_table) < needed:
-                if (self.block_sliding_window and
-                        len(block_table) >= self.block_sliding_window):
-                    block_table.append(block_table[
-                        len(block_table) % self.block_sliding_window])
+            target = -(-(seq.num_tokens - 1 + lookahead) // self.block_size)
+            window = self.block_sliding_window
+            while len(table.ids) < target:
+                if window is not None and len(table.ids) >= window:
+                    table.ids.append(table.ids[len(table.ids) % window])
                 else:
-                    block_table.append(self.gpu_allocator.allocate())
+                    table.ids.append(self.gpu_pool.alloc())
         return cows
 
     def fork(self, parent_seq: Sequence, child_seq: Sequence) -> None:
-        src_block_table = self.block_tables[parent_seq.seq_id]
-        self.block_tables[child_seq.seq_id] = src_block_table.copy()
-        for block in set(src_block_table):
-            block.ref_count += 1
+        src = self.block_tables[parent_seq.seq_id]
+        self.block_tables[child_seq.seq_id] = PageTable(
+            src.pool, list(src.ids))
+        for page in dict.fromkeys(src.ids):
+            src.pool.retain(page)
 
-    # ---- swap ----
+    # ---- swap -----------------------------------------------------------
 
-    def _get_physical_blocks(
-            self, seq_group: SequenceGroup) -> List[PhysicalTokenBlock]:
-        blocks: Set[PhysicalTokenBlock] = set()
+    def _group_pages(self, seq_group: SequenceGroup) -> Set[int]:
+        pages: Set[int] = set()
         for seq in seq_group.get_seqs():
-            if seq.is_finished():
-                continue
-            blocks.update(self.block_tables[seq.seq_id])
-        return list(blocks)
+            if not seq.is_finished() and seq.seq_id in self.block_tables:
+                pages.update(self.block_tables[seq.seq_id].ids)
+        return pages
 
     def can_swap_in(self, seq_group: SequenceGroup) -> bool:
-        blocks = self._get_physical_blocks(seq_group)
-        num_swapped_seqs = seq_group.num_seqs(status=SequenceStatus.SWAPPED)
-        num_free_blocks = self.gpu_allocator.get_num_free_blocks()
-        num_required_blocks = len(blocks) + num_swapped_seqs
-        return num_free_blocks - num_required_blocks >= self.watermark_blocks
-
-    def swap_in(self, seq_group: SequenceGroup) -> Dict[int, int]:
-        """Returns host_block -> device_block mapping."""
-        mapping: Dict[PhysicalTokenBlock, PhysicalTokenBlock] = {}
-        for seq in seq_group.get_seqs(status=SequenceStatus.SWAPPED):
-            new_block_table: BlockTable = []
-            for cpu_block in self.block_tables[seq.seq_id]:
-                if cpu_block in mapping:
-                    gpu_block = mapping[cpu_block]
-                    gpu_block.ref_count += 1
-                else:
-                    gpu_block = self.gpu_allocator.allocate(
-                        cpu_block.block_hash, cpu_block.num_hashed_tokens)
-                    mapping[cpu_block] = gpu_block
-                new_block_table.append(gpu_block)
-                self.cpu_allocator.free(cpu_block)
-            self.block_tables[seq.seq_id] = new_block_table
-        return {
-            cpu_block.block_number: gpu_block.block_number
-            for cpu_block, gpu_block in mapping.items()
-        }
+        demand = (len(self._group_pages(seq_group)) +
+                  seq_group.num_seqs(status=SequenceStatus.SWAPPED))
+        return (self.gpu_pool.free_count() - demand >=
+                self.watermark_blocks)
 
     def can_swap_out(self, seq_group: SequenceGroup) -> bool:
-        blocks = self._get_physical_blocks(seq_group)
-        return len(blocks) <= self.cpu_allocator.get_num_free_blocks()
+        return (len(self._group_pages(seq_group)) <=
+                self.cpu_pool.free_count())
+
+    def _swap_tables(self, seqs: Iterable[Sequence], src_pool: PagePool,
+                     dst_pool: PagePool) -> Dict[int, int]:
+        """Rewrite each table against the destination pool; shared source
+        pages map to one shared destination page."""
+        mapping: Dict[int, int] = {}
+        for seq in seqs:
+            table = self.block_tables[seq.seq_id]
+            fresh: List[int] = []
+            for page in table.ids:
+                dst = mapping.get(page)
+                if dst is not None:
+                    dst_pool.retain(dst)
+                else:
+                    if dst_pool.caching:
+                        meta = src_pool.meta(page)
+                        dst = dst_pool.alloc_cached(meta.content_hash,
+                                                    meta.num_hashed_tokens)
+                    else:
+                        dst = dst_pool.alloc()
+                    mapping[page] = dst
+                fresh.append(dst)
+                src_pool.release(page)
+            table.pool = dst_pool
+            table.ids = fresh
+        return mapping
+
+    def swap_in(self, seq_group: SequenceGroup) -> Dict[int, int]:
+        """Returns host_page -> device_page."""
+        return self._swap_tables(
+            seq_group.get_seqs(status=SequenceStatus.SWAPPED),
+            self.cpu_pool, self.gpu_pool)
 
     def swap_out(self, seq_group: SequenceGroup) -> Dict[int, int]:
-        """Returns device_block -> host_block mapping."""
-        mapping: Dict[PhysicalTokenBlock, PhysicalTokenBlock] = {}
-        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            new_block_table: BlockTable = []
-            for gpu_block in self.block_tables[seq.seq_id]:
-                if gpu_block in mapping:
-                    cpu_block = mapping[gpu_block]
-                    cpu_block.ref_count += 1
-                else:
-                    cpu_block = self.cpu_allocator.allocate(
-                        gpu_block.block_hash, gpu_block.num_hashed_tokens)
-                    mapping[gpu_block] = cpu_block
-                new_block_table.append(cpu_block)
-                self.gpu_allocator.free(gpu_block)
-            self.block_tables[seq.seq_id] = new_block_table
-        return {
-            gpu_block.block_number: cpu_block.block_number
-            for gpu_block, cpu_block in mapping.items()
-        }
+        """Returns device_page -> host_page."""
+        return self._swap_tables(
+            seq_group.get_seqs(status=SequenceStatus.RUNNING),
+            self.gpu_pool, self.cpu_pool)
 
-    # ---- free / introspection ----
+    # ---- release / introspection ----------------------------------------
 
-    def _free_block_table(self, block_table: BlockTable) -> None:
-        # dict.fromkeys = dedup in first-occurrence order: freeing must
-        # be deterministic so block numbering is reproducible (and so
-        # the native engine's behavior matches bit-for-bit).
-        for block in dict.fromkeys(block_table):
-            if block.device == Device.TPU:
-                self.gpu_allocator.free(block)
-            else:
-                self.cpu_allocator.free(block)
+    def _release_table(self, table: PageTable) -> None:
+        # First-occurrence dedup order: release order decides future
+        # page numbering and must match the native engine exactly.
+        for page in dict.fromkeys(table.ids):
+            table.pool.release(page)
 
     def free(self, seq: Sequence) -> None:
-        if seq.seq_id not in self.block_tables:
-            return  # Already freed / never allocated.
-        block_table = self.block_tables[seq.seq_id]
-        self._free_block_table(block_table)
-        del self.block_tables[seq.seq_id]
+        table = self.block_tables.pop(seq.seq_id, None)
+        if table is not None:
+            self._release_table(table)
 
     def reset(self) -> None:
-        for block_table in self.block_tables.values():
-            self._free_block_table(block_table)
+        for table in self.block_tables.values():
+            self._release_table(table)
         self.block_tables.clear()
 
     def get_block_table(self, seq: Sequence) -> List[int]:
-        return [b.block_number for b in self.block_tables[seq.seq_id]]
+        return list(self.block_tables[seq.seq_id].ids)
 
     def get_num_free_gpu_blocks(self) -> int:
-        return self.gpu_allocator.get_num_free_blocks()
+        return self.gpu_pool.free_count()
 
     def get_num_free_cpu_blocks(self) -> int:
-        return self.cpu_allocator.get_num_free_blocks()
+        return self.cpu_pool.free_count()
 
-    # ---- prefix caching (computed-block tracking) ----
+    # ---- prefix caching: computed-page tracking ---------------------------
 
     def access_all_blocks_in_seq(self, seq: Sequence,
                                  access_time: float) -> None:
         if not self.enable_caching:
             return
-        for block in self.block_tables[seq.seq_id]:
-            block.last_accessed = access_time
+        pool = self.gpu_pool
+        for page in self.block_tables[seq.seq_id].ids:
+            pool.meta(page).last_accessed = access_time
 
     def compute_full_blocks_in_seq(self, seq: Sequence) -> None:
-        if seq.seq_id not in self.block_tables:
+        table = self.block_tables.get(seq.seq_id)
+        if table is None:
             return
-        max_full_block = seq.get_len() // self.block_size - 1
-        block_table = self.block_tables[seq.seq_id]
-        if max_full_block == -1:
-            return
-        for i in reversed(range(max_full_block + 1)):
-            if block_table[i].computed:
+        # Walk full blocks tail-to-head, stopping at the first already-
+        # computed page (everything before it was marked earlier).
+        for i in reversed(range(seq.num_tokens // self.block_size)):
+            meta = table.pool.meta(table.ids[i])
+            if meta.computed:
                 break
-            block_table[i].computed = True
+            meta.computed = True
 
     def get_all_computed_blocks(self, seq: Sequence) -> List[int]:
-        if seq.seq_id not in self.block_tables:
+        table = self.block_tables.get(seq.seq_id)
+        if table is None or not self.enable_caching:
             return []
-        block_table = self.block_tables[seq.seq_id]
-        # The last block is never considered computed (it may be partial).
-        return [
-            b.block_number
-            for b in takewhile(lambda b: b.computed, block_table[:-1])
-        ]
+        pool = table.pool
+        # The tail page never counts — it may still be partial.
+        return list(
+            takewhile(lambda p: pool.meta(p).computed, table.ids[:-1]))
 
     def get_common_computed_block_ids(
             self, seq_group: SequenceGroup) -> List[int]:
-        """Blocks already computed for ALL sequences in the group — the
-        model runner may skip recomputing these prompt positions."""
+        """Pages computed for EVERY live sequence of the group — prompt
+        positions the model runner may skip."""
         if not self.enable_caching:
             return []
-        ids_list = [
+        per_seq = [
             self.get_all_computed_blocks(seq)
-            for seq in seq_group.get_seqs()
-            if not seq.is_finished()
+            for seq in seq_group.get_seqs() if not seq.is_finished()
         ]
-        if not ids_list:
-            return []
-        return commonprefix([ids for ids in ids_list])
+        return commonprefix(per_seq) if per_seq else []
 
     def mark_blocks_as_computed(self, seq_group: SequenceGroup) -> None:
         if not self.enable_caching:

@@ -73,12 +73,12 @@ class NativeBlockSpaceManager:
     def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
         seq = seq_group.get_seqs(status=SequenceStatus.WAITING)[0]
         return _STATUS[self._eng.can_allocate(
-            len(seq.logical_token_blocks))]
+            seq.num_logical_blocks())]
 
     def allocate(self, seq_group: SequenceGroup) -> None:
         waiting = seq_group.get_seqs(status=SequenceStatus.WAITING)
         seq = waiting[0]
-        n = len(seq.logical_token_blocks)
+        n = seq.num_logical_blocks()
         if self.enable_caching:
             hashes = [seq.hash_of_block(i) for i in range(n)]
             hashed = [seq.num_hashed_tokens_of_block(i) for i in range(n)]
@@ -103,12 +103,12 @@ class NativeBlockSpaceManager:
         # extended tables and sliding-window reuse consume nothing.
         need = self._eng.num_need_append(
             [s.seq_id for s in running],
-            [len(s.logical_token_blocks) for s in running])
+            [s.num_logical_blocks() for s in running])
         return self._eng.can_append_slot(need)
 
     def append_slot(self, seq: Sequence) -> Optional[Tuple[int, int]]:
-        n = len(seq.logical_token_blocks)
-        last_full = seq.get_len() % self.block_size == 0
+        n = seq.num_logical_blocks()
+        last_full = seq.num_tokens % self.block_size == 0
         full_hash = 0
         hashed_last = 0
         if self.enable_caching:
@@ -141,13 +141,13 @@ class NativeBlockSpaceManager:
         block_manager.BlockSpaceManager.append_slots; lookahead pages are
         plain unhashed allocations appended by the native engine)."""
         cows: List[Tuple[int, int]] = []
-        n_logical = len(seq.logical_token_blocks)
+        n_logical = seq.num_logical_blocks()
         if len(self._eng.get_block_table(seq.seq_id)) <= n_logical:
             cow = self.append_slot(seq)
             if cow is not None:
                 cows.append(cow)
         if lookahead > 1:
-            needed = -(-(seq.get_len() - 1 + lookahead) // self.block_size)
+            needed = -(-(seq.num_tokens - 1 + lookahead) // self.block_size)
             self._eng.extend_table(seq.seq_id, needed)
         return cows
 
@@ -210,7 +210,7 @@ class NativeBlockSpaceManager:
         self._eng.access_all(seq.seq_id, access_time)
 
     def compute_full_blocks_in_seq(self, seq: Sequence) -> None:
-        max_full_block = seq.get_len() // self.block_size - 1
+        max_full_block = seq.num_tokens // self.block_size - 1
         self._eng.compute_full_blocks(seq.seq_id, max_full_block)
 
     def get_all_computed_blocks(self, seq: Sequence) -> List[int]:

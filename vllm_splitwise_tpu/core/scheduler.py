@@ -174,7 +174,7 @@ class Scheduler:
         for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
             if prompt_run:
                 self._nw_prompt_seqs.add(seq.seq_id)
-            elif (seq.get_output_len() > 1
+            elif (seq.output_len > 1
                   or seq.seq_id not in self._nw_prompt_seqs):
                 continue
             slot_id = self.seq_to_slot_mapper.get_slot_id(seq.seq_id)
@@ -199,7 +199,7 @@ class Scheduler:
             scheduled: List[SequenceGroup] = []
             seq_lens: List[int] = []
             num_curr_seqs = sum(
-                sg.get_max_num_running_seqs() for sg in self.running)
+                sg.max_parallel_seqs for sg in self.running)
             curr_loras = set(
                 sg.lora_int_id for sg in self.running
                 if getattr(sg, "lora_request", None)) if \
@@ -213,7 +213,7 @@ class Scheduler:
                 assert len(waiting_seqs) == 1, (
                     "Waiting sequence group should have only one prompt "
                     "sequence.")
-                num_prompt_tokens = waiting_seqs[0].get_len()
+                num_prompt_tokens = waiting_seqs[0].num_tokens
                 if num_prompt_tokens > self.prompt_limit:
                     logger.warning(
                         "Input prompt (%d tokens) is too long and exceeds "
@@ -245,7 +245,7 @@ class Scheduler:
                         > self.scheduler_config.max_num_batched_tokens):
                     break
 
-                num_new_seqs = seq_group.get_max_num_running_seqs()
+                num_new_seqs = seq_group.max_parallel_seqs
                 if (num_curr_seqs + num_new_seqs
                         > self.scheduler_config.max_num_seqs):
                     break
@@ -322,7 +322,7 @@ class Scheduler:
         if not preempted:
             self.swapped = self.policy.sort_by_priority(now, self.swapped)
             num_curr_seqs = sum(
-                sg.get_max_num_running_seqs() for sg in self.running)
+                sg.max_parallel_seqs for sg in self.running)
             curr_loras = set(
                 sg.lora_int_id for sg in self.running
                 if getattr(sg, "lora_request", None)) if \
@@ -345,7 +345,7 @@ class Scheduler:
                         continue
                 if not self.block_manager.can_swap_in(seq_group):
                     break
-                num_new_seqs = seq_group.get_max_num_running_seqs()
+                num_new_seqs = seq_group.max_parallel_seqs
                 if (num_curr_seqs + num_new_seqs
                         > self.scheduler_config.max_num_seqs):
                     break
@@ -420,10 +420,10 @@ class Scheduler:
             seq = seqs[0]
             # KV writes within the window land at positions
             # get_len()-1 .. get_len()+window-2 — all must fit max_len.
-            window = min(window, max_len - seq.get_len() + 1)
+            window = min(window, max_len - seq.num_tokens + 1)
             if sp.max_tokens is not None:
                 max_remaining = max(
-                    max_remaining, sp.max_tokens - seq.get_output_len())
+                    max_remaining, sp.max_tokens - seq.output_len)
             else:
                 max_remaining = window
         window = min(window, max_remaining)
@@ -467,8 +467,8 @@ class Scheduler:
                 # least one token must be computed to produce logits.
                 first_seq = seq_group.get_seqs(
                     status=SequenceStatus.RUNNING)[0]
-                if prefix_len >= first_seq.get_len():
-                    prefix_len = (first_seq.get_len() - 1) // \
+                if prefix_len >= first_seq.num_tokens:
+                    prefix_len = (first_seq.num_tokens - 1) // \
                         self.cache_config.block_size * self.cache_config.block_size
 
             seq_group_metadata_list.append(
@@ -532,7 +532,7 @@ class Scheduler:
         preemption_mode: Optional[PreemptionMode] = None,
     ) -> None:
         if preemption_mode is None:
-            if seq_group.get_max_num_running_seqs() == 1:
+            if seq_group.max_parallel_seqs == 1:
                 preemption_mode = PreemptionMode.RECOMPUTE
             else:
                 preemption_mode = PreemptionMode.SWAP

@@ -272,7 +272,7 @@ class LLMEngine:
 
         samples = outputs.samples
         parent_seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
-        existing_finished_seqs = seq_group.get_finished_seqs()
+        existing_finished_seqs = seq_group.finished_seqs()
         parent_child_dict = {
             parent_seq.seq_id: []
             for parent_seq in parent_seqs
@@ -293,11 +293,11 @@ class LLMEngine:
             for child_sample in child_samples[:-1]:
                 new_child_seq_id = next(self.seq_counter)
                 child = parent.fork(new_child_seq_id)
-                child.append_token_id(child_sample.output_token,
+                child.append_token(child_sample.output_token,
                                       child_sample.logprobs)
                 child_seqs.append((child, parent))
             last_child_sample = child_samples[-1]
-            parent.append_token_id(last_child_sample.output_token,
+            parent.append_token(last_child_sample.output_token,
                                    last_child_sample.logprobs)
             child_seqs.append((parent, parent))
 
@@ -333,7 +333,7 @@ class LLMEngine:
                              for seq, parent in child_seqs
                              if seq.is_finished()]
         all_finished_seqs = existing_finished_seqs + new_finished_seqs
-        all_finished_seqs.sort(key=lambda x: x[0].get_beam_search_score(
+        all_finished_seqs.sort(key=lambda x: x[0].beam_score(
             length_penalty=length_penalty,
             eos_token_id=x[0].eos_token_id),
                                reverse=True)
@@ -348,7 +348,7 @@ class LLMEngine:
 
         running_child_seqs = [(seq, parent) for seq, parent in child_seqs
                               if not seq.is_finished()]
-        running_child_seqs.sort(key=lambda x: x[0].get_beam_search_score(
+        running_child_seqs.sort(key=lambda x: x[0].beam_score(
             length_penalty=length_penalty),
                                 reverse=True)
 
@@ -398,28 +398,28 @@ class LLMEngine:
         length_penalty = sampling_params.length_penalty
         if early_stopping is True:
             return True
-        current_worst_score = current_worst_seq.get_beam_search_score(
+        current_worst_score = current_worst_seq.beam_score(
             length_penalty=length_penalty,
             eos_token_id=current_worst_seq.eos_token_id)
         if early_stopping is False:
-            highest_attainable_score = best_running_seq.get_beam_search_score(
+            highest_attainable_score = best_running_seq.beam_score(
                 length_penalty=length_penalty,
                 eos_token_id=best_running_seq.eos_token_id)
         else:
             assert early_stopping == "never"
             if length_penalty > 0.0:
                 max_possible_length = max(
-                    best_running_seq.get_prompt_len() +
+                    best_running_seq.prompt_len +
                     (sampling_params.max_tokens or 0),
                     self.scheduler_config.max_model_len)
                 highest_attainable_score = \
-                    best_running_seq.get_beam_search_score(
+                    best_running_seq.beam_score(
                         length_penalty=length_penalty,
                         eos_token_id=best_running_seq.eos_token_id,
                         seq_len=max_possible_length)
             else:
                 highest_attainable_score = \
-                    best_running_seq.get_beam_search_score(
+                    best_running_seq.beam_score(
                         length_penalty=length_penalty,
                         eos_token_id=best_running_seq.eos_token_id)
         return current_worst_score >= highest_attainable_score
@@ -431,7 +431,7 @@ class LLMEngine:
         (new_tokens, new_output_text, prefix_offset,
          read_offset) = detokenize_incrementally(
              self.tokenizer.get_lora_tokenizer(None),
-             all_input_ids=seq.get_token_ids(),
+             all_input_ids=seq.token_ids,
              prev_tokens=seq.tokens,
              prefix_offset=seq.prefix_offset,
              read_offset=seq.read_offset,
@@ -454,22 +454,22 @@ class LLMEngine:
                 self._finalize_sequence(seq, sampling_params, stop_str)
                 seq.status = SequenceStatus.FINISHED_STOPPED
                 return
-        if seq.get_last_token_id() in sampling_params.stop_token_ids:
+        if seq.last_token in sampling_params.stop_token_ids:
             stop_str = self.tokenizer.get_lora_tokenizer(
-                None).convert_ids_to_tokens(seq.get_last_token_id())
+                None).convert_ids_to_tokens(seq.last_token)
             self._finalize_sequence(seq, sampling_params, stop_str)
             seq.status = SequenceStatus.FINISHED_STOPPED
             return
         if ((not sampling_params.ignore_eos)
                 and seq.eos_token_id is not None
-                and seq.get_last_token_id() == seq.eos_token_id):
+                and seq.last_token == seq.eos_token_id):
             seq.status = SequenceStatus.FINISHED_STOPPED
             return
-        if seq.get_len() > self.scheduler_config.max_model_len:
+        if seq.num_tokens > self.scheduler_config.max_model_len:
             seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
             return
         if (sampling_params.max_tokens is not None
-                and seq.get_output_len() == sampling_params.max_tokens):
+                and seq.output_len == sampling_params.max_tokens):
             seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
             return
 

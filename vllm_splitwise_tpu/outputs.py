@@ -65,10 +65,10 @@ class RequestOutput:
         seqs = seq_group.get_seqs()
         n = seq_group.sampling_params.n
         if seq_group.sampling_params.use_beam_search:
-            sorting_key = lambda seq: seq.get_beam_search_score(
+            sorting_key = lambda seq: seq.beam_score(
                 seq_group.sampling_params.length_penalty)
         else:
-            sorting_key = lambda seq: seq.get_cumulative_logprob()
+            sorting_key = lambda seq: seq.cumulative_logprob
         sorted_seqs = sorted(seqs, key=sorting_key, reverse=True)
         top_n_seqs = sorted_seqs[:n]
 
@@ -77,8 +77,8 @@ class RequestOutput:
             CompletionOutput(
                 index=top_n_seqs.index(seq),
                 text=seq.output_text,
-                token_ids=seq.get_output_token_ids(),
-                cumulative_logprob=seq.get_cumulative_logprob(),
+                token_ids=seq.output_token_ids,
+                cumulative_logprob=seq.cumulative_logprob,
                 logprobs=seq.output_logprobs if include_logprobs else None,
                 finish_reason=SequenceStatus.get_finished_reason(seq.status),
             ) for seq in top_n_seqs

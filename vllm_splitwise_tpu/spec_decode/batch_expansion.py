@@ -56,7 +56,7 @@ class BatchExpansionTop1Scorer(SpeculativeScorer):
         for i, md in enumerate(metas):
             seq_id = next(iter(md.seq_data))
             for t in proposals.proposal_token_ids[i]:
-                md.seq_data[seq_id].append_token_id(int(t), 0.0)
+                md.seq_data[seq_id].append_token(int(t), 0.0)
             md.is_prompt = True  # re-run the suffix as a (full) prefill
 
         input_ids, positions, metadata, seq_lens = runner._prepare_prompt(

@@ -52,7 +52,7 @@ class MultiStepWorker(SpeculativeProposer):
                 row[sample.output_token] = 1.0
                 step_probs.append(row)
                 seq_id = next(iter(md.seq_data))
-                md.seq_data[seq_id].append_token_id(sample.output_token,
+                md.seq_data[seq_id].append_token(sample.output_token,
                                                     0.0)
                 md.is_prompt = False
             token_cols.append(step_tokens)

@@ -793,7 +793,7 @@ class ModelRunner:
                 "Prompt groups have exactly one sequence."
             seq_id = next(iter(md.seq_data))
             data = md.seq_data[seq_id]
-            token_ids = data.get_token_ids()
+            token_ids = data.token_ids
             prefix_len = md.prefix_len
             tokens = token_ids[prefix_len:]
             block_table = md.block_tables[seq_id]
@@ -874,8 +874,8 @@ class ModelRunner:
         for md in seq_group_metadata_list:
             for seq_id in sorted(md.seq_data):
                 data = md.seq_data[seq_id]
-                tokens.append(data.get_last_token_id())
-                seq_len = data.get_len()
+                tokens.append(data.last_token)
+                seq_len = data.num_tokens
                 block_table = md.block_tables[seq_id]
                 pos = seq_len - 1
                 abs_positions.append(pos)
@@ -1054,7 +1054,7 @@ class ModelRunner:
         rep.append(sp.repetition_penalty)
         prompt_rows.append(data.prompt_token_ids)
         output_rows.append(data.output_token_ids)
-        step = data.get_output_len()
+        step = data.output_len
         if sp.seed is not None:
             seeds.append(_mix_seed(sp.seed, step, sub_row))
         else:
@@ -1244,7 +1244,7 @@ class ModelRunner:
             for md, row_ids, parent_ids in plan:
                 sp = md.sampling_params
                 for row, parent in zip(row_ids, parent_ids):
-                    base = md.seq_data[parent].get_output_len()
+                    base = md.seq_data[parent].output_len
                     if sp.seed is not None:
                         seeds[k, row] = _mix_seed(sp.seed, base + k, 0)
                     else:
@@ -1327,7 +1327,7 @@ class ModelRunner:
             if num is None:
                 continue
             seq_id = next(iter(md.seq_data))
-            token_ids = md.seq_data[seq_id].get_token_ids()
+            token_ids = md.seq_data[seq_id].token_ids
             # The device buffer covers only the prefix-stripped SUFFIX
             # (prefill ran on token_ids[prefix_len:]); suffix logits row
             # j scores full-prompt token prefix_len + j + 1.  Tokens at
@@ -1433,7 +1433,7 @@ class ModelRunner:
             mds = []
             for i in range(b):
                 data = SequenceData([1])
-                data.append_token_id(1, 0.0)
+                data.append_token(1, 0.0)
                 mds.append(
                     SequenceGroupMetadata(
                         request_id=f"warmup-d{b}-{i}",
