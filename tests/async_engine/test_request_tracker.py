@@ -1,10 +1,11 @@
-"""RequestTracker unit tests (reference pattern:
-tests/async_engine/test_request_tracker.py)."""
+"""RequestGate/RequestRelay unit tests (role of the reference's
+tests/async_engine/test_request_tracker.py, against this build's
+single-loop gate design)."""
 import asyncio
 
 import pytest
 
-from vllm_splitwise_tpu.engine.async_llm_engine import RequestTracker
+from vllm_splitwise_tpu.engine.async_llm_engine import RequestGate
 from vllm_splitwise_tpu.outputs import CompletionOutput, RequestOutput
 
 
@@ -15,68 +16,90 @@ def make_output(request_id, finished=False):
     ], finished)
 
 
-def test_request_tracker():
+def test_request_gate():
     async def scenario():
-        tracker = RequestTracker()
-        tracker.init_event()
-        stream_1 = tracker.add_request("1")
-        assert tracker.new_requests_event.is_set()
-        new, finished = tracker.get_new_and_finished_requests()
-        assert not tracker.new_requests_event.is_set()
-        assert len(new) == 1
-        assert new[0]["request_id"] == "1"
-        assert not finished
-        assert not stream_1.finished
+        gate = RequestGate()
+        relay_1 = gate.submit("1")
+        assert gate._wakeup.is_set()
+        submits, cancels = gate.drain()
+        assert not gate._wakeup.is_set()
+        assert [s["request_id"] for s in submits] == ["1"]
+        assert not cancels
+        assert not relay_1.finished
 
-        stream_2 = tracker.add_request("2")
-        stream_3 = tracker.add_request("3")
-        new, finished = tracker.get_new_and_finished_requests()
-        assert len(new) == 2
+        gate.submit("2")
+        gate.submit("3")
+        submits, cancels = gate.drain()
+        assert len(submits) == 2
 
         with pytest.raises(KeyError):
-            tracker.add_request("1")
+            gate.submit("1")
 
-        # Abort 1; it should be reported finished and its stream closed.
-        tracker.abort_request("1")
-        new, finished = tracker.get_new_and_finished_requests()
-        assert "1" in finished
-        assert not new
-        assert stream_1.finished
+        # Cancel 1 (already drained): the engine must hear about it and
+        # the relay closes.
+        gate.cancel("1")
+        submits, cancels = gate.drain()
+        assert "1" in cancels
+        assert not submits
+        assert relay_1.finished
 
-        # Request added then aborted before the engine saw it: surfaced in
-        # finished and never in new.
-        stream_4 = tracker.add_request("4")
-        tracker.abort_request("4")
-        new, finished = tracker.get_new_and_finished_requests()
-        assert "4" in finished
-        assert not new
-        assert stream_4.finished
+        # Submitted then cancelled before any drain: vanishes entirely —
+        # the engine never sees it.
+        relay_4 = gate.submit("4")
+        gate.cancel("4")
+        submits, cancels = gate.drain()
+        assert not submits
+        assert not cancels
+        assert relay_4.finished
 
-        # Finished engine output closes the stream.
-        stream_5 = tracker.add_request("5")
-        tracker.get_new_and_finished_requests()
-        tracker.process_request_output(make_output("5", finished=True))
-        new, finished = tracker.get_new_and_finished_requests()
-        assert "5" in finished
-        assert stream_5.finished
+        # A finished engine output closes and unregisters the relay.
+        relay_5 = gate.submit("5")
+        gate.drain()
+        gate.deliver(make_output("5", finished=True))
+        assert relay_5.finished
+        assert "5" not in gate
+
+        # Cancelling twice (or after finish) is a no-op.
+        gate.cancel("5")
+        submits, cancels = gate.drain()
+        assert not cancels
 
     asyncio.run(scenario())
 
 
-def test_stream_iteration():
+def test_relay_iteration():
     async def scenario():
-        tracker = RequestTracker()
-        tracker.init_event()
-        stream = tracker.add_request("r")
-        tracker.get_new_and_finished_requests()
+        gate = RequestGate()
+        relay = gate.submit("r")
+        gate.drain()
 
-        tracker.process_request_output(make_output("r"))
-        tracker.process_request_output(make_output("r", finished=True))
+        gate.deliver(make_output("r"))
+        gate.deliver(make_output("r", finished=True))
 
         outs = []
-        async for out in stream:
+        async for out in relay:
             outs.append(out)
         assert len(outs) == 2
         assert outs[-1].finished
+
+    asyncio.run(scenario())
+
+
+def test_relay_error_propagation():
+    async def scenario():
+        gate = RequestGate()
+        relay = gate.submit("r")
+        gate.drain()
+        gate.fail("r", ValueError("boom"))
+        with pytest.raises(ValueError):
+            async for _ in relay:
+                pass
+        # fail_all on a fresh gate closes every live relay.
+        r1, r2 = gate.submit("a"), gate.submit("b")
+        gate.fail_all(RuntimeError("dead"))
+        for r in (r1, r2):
+            with pytest.raises(RuntimeError):
+                async for _ in r:
+                    pass
 
     asyncio.run(scenario())

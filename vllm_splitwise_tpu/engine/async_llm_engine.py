@@ -1,20 +1,30 @@
-"""Async serving engine: background step loop + per-request streams.
+"""Async serving engine: a background pump task + per-request relays.
 
-Role-parity with the reference's ``vllm/engine/async_llm_engine.py``
-(AsyncStream :47, RequestTracker :79, _AsyncLLMEngine.step_async :197,
-AsyncLLMEngine :268, generate :538, run_engine_loop :458): requests enter
-through an asyncio-safe tracker, a background task drives engine steps,
-and per-token RequestOutputs stream to each caller.  The device step runs
-in a thread-pool executor so the event loop stays responsive while XLA
-executes.
+Role parity with the reference's ``vllm/engine/async_llm_engine.py``
+(request intake, background step loop, per-token streaming, dead-engine
+propagation), rebuilt around the fact that everything here runs on ONE
+asyncio event loop:
+
+* Handlers and the pump share the loop, so intake needs no cross-thread
+  queues — :class:`RequestGate` is plain dicts/lists swapped under the
+  loop's single-thread guarantee, with one ``asyncio.Event`` to wake an
+  idle pump.
+* Each request gets a :class:`RequestRelay`: a tiny output channel the
+  pump pushes ``RequestOutput`` s into and the HTTP handler async-iterates.
+* A request cancelled before the pump ever drained it simply vanishes —
+  the engine never hears about it (the reference routes this through a
+  finished-set handshake instead).
+
+The device step itself is awaited through the executor
+(``execute_model_async``), which hands XLA dispatch to a thread so the
+loop stays responsive while the TPU runs.
 """
 from __future__ import annotations
 
 import asyncio
 import time
-from functools import partial
-from typing import (AsyncIterator, Callable, Dict, Iterable, List, Optional,
-                    Set, Tuple, Type, Union)
+from typing import (AsyncIterator, Dict, List, Optional, Set, Tuple, Type,
+                    Union)
 
 from vllm_splitwise_tpu.config import ModelConfig
 from vllm_splitwise_tpu.engine.arg_utils import AsyncEngineArgs
@@ -27,209 +37,186 @@ logger = init_logger(__name__)
 
 
 class AsyncEngineDeadError(RuntimeError):
-    pass
+    """The background pump died; every open request gets this."""
 
 
-def _raise_exception_on_finish(task: asyncio.Task,
-                               request_tracker: "RequestTracker") -> None:
-    msg = ("Task finished unexpectedly. This should never happen! "
-           "Please open an issue on Github.")
-    try:
-        try:
-            task.result()
-        except asyncio.CancelledError:
-            return
-        except Exception as exc:
-            raise AsyncEngineDeadError(
-                msg + " See stack trace above for the actual cause.") from exc
-        raise AsyncEngineDeadError(msg)
-    except Exception as exc:
-        request_tracker.propagate_exception(exc)
-        raise exc
+_CLOSED = object()  # relay sentinel
 
 
-class AsyncStream:
-    """A stream of RequestOutputs for one request, writable by the engine
-    loop and async-iterable by the HTTP handler."""
+class RequestRelay:
+    """Output channel for one request: pump writes, handler iterates."""
+
+    __slots__ = ("request_id", "_chan", "_closed")
 
     def __init__(self, request_id: str) -> None:
         self.request_id = request_id
-        self._queue: asyncio.Queue = asyncio.Queue()
-        self._finished = False
+        self._chan: asyncio.Queue = asyncio.Queue()
+        self._closed = False
 
-    def put(self, item: Union[RequestOutput, Exception]) -> None:
-        if self._finished:
-            return
-        self._queue.put_nowait(item)
+    def push(self, out: RequestOutput) -> None:
+        if not self._closed:
+            self._chan.put_nowait(out)
 
-    def finish(self) -> None:
-        self._queue.put_nowait(StopAsyncIteration())
-        self._finished = True
+    def fail(self, exc: BaseException) -> None:
+        if not self._closed:
+            self._chan.put_nowait(exc)
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            self._chan.put_nowait(_CLOSED)
 
     @property
     def finished(self) -> bool:
-        return self._finished
+        return self._closed
 
-    def __aiter__(self):
+    def __aiter__(self) -> "RequestRelay":
         return self
 
     async def __anext__(self) -> RequestOutput:
-        result = await self._queue.get()
-        if isinstance(result, Exception):
-            raise result
-        return result
+        item = await self._chan.get()
+        if item is _CLOSED:
+            raise StopAsyncIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
 
 
-class RequestTracker:
-    """Asyncio-safe intake/abort queue between handlers and the loop."""
+class RequestGate:
+    """Intake/abort ledger between handlers and the pump.
+
+    Not thread-safe, deliberately: every mutation happens on the event
+    loop.  ``drain()`` hands the pump everything submitted or cancelled
+    since the last drain; ``wait()`` parks an idle pump until there is
+    work.
+    """
 
     def __init__(self) -> None:
-        self._request_streams: Dict[str, AsyncStream] = {}
-        self._finished_requests: asyncio.Queue[str] = asyncio.Queue()
-        self._new_requests: asyncio.Queue[Tuple[AsyncStream,
-                                                dict]] = asyncio.Queue()
-        self.new_requests_event: Optional[asyncio.Event] = None
+        self._live: Dict[str, RequestRelay] = {}
+        self._submits: List[dict] = []
+        self._cancels: Set[str] = set()
+        self._wakeup = asyncio.Event()
 
-    def __contains__(self, item):
-        return item in self._request_streams
+    def __contains__(self, request_id: str) -> bool:
+        return request_id in self._live
 
-    def init_event(self):
-        self.new_requests_event = asyncio.Event()
+    # ---- handler side ----
 
-    def propagate_exception(self, exc: Exception,
-                            request_id: Optional[str] = None) -> None:
-        if request_id is not None:
-            self._request_streams[request_id].put(exc)
-        else:
-            for stream in self._request_streams.values():
-                stream.put(exc)
-
-    def process_request_output(self, request_output: RequestOutput,
-                               *, verbose: bool = False) -> None:
-        request_id = request_output.request_id
-        if request_id not in self._request_streams:
-            return  # aborted
-        self._request_streams[request_id].put(request_output)
-        if request_output.finished:
-            if verbose:
-                logger.info("Finished request %s.", request_id)
-            self.abort_request(request_id)
-
-    def add_request(self, request_id: str,
-                    **engine_add_request_kwargs) -> AsyncStream:
-        if request_id in self._request_streams:
+    def submit(self, request_id: str, **engine_kwargs) -> RequestRelay:
+        if request_id in self._live:
             raise KeyError(f"Request {request_id} already exists.")
-        stream = AsyncStream(request_id)
-        self._new_requests.put_nowait((stream, {
-            "request_id": request_id,
-            **engine_add_request_kwargs
-        }))
-        if self.new_requests_event is not None:
-            self.new_requests_event.set()
-        return stream
+        relay = RequestRelay(request_id)
+        self._live[request_id] = relay
+        self._submits.append({"request_id": request_id, **engine_kwargs})
+        self._wakeup.set()
+        return relay
 
-    def abort_request(self, request_id: str, *,
-                      verbose: bool = False) -> None:
+    def cancel(self, request_id: str, *, verbose: bool = False) -> None:
+        """Idempotent: close the relay and, if the engine already saw the
+        request, schedule an engine-side abort."""
+        relay = self._live.pop(request_id, None)
+        if relay is None:
+            return
         if verbose:
             logger.info("Aborted request %s.", request_id)
-        self._finished_requests.put_nowait(request_id)
-        if request_id not in self._request_streams or \
-                self._request_streams[request_id].finished:
-            return
-        self._request_streams[request_id].finish()
+        for i, spec in enumerate(self._submits):
+            if spec["request_id"] == request_id:
+                # Never reached the engine; make it vanish.
+                del self._submits[i]
+                break
+        else:
+            self._cancels.add(request_id)
+            self._wakeup.set()
+        relay.close()
 
-    def get_new_and_finished_requests(self) -> Tuple[List[dict], Set[str]]:
-        new_requests: List[dict] = []
-        finished_requests: Set[str] = set()
-        while not self._finished_requests.empty():
-            request_id = self._finished_requests.get_nowait()
-            finished_requests.add(request_id)
-            self._request_streams.pop(request_id, None)
-        while not self._new_requests.empty():
-            stream, new_request = self._new_requests.get_nowait()
-            if stream.request_id in finished_requests:
-                # Aborted before it ever reached the engine.
-                stream.finish()
-                continue
-            self._request_streams[stream.request_id] = stream
-            new_requests.append(new_request)
-        if self.new_requests_event is not None:
-            self.new_requests_event.clear()
-        return new_requests, finished_requests
+    # ---- pump side ----
 
-    async def wait_for_new_requests(self):
-        await self.new_requests_event.wait()
+    def drain(self) -> Tuple[List[dict], Set[str]]:
+        submits, self._submits = self._submits, []
+        cancels, self._cancels = self._cancels, set()
+        self._wakeup.clear()
+        return submits, cancels
+
+    async def wait(self) -> None:
+        await self._wakeup.wait()
+
+    def deliver(self, out: RequestOutput, *, verbose: bool = False) -> None:
+        relay = self._live.get(out.request_id)
+        if relay is None:
+            return  # cancelled mid-flight
+        relay.push(out)
+        if out.finished:
+            if verbose:
+                logger.info("Finished request %s.", out.request_id)
+            del self._live[out.request_id]
+            relay.close()
+
+    def fail(self, request_id: str, exc: BaseException) -> None:
+        relay = self._live.pop(request_id, None)
+        if relay is not None:
+            relay.fail(exc)
+            relay.close()
+
+    def fail_all(self, exc: BaseException) -> None:
+        for relay in self._live.values():
+            relay.fail(exc)
+            relay.close()
+        self._live.clear()
 
 
 class _AsyncLLMEngine(LLMEngine):
-    """LLMEngine whose step runs the executor without blocking the loop."""
+    """LLMEngine whose step awaits the executor instead of blocking."""
 
     async def step_async(self) -> List[RequestOutput]:
-        (seq_group_metadata_list,
-         scheduler_outputs) = self.scheduler.schedule()
-
-        if not scheduler_outputs.is_empty():
-            output = await self.executor.execute_model_async(
-                seq_group_metadata_list,
-                scheduler_outputs.blocks_to_swap_in,
-                scheduler_outputs.blocks_to_swap_out,
-                scheduler_outputs.blocks_to_copy,
-                scheduler_outputs.blocks_to_nw,
-                num_decode_steps=scheduler_outputs.num_decode_steps,
-            )
+        metadata, plan = self.scheduler.schedule()
+        if plan.is_empty():
+            outputs = []
         else:
-            output = []
-        if scheduler_outputs.num_decode_steps > 1:
-            return self._process_multi_step_outputs(output,
-                                                    scheduler_outputs)
-        return self._process_model_outputs(output, scheduler_outputs)
+            outputs = await self.executor.execute_model_async(
+                metadata,
+                plan.blocks_to_swap_in,
+                plan.blocks_to_swap_out,
+                plan.blocks_to_copy,
+                plan.blocks_to_nw,
+                num_decode_steps=plan.num_decode_steps,
+            )
+        if plan.num_decode_steps > 1:
+            return self._process_multi_step_outputs(outputs, plan)
+        return self._process_model_outputs(outputs, plan)
 
-    async def add_request_async(
-        self,
-        request_id: str,
-        prompt: Optional[str],
-        sampling_params: SamplingParams,
-        prompt_token_ids: Optional[List[int]] = None,
-        arrival_time: Optional[float] = None,
-        lora_request=None,
-    ) -> None:
-        if arrival_time is None:
-            arrival_time = time.time()
-        prompt_token_ids = self.encode_request(request_id, prompt,
-                                               prompt_token_ids,
-                                               lora_request)
-        return self.add_request(request_id, prompt, sampling_params,
-                                prompt_token_ids, arrival_time,
-                                lora_request)
+    async def add_request_async(self, request_id: str, prompt: Optional[str],
+                                sampling_params: SamplingParams,
+                                prompt_token_ids: Optional[List[int]] = None,
+                                arrival_time: Optional[float] = None,
+                                lora_request=None) -> None:
+        token_ids = self.encode_request(request_id, prompt, prompt_token_ids,
+                                        lora_request)
+        self.add_request(request_id, prompt, sampling_params, token_ids,
+                         arrival_time if arrival_time is not None
+                         else time.time(), lora_request)
 
     async def check_health_async(self) -> None:
         await self.executor.check_health_async()
 
 
 class AsyncLLMEngine:
-    """The user-facing async engine (serving front ends build on this)."""
+    """The user-facing async engine; serving front ends build on this."""
 
     _engine_class: Type[_AsyncLLMEngine] = _AsyncLLMEngine
 
-    def __init__(self,
-                 *args,
-                 log_requests: bool = True,
+    def __init__(self, *args, log_requests: bool = True,
                  max_log_len: Optional[int] = None,
-                 start_engine_loop: bool = True,
-                 **kwargs) -> None:
+                 start_engine_loop: bool = True, **kwargs) -> None:
         self.log_requests = log_requests
         self.max_log_len = max_log_len
-        self.engine = self._init_engine(*args, **kwargs)
-
-        self.background_loop = None
-        self._background_loop_unshielded = None
         self.start_engine_loop = start_engine_loop
-        self._request_tracker: Optional[RequestTracker] = None
-        self._errored_with: Optional[BaseException] = None
+        self.engine = self._init_engine(*args, **kwargs)
+        self._gate: Optional[RequestGate] = None
+        self._pump: Optional[asyncio.Task] = None
+        self._fatal: Optional[BaseException] = None
 
     @classmethod
-    def from_engine_args(cls,
-                         engine_args: AsyncEngineArgs,
+    def from_engine_args(cls, engine_args: AsyncEngineArgs,
                          start_engine_loop: bool = True) -> "AsyncLLMEngine":
         configs = engine_args.create_engine_configs()
         parallel_config = configs[2]
@@ -250,158 +237,150 @@ class AsyncLLMEngine:
     def _init_engine(self, *args, **kwargs) -> _AsyncLLMEngine:
         return self._engine_class(*args, **kwargs)
 
+    # ---- pump lifecycle ----
+
     @property
     def is_running(self) -> bool:
-        return (self.background_loop is not None
-                and not self._background_loop_unshielded.done())
+        return self._pump is not None and not self._pump.done()
 
     @property
     def is_stopped(self) -> bool:
-        return self.errored or (self.background_loop is not None
-                                and self._background_loop_unshielded.done())
+        return self.errored or (self._pump is not None and self._pump.done())
 
     @property
     def errored(self) -> bool:
-        return self._errored_with is not None
+        return self._fatal is not None
 
-    def set_errored(self, exc: Exception) -> None:
-        self._errored_with = exc
-
-    def _error_callback(self, exc: Exception) -> None:
-        self.set_errored(exc)
-        self._request_tracker.propagate_exception(exc)
+    def set_errored(self, exc: BaseException) -> None:
+        self._fatal = exc
 
     def start_background_loop(self) -> None:
         if self.errored:
             raise AsyncEngineDeadError(
-                "Background loop has errored already.") from self._errored_with
+                "Background loop has errored already.") from self._fatal
         if self.is_running:
             raise RuntimeError("Background loop is already running.")
-        self._request_tracker = RequestTracker()
-        self._request_tracker.init_event()
+        self._gate = RequestGate()
+        self._pump = asyncio.get_event_loop().create_task(self._run_pump())
+        self._pump.add_done_callback(self._on_pump_done)
 
-        self._background_loop_unshielded = asyncio.get_event_loop(
-        ).create_task(self.run_engine_loop())
-        self._background_loop_unshielded.add_done_callback(
-            partial(_raise_exception_on_finish,
-                    request_tracker=self._request_tracker))
-        self.background_loop = asyncio.shield(
-            self._background_loop_unshielded)
+    def _on_pump_done(self, task: asyncio.Task) -> None:
+        try:
+            task.result()
+            exc: BaseException = AsyncEngineDeadError(
+                "Engine pump exited unexpectedly.")
+        except asyncio.CancelledError:
+            return
+        except BaseException as cause:  # noqa: BLE001
+            exc = AsyncEngineDeadError(
+                "Engine pump died. Inspect the traceback above for the "
+                "root cause.")
+            exc.__cause__ = cause
+        self.set_errored(exc)
+        self._gate.fail_all(exc)
+        logger.error("AsyncLLMEngine pump terminated", exc_info=exc)
 
-    async def engine_step(self) -> bool:
-        """One engine step; returns True if any request was in-flight."""
-        new_requests, finished_requests = \
-            self._request_tracker.get_new_and_finished_requests()
-
-        for new_request in new_requests:
-            try:
-                await self.engine.add_request_async(**new_request)
-            except ValueError as e:
-                self._request_tracker.process_request_output(
-                    None)  # unreachable; keep linters calm
-            except Exception as e:  # noqa: BLE001
-                self._request_tracker.propagate_exception(
-                    e, new_request["request_id"])
-                self._request_tracker.abort_request(
-                    new_request["request_id"])
-
-        if finished_requests:
-            self.engine.abort_request(finished_requests)
-
-        request_outputs = await self.engine.step_async()
-        for request_output in request_outputs:
-            self._request_tracker.process_request_output(
-                request_output, verbose=self.log_requests)
-        return len(request_outputs) > 0
-
-    async def run_engine_loop(self):
-        has_requests_in_progress = False
+    async def _run_pump(self) -> None:
+        busy = False
         while True:
-            if not has_requests_in_progress:
-                await self._request_tracker.wait_for_new_requests()
-            has_requests_in_progress = await self.engine_step()
+            if not busy:
+                await self._gate.wait()
+            busy = await self.engine_step()
+            # Yield so handlers can enqueue/consume between steps.
             await asyncio.sleep(0)
 
-    async def add_request(
-        self,
-        request_id: str,
-        prompt: Optional[str],
-        sampling_params: SamplingParams,
-        prompt_token_ids: Optional[List[int]] = None,
-        arrival_time: Optional[float] = None,
-        lora_request=None,
-    ) -> AsyncStream:
+    async def engine_step(self) -> bool:
+        """Drain intake, run one engine step, fan out its outputs.
+        Returns whether any request remains in flight."""
+        submits, cancels = self._gate.drain()
+        for spec in submits:
+            try:
+                await self.engine.add_request_async(**spec)
+            except Exception as exc:  # noqa: BLE001 - per-request fault
+                self._gate.fail(spec["request_id"], exc)
+                cancels.add(spec["request_id"])
+        if cancels:
+            self.engine.abort_request(cancels)
+
+        outputs = await self.engine.step_async()
+        for out in outputs:
+            self._gate.deliver(out, verbose=self.log_requests)
+        # Keep pumping while anything is queued or running: a waiting
+        # request can produce zero outputs for a step (admission deferred
+        # under memory pressure) yet still need future steps.
+        return bool(outputs) or self.engine.has_unfinished_requests()
+
+    # ---- request API ----
+
+    async def add_request(self, request_id: str, prompt: Optional[str],
+                          sampling_params: SamplingParams,
+                          prompt_token_ids: Optional[List[int]] = None,
+                          arrival_time: Optional[float] = None,
+                          lora_request=None) -> RequestRelay:
         if self.log_requests:
-            shortened_prompt = prompt
-            shortened_token_ids = prompt_token_ids
-            if self.max_log_len is not None:
-                if shortened_prompt is not None:
-                    shortened_prompt = shortened_prompt[:self.max_log_len]
-                if shortened_token_ids is not None:
-                    shortened_token_ids = shortened_token_ids[:self.
-                                                              max_log_len]
-            logger.info(
-                "Received request %s: prompt: %r, params: %s, "
-                "prompt_token_ids: %s.", request_id, shortened_prompt,
-                sampling_params, shortened_token_ids)
-
+            self._log_arrival(request_id, prompt, prompt_token_ids,
+                              sampling_params)
         if not self.is_running:
-            if self.start_engine_loop:
-                self.start_background_loop()
-            else:
+            if not self.start_engine_loop:
                 raise AsyncEngineDeadError(
-                    "Background loop is not running. If it was running, "
-                    "inspect the output to find the stacktrace of the "
-                    "error that caused the background loop to stop "
+                    "Background loop is not running. If it exited, the "
+                    "traceback above holds the root cause "
                     "(AsyncEngineDeadError).")
+            self.start_background_loop()
+        return self._gate.submit(
+            request_id, prompt=prompt, sampling_params=sampling_params,
+            prompt_token_ids=prompt_token_ids, lora_request=lora_request,
+            arrival_time=(arrival_time if arrival_time is not None
+                          else time.time()))
 
-        return self._request_tracker.add_request(
-            request_id,
-            prompt=prompt,
-            sampling_params=sampling_params,
-            prompt_token_ids=prompt_token_ids,
-            arrival_time=arrival_time or time.time(),
-            lora_request=lora_request)
+    def _log_arrival(self, request_id, prompt, prompt_token_ids,
+                     sampling_params) -> None:
+        cap = self.max_log_len
+        if cap is not None:
+            prompt = prompt[:cap] if prompt is not None else None
+            if prompt_token_ids is not None:
+                prompt_token_ids = prompt_token_ids[:cap]
+        logger.info("Received request %s: prompt: %r, params: %s, "
+                    "prompt_token_ids: %s.", request_id, prompt,
+                    sampling_params, prompt_token_ids)
 
-    async def generate(
-        self,
-        prompt: Optional[str],
-        sampling_params: SamplingParams,
-        request_id: str,
-        prompt_token_ids: Optional[List[int]] = None,
-        lora_request=None,
-    ) -> AsyncIterator[RequestOutput]:
+    async def generate(self, prompt: Optional[str],
+                       sampling_params: SamplingParams, request_id: str,
+                       prompt_token_ids: Optional[List[int]] = None,
+                       lora_request=None) -> AsyncIterator[RequestOutput]:
         """Yields RequestOutputs as they are produced for this request."""
         try:
-            stream = await self.add_request(
-                request_id, prompt, sampling_params,
-                prompt_token_ids=prompt_token_ids, lora_request=lora_request)
-            async for request_output in stream:
-                yield request_output
-        except (Exception, asyncio.CancelledError) as e:
+            relay = await self.add_request(request_id, prompt,
+                                           sampling_params,
+                                           prompt_token_ids=prompt_token_ids,
+                                           lora_request=lora_request)
+            async for out in relay:
+                yield out
+        except (Exception, asyncio.CancelledError):
             self._abort(request_id)
-            raise e
+            raise
 
     async def abort(self, request_id: str) -> None:
         if not self.is_running:
-            raise AsyncEngineDeadError(
-                "Background loop is not running.")
-        return self._abort(request_id)
+            raise AsyncEngineDeadError("Background loop is not running.")
+        self._abort(request_id)
 
     def _abort(self, request_id: str) -> None:
-        self._request_tracker.abort_request(request_id,
-                                            verbose=self.log_requests)
+        if self._gate is not None:
+            self._gate.cancel(request_id, verbose=self.log_requests)
+
+    # ---- passthroughs ----
 
     async def get_model_config(self) -> ModelConfig:
         return self.engine.get_model_config()
 
     async def check_health(self) -> None:
-        t = time.perf_counter()
-        logger.debug("Starting health check...")
+        started = time.perf_counter()
         if self.is_stopped:
             raise AsyncEngineDeadError("Background loop is stopped.")
         await self.engine.check_health_async()
-        logger.debug("Health check took %fs", time.perf_counter() - t)
+        logger.debug("Health check took %fs",
+                     time.perf_counter() - started)
 
     @property
     def tokenizer(self):

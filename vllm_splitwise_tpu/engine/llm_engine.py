@@ -270,159 +270,160 @@ class LLMEngine:
         if outputs.prompt_logprobs is not None:
             seq_group.prompt_logprobs = outputs.prompt_logprobs
 
-        samples = outputs.samples
-        parent_seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
-        existing_finished_seqs = seq_group.finished_seqs()
-        parent_child_dict = {
-            parent_seq.seq_id: []
-            for parent_seq in parent_seqs
+        # Beams that finished on PRIOR steps, snapshotted before this
+        # step's stop checks flip any of today's candidates to finished.
+        prior_finished = seq_group.finished_seqs()
+
+        pairs = self._grow_candidates(seq_group, outputs.samples)
+        for seq, _ in pairs:
+            self._decode_sequence(seq, seq_group.sampling_params)
+            self._check_stop(seq, seq_group.sampling_params)
+
+        if seq_group.sampling_params.use_beam_search:
+            self._select_beams(seq_group, pairs, prior_finished)
+        else:
+            self._commit_survivors(seq_group, pairs)
+
+    def _grow_candidates(
+            self, seq_group: SequenceGroup,
+            samples: List[SequenceOutput]) -> List[Tuple[Sequence,
+                                                         Sequence]]:
+        """Append this step's samples: one sample continues each parent
+        in place; extra samples (beam widening / n>1 prompt fan-out) fork
+        children.  Returns (candidate, parent) pairs; a parent the
+        sampler dropped entirely is freed here."""
+        by_parent = {
+            p.seq_id: (p, [])
+            for p in seq_group.get_seqs(status=SequenceStatus.RUNNING)
         }
         for sample in samples:
-            parent_child_dict[sample.parent_seq_id].append(sample)
+            by_parent[sample.parent_seq_id][1].append(sample)
 
-        child_seqs: List[Tuple[Sequence, Sequence]] = []
-        for parent in parent_seqs:
-            child_samples: List[SequenceOutput] = parent_child_dict[
-                parent.seq_id]
-            if not child_samples:
-                # Dropped by sampling (beam width narrowed): discard.
+        pairs: List[Tuple[Sequence, Sequence]] = []
+        for parent, taken in by_parent.values():
+            if not taken:
+                # Beam narrowed past this parent: retire it now.
                 parent.status = SequenceStatus.FINISHED_ABORTED
                 seq_group.remove(parent.seq_id)
                 self.scheduler.free_seq(parent)
                 continue
-            for child_sample in child_samples[:-1]:
-                new_child_seq_id = next(self.seq_counter)
-                child = parent.fork(new_child_seq_id)
-                child.append_token(child_sample.output_token,
-                                      child_sample.logprobs)
-                child_seqs.append((child, parent))
-            last_child_sample = child_samples[-1]
-            parent.append_token(last_child_sample.output_token,
-                                   last_child_sample.logprobs)
-            child_seqs.append((parent, parent))
+            # All but the final sample need their own sequence.
+            for extra in taken[:-1]:
+                child = parent.fork(next(self.seq_counter))
+                child.append_token(extra.output_token, extra.logprobs)
+                pairs.append((child, parent))
+            parent.append_token(taken[-1].output_token, taken[-1].logprobs)
+            pairs.append((parent, parent))
+        return pairs
 
-        for seq, _ in child_seqs:
-            self._decode_sequence(seq, seq_group.sampling_params)
-            self._check_stop(seq, seq_group.sampling_params)
+    def _commit_survivors(self, seq_group: SequenceGroup,
+                          pairs: List[Tuple[Sequence, Sequence]]) -> None:
+        """Make surviving candidates durable: register forked children
+        with the group and the block manager, then release finished
+        parents.  Two phases on purpose — a child's block-table fork must
+        happen before its (possibly finished) parent's pages are freed.
 
-        if not seq_group.sampling_params.use_beam_search:
-            for seq, parent in child_seqs:
-                if seq is not parent:
-                    seq_group.add(seq)
-                    # A child that finished on its very first token must
-                    # NOT get a block-table fork: nothing would ever free
-                    # it (reference llm_engine.py:425-426 guards the
-                    # same way; unguarded this leaks KV pages until the
-                    # scheduler livelocks on a permanently-short pool).
-                    if not seq.is_finished():
-                        self.scheduler.fork_seq(parent, seq)
-            for seq, parent in child_seqs:
-                if seq is parent and seq.is_finished():
-                    self.scheduler.free_seq(seq)
-            return
-
-        # ---- beam search bookkeeping (reference llm_engine.py:379-535) ----
-        selected_child_seqs = []
-        unselected_child_seqs = []
-        beam_width = seq_group.sampling_params.best_of
-        length_penalty = seq_group.sampling_params.length_penalty
-
-        existing_finished_seqs = [(seq, None, False)
-                                  for seq in existing_finished_seqs]
-        new_finished_seqs = [(seq, parent, True)
-                             for seq, parent in child_seqs
-                             if seq.is_finished()]
-        all_finished_seqs = existing_finished_seqs + new_finished_seqs
-        all_finished_seqs.sort(key=lambda x: x[0].beam_score(
-            length_penalty=length_penalty,
-            eos_token_id=x[0].eos_token_id),
-                               reverse=True)
-        for seq, parent, is_new in all_finished_seqs[:beam_width]:
-            if is_new:
-                selected_child_seqs.append((seq, parent))
-        for seq, parent, is_new in all_finished_seqs[beam_width:]:
-            if is_new:
-                unselected_child_seqs.append((seq, parent))
-            else:
-                seq_group.remove(seq.seq_id)
-
-        running_child_seqs = [(seq, parent) for seq, parent in child_seqs
-                              if not seq.is_finished()]
-        running_child_seqs.sort(key=lambda x: x[0].beam_score(
-            length_penalty=length_penalty),
-                                reverse=True)
-
-        if len(running_child_seqs) == 0:
-            stop_beam_search = True
-        elif len(all_finished_seqs) < beam_width:
-            stop_beam_search = False
-        else:
-            best_running_seq = running_child_seqs[0][0]
-            current_worst_seq = all_finished_seqs[beam_width - 1][0]
-            stop_beam_search = self._check_beam_search_early_stopping(
-                seq_group.sampling_params.early_stopping,
-                seq_group.sampling_params, best_running_seq,
-                current_worst_seq)
-
-        if stop_beam_search:
-            unselected_child_seqs.extend(running_child_seqs)
-        else:
-            selected_child_seqs.extend(running_child_seqs[:beam_width])
-            unselected_child_seqs.extend(running_child_seqs[beam_width:])
-
-        for seq, parent in selected_child_seqs:
+        A child that finished on its very first token gets NO block-table
+        fork: it will never be scheduled, so nothing would ever free the
+        fork (unguarded, this leaks KV pages until the scheduler
+        livelocks on a permanently-short pool)."""
+        for seq, parent in pairs:
             if seq is not parent:
                 seq_group.add(seq)
-                # Finished-at-selection forks get no block fork — see the
-                # non-beam path above (reference llm_engine.py:518-519).
                 if not seq.is_finished():
                     self.scheduler.fork_seq(parent, seq)
-        for seq, parent in selected_child_seqs:
+        for seq, parent in pairs:
             if seq is parent and seq.is_finished():
                 self.scheduler.free_seq(seq)
-        for seq, parent in unselected_child_seqs:
-            if seq is parent:
-                # Parent got dropped: free it.
-                seq.status = SequenceStatus.FINISHED_ABORTED
-                seq_group.remove(seq.seq_id)
-                self.scheduler.free_seq(seq)
 
-    def _check_beam_search_early_stopping(
-        self,
-        early_stopping: Union[bool, str],
-        sampling_params: SamplingParams,
-        best_running_seq: Sequence,
-        current_worst_seq: Sequence,
-    ) -> bool:
-        assert sampling_params.use_beam_search
-        length_penalty = sampling_params.length_penalty
-        if early_stopping is True:
-            return True
-        current_worst_score = current_worst_seq.beam_score(
-            length_penalty=length_penalty,
-            eos_token_id=current_worst_seq.eos_token_id)
-        if early_stopping is False:
-            highest_attainable_score = best_running_seq.beam_score(
-                length_penalty=length_penalty,
-                eos_token_id=best_running_seq.eos_token_id)
+    def _drop_candidate(self, seq_group: SequenceGroup, seq: Sequence,
+                        parent: Sequence) -> None:
+        """Discard a losing candidate.  Forked children were never
+        registered anywhere, so only in-place parents need teardown."""
+        if seq is parent:
+            seq.status = SequenceStatus.FINISHED_ABORTED
+            seq_group.remove(seq.seq_id)
+            self.scheduler.free_seq(seq)
+
+    def _select_beams(self, seq_group: SequenceGroup,
+                      pairs: List[Tuple[Sequence, Sequence]],
+                      prior_finished: List[Sequence]) -> None:
+        """Beam-search survivor selection (role of the reference's
+        llm_engine.py:379-535 block).
+
+        The finished pool (prior finished beams + newly finished
+        candidates) keeps its best ``beam_width``; running candidates
+        continue only while the search can still improve on the worst
+        kept finished beam."""
+        params = seq_group.sampling_params
+        width = params.best_of
+        penalty = params.length_penalty
+
+        def score(seq: Sequence, **kw) -> float:
+            return seq.beam_score(length_penalty=penalty,
+                                  eos_token_id=seq.eos_token_id, **kw)
+
+        # parent=None marks beams finished on an earlier step.
+        finished = [(seq, None) for seq in prior_finished]
+        finished += [(seq, parent) for seq, parent in pairs
+                     if seq.is_finished()]
+        finished.sort(key=lambda sp: score(sp[0]), reverse=True)
+
+        keep: List[Tuple[Sequence, Sequence]] = []
+        losers: List[Tuple[Sequence, Sequence]] = []
+        for rank, (seq, parent) in enumerate(finished):
+            if parent is not None:  # new this step
+                (keep if rank < width else losers).append((seq, parent))
+            elif rank >= width:
+                # An old beam fell out of the top-k: forget it.
+                seq_group.remove(seq.seq_id)
+
+        running = sorted(
+            ((seq, parent) for seq, parent in pairs
+             if not seq.is_finished()),
+            key=lambda sp: sp[0].beam_score(length_penalty=penalty),
+            reverse=True)
+
+        if running and (len(finished) < width or self._beam_can_improve(
+                params, running[0][0], finished[width - 1][0])):
+            keep += running[:width]
+            losers += running[width:]
         else:
-            assert early_stopping == "never"
-            if length_penalty > 0.0:
-                max_possible_length = max(
-                    best_running_seq.prompt_len +
-                    (sampling_params.max_tokens or 0),
-                    self.scheduler_config.max_model_len)
-                highest_attainable_score = \
-                    best_running_seq.beam_score(
-                        length_penalty=length_penalty,
-                        eos_token_id=best_running_seq.eos_token_id,
-                        seq_len=max_possible_length)
-            else:
-                highest_attainable_score = \
-                    best_running_seq.beam_score(
-                        length_penalty=length_penalty,
-                        eos_token_id=best_running_seq.eos_token_id)
-        return current_worst_score >= highest_attainable_score
+            losers += running
+
+        # Commit before dropping: a kept child's block-table fork must
+        # land before its (possibly losing) parent frees any pages.
+        self._commit_survivors(seq_group, keep)
+        for seq, parent in losers:
+            self._drop_candidate(seq_group, seq, parent)
+
+    def _beam_can_improve(self, params: SamplingParams,
+                          best_running: Sequence,
+                          worst_kept: Sequence) -> bool:
+        """Could ``best_running``, decoded further, ever outscore the
+        worst finished beam we are keeping?  Mirrors HF GenerationMixin's
+        early-stopping modes: True = stop at width, False = compare at
+        current length, "never" = compare at the max attainable length."""
+        assert params.use_beam_search
+        if params.early_stopping is True:
+            return False
+        penalty = params.length_penalty
+        floor = worst_kept.beam_score(length_penalty=penalty,
+                                      eos_token_id=worst_kept.eos_token_id)
+        if params.early_stopping == "never" and penalty > 0.0:
+            # Longer sequences only help when penalty > 0: score at the
+            # longest length this request could ever reach.
+            horizon = max(best_running.prompt_len + (params.max_tokens or 0),
+                          self.scheduler_config.max_model_len)
+            ceiling = best_running.beam_score(
+                length_penalty=penalty,
+                eos_token_id=best_running.eos_token_id,
+                seq_len=horizon)
+        else:
+            ceiling = best_running.beam_score(
+                length_penalty=penalty,
+                eos_token_id=best_running.eos_token_id)
+        return ceiling > floor
 
     # ---- detokenization + stop checks ----
 
