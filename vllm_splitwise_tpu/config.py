@@ -279,6 +279,7 @@ class ParallelConfig:
         max_parallel_loading_workers: Optional[int] = None,
         disable_custom_all_reduce: bool = True,
         ray_workers_use_nsight: bool = False,
+        num_prefill_hosts: int = 1,
     ) -> None:
         self.pipeline_parallel_size = pipeline_parallel_size
         self.tensor_parallel_size = tensor_parallel_size
@@ -287,6 +288,11 @@ class ParallelConfig:
         self.max_parallel_loading_workers = max_parallel_loading_workers
         self.disable_custom_all_reduce = disable_custom_all_reduce
         self.ray_workers_use_nsight = ray_workers_use_nsight
+        # Multi-host disaggregation: processes [0, num_prefill_hosts)
+        # of the jax.distributed cluster form the prefill pool
+        # (executor/multihost_splitwise.py).  Only meaningful when the
+        # process count exceeds 1.
+        self.num_prefill_hosts = num_prefill_hosts
 
         # Chips per pool; total chip requirement doubles with the
         # prefill/decode split.

@@ -58,6 +58,12 @@ class EngineArgs:
     quantization: Optional[str] = None
     enforce_eager: bool = False
     max_context_len_to_capture: int = 8192
+    # Multi-host (jax.distributed) cluster membership.
+    distributed_coordinator: 'Optional[str]' = None
+    distributed_num_processes: int = 1
+    distributed_process_id: int = 0
+    cross_host_transfer_address: 'Optional[str]' = None
+    num_prefill_hosts: int = 1
     disable_custom_all_reduce: bool = True
     enable_lora: bool = False
     max_loras: int = 1
@@ -125,6 +131,22 @@ class EngineArgs:
         parser.add_argument("--sep-prompt-token", action="store_true",
                             help="disaggregate prefill and decode onto "
                             "separate device pools (Splitwise)")
+        parser.add_argument("--distributed-coordinator", type=str,
+                            default=None,
+                            help="host:port of the jax.distributed "
+                            "coordinator (multi-host serving)")
+        parser.add_argument("--distributed-num-processes", type=int,
+                            default=EngineArgs.distributed_num_processes)
+        parser.add_argument("--distributed-process-id", type=int,
+                            default=EngineArgs.distributed_process_id)
+        parser.add_argument("--cross-host-transfer-address", type=str,
+                            default=None,
+                            help="host:port this process serves DCN "
+                            "device transfers on (cross-host KV path)")
+        parser.add_argument("--num-prefill-hosts", type=int,
+                            default=EngineArgs.num_prefill_hosts,
+                            help="processes [0,N) of the cluster form "
+                            "the prefill pool under --sep-prompt-token")
         parser.add_argument("--max-parallel-loading-workers", type=int,
                             default=None)
         parser.add_argument("--block-size", type=int,
@@ -200,6 +222,15 @@ class EngineArgs:
     ) -> Tuple[ModelConfig, CacheConfig, ParallelConfig, SchedulerConfig,
                DeviceConfig, Optional[LoRAConfig],
                Optional[SpeculativeConfig]]:
+        if (self.distributed_coordinator
+                and self.distributed_num_processes > 1):
+            from vllm_splitwise_tpu.parallel.distributed import \
+                init_distributed
+            init_distributed(
+                self.distributed_coordinator,
+                self.distributed_num_processes,
+                self.distributed_process_id,
+                cross_host_transfer_address=self.cross_host_transfer_address)
         device_config = DeviceConfig(self.device)
         model_config = ModelConfig(
             self.model, self.tokenizer, self.tokenizer_mode,
@@ -223,7 +254,8 @@ class EngineArgs:
             self.pipeline_parallel_size, self.tensor_parallel_size,
             self.sep_prompt_token, self.worker_use_ray,
             self.max_parallel_loading_workers,
-            self.disable_custom_all_reduce)
+            self.disable_custom_all_reduce,
+            num_prefill_hosts=self.num_prefill_hosts)
         speculative_config = None
         if self.speculative_model is not None:
             if self.num_decode_steps > 1:

@@ -92,9 +92,17 @@ class LLMEngine:
         configs = engine_args.create_engine_configs()
         parallel_config = configs[2]
         if parallel_config.sep_prompt_token:
-            from vllm_splitwise_tpu.executor.splitwise_executor import \
-                SplitwiseExecutor
-            executor_class = SplitwiseExecutor
+            import jax
+            if jax.process_count() > 1:
+                # Multi-host disaggregation: this (decode) process runs
+                # the engine; prefill hosts run PrefillHostServer.
+                from vllm_splitwise_tpu.executor.multihost_splitwise import \
+                    MultihostSplitwiseExecutor
+                executor_class = MultihostSplitwiseExecutor
+            else:
+                from vllm_splitwise_tpu.executor.splitwise_executor import \
+                    SplitwiseExecutor
+                executor_class = SplitwiseExecutor
         else:
             from vllm_splitwise_tpu.executor.tpu_executor import TPUExecutor
             executor_class = TPUExecutor

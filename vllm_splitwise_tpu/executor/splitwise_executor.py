@@ -139,7 +139,19 @@ class SplitwiseExecutor(ExecutorBase):
             num_decode_steps=num_decode_steps)
 
     def check_health(self) -> None:
-        return
+        """Probe both pools with a trivial device round-trip.
+
+        Role of the reference's actor-liveness poll
+        (ray_gpu_executor.py:474-489): a wedged chip or a dead device
+        transport surfaces here as an exception instead of a silent
+        hang inside the next step.
+        """
+        import jax
+        import jax.numpy as jnp
+        for worker in (self.prefill_worker, self.decode_worker):
+            for device in worker.mesh.devices.flat:
+                probe = jax.device_put(jnp.zeros((), jnp.float32), device)
+                jax.block_until_ready(probe)
 
     # ---- KV-comm self test (reference worker.py:350-386 pattern) ----
 

@@ -29,6 +29,61 @@ from vllm_splitwise_tpu.utils import coalesce_blocks
 logger = init_logger(__name__)
 
 
+def scatter_index_for(cache, idx):
+    """Physical page indices for a logical page-id vector.  Under the
+    fused interleaved layout logical page i lives at physical pages 2i
+    (K) and 2i+1 (V) of one array; other layouts are identity."""
+    if isinstance(cache, tuple) and len(cache) == 2 and cache[1] is None:
+        from vllm_splitwise_tpu.ops.kv_cache import fused_page_indices
+        return fused_page_indices(idx)
+    return idx
+
+
+def gather_pages_tree(src_cache, idx):
+    """Pull the given pages out of a cache pytree.
+
+    Returns ``(pages_tree, scatter_idx)`` — under the fused interleaved
+    layout the physical indices differ from the logical ones, and the
+    scatter side must use the SAME physical indices.
+    """
+    idx = scatter_index_for(src_cache, idx)
+    if isinstance(src_cache, tuple):  # stacked [L, P, kvh, ps, hd]
+        # Leaf-wise so int4 QuantPages (data + scale leaves of different
+        # ranks) migrate alongside plain page arrays.
+        return jax.tree.map(
+            lambda a: jnp.take(a, idx, axis=1, mode="clip"),
+            src_cache), idx
+    return [(gather_pages(k, idx), gather_pages(v, idx))
+            for k, v in src_cache], idx
+
+
+def scatter_pages_tree(dst_cache, idx, pages):
+    """Write gathered pages into a cache pytree at ``idx`` (the
+    scatter_idx returned by :func:`gather_pages_tree`)."""
+    if isinstance(dst_cache, tuple):
+        return jax.tree.map(
+            lambda dst, src: dst.at[:, idx].set(src.astype(dst.dtype),
+                                                mode="drop"),
+            dst_cache, pages)
+    return [(scatter_pages(k_dst, idx, k_pages),
+             scatter_pages(v_dst, idx, v_pages))
+            for (k_dst, v_dst), (k_pages, v_pages) in zip(dst_cache, pages)]
+
+
+def migration_leaf_spec(dst_spec):
+    """Per-leaf PartitionSpec chooser for gathered page pytrees: stacked
+    leaves carry a leading layer axis; scale leaves of quantized caches
+    have lower rank — truncate the spec to each leaf's rank."""
+    from jax.sharding import PartitionSpec as P
+    base = (None, ) + tuple(dst_spec)
+
+    def for_leaf(a, stacked: bool):
+        dims = base if stacked else tuple(dst_spec)
+        return P(*dims[:a.ndim])
+
+    return for_leaf
+
+
 class KVMigrationManager:
     """Moves KV pages from the prefill worker's cache to the decode
     worker's cache; page ids are shared (one block manager spans both
@@ -102,67 +157,22 @@ class KVMigrationManager:
         pool's placement, scatter into the destination; returns the new
         destination pytree (stacked tuple or per-layer list)."""
         dst_sharding = self._dst_sharding()
+        stacked = isinstance(src_cache, tuple)
+        pages, idx = gather_pages_tree(src_cache, idx)
 
-        if isinstance(src_cache, tuple):  # stacked [L, P, kvh, ps, hd]
-            if len(src_cache) == 2 and src_cache[1] is None:
-                # Fused interleaved layout: logical page i lives at
-                # physical pages 2i (K) and 2i+1 (V) of one array.
-                from vllm_splitwise_tpu.ops.kv_cache import \
-                    fused_page_indices
-                idx = fused_page_indices(idx)
-            # Leaf-wise so int4 QuantPages (data + scale leaves of
-            # different ranks) migrate alongside plain page arrays.
-            gathered = jax.tree.map(
-                lambda a: jnp.take(a, idx, axis=1, mode="clip"), src_cache)
-            if dst_sharding is not None:
-                from jax.sharding import NamedSharding
-                from jax.sharding import PartitionSpec as P
-                base = (None, ) + tuple(dst_sharding.spec)
-
-                def put(a):
-                    spec = P(*base[:a.ndim])
-                    return jax.device_put(
-                        a, NamedSharding(self.decode_worker.mesh, spec))
-
-                gathered = jax.tree.map(put, gathered)
-            elif self.decode_worker.mesh is None and \
-                    self.prefill_worker.device != self.decode_worker.device:
-                gathered = jax.tree.map(
-                    lambda a: jax.device_put(a, self.decode_worker.device),
-                    gathered)
-            return jax.tree.map(
-                lambda dst, src: dst.at[:, idx].set(src.astype(dst.dtype),
-                                                    mode="drop"),
-                dst_cache, gathered)
-
-        new_dst: List = []
-        for (k_src, v_src), (k_dst, v_dst) in zip(src_cache, dst_cache):
-            k_pages = gather_pages(k_src, idx)
-            v_pages = gather_pages(v_src, idx)
-            if dst_sharding is not None:
-                from jax.sharding import NamedSharding
-                from jax.sharding import PartitionSpec as P
-                base = tuple(dst_sharding.spec)
-
-                def put(a):
-                    return jax.device_put(
-                        a, NamedSharding(self.decode_worker.mesh,
-                                         P(*base[:a.ndim])))
-
-                k_pages = jax.tree.map(put, k_pages)
-                v_pages = jax.tree.map(put, v_pages)
-            elif self.decode_worker.mesh is None \
-                    and self.prefill_worker.device != \
-                    self.decode_worker.device:
-                k_pages = jax.tree.map(
-                    lambda a: jax.device_put(a, self.decode_worker.device),
-                    k_pages)
-                v_pages = jax.tree.map(
-                    lambda a: jax.device_put(a, self.decode_worker.device),
-                    v_pages)
-            new_dst.append((scatter_pages(k_dst, idx, k_pages),
-                            scatter_pages(v_dst, idx, v_pages)))
-        return new_dst
+        if dst_sharding is not None:
+            from jax.sharding import NamedSharding
+            spec_for = migration_leaf_spec(dst_sharding.spec)
+            pages = jax.tree.map(
+                lambda a: jax.device_put(
+                    a, NamedSharding(self.decode_worker.mesh,
+                                     spec_for(a, stacked))), pages)
+        elif self.decode_worker.mesh is None and \
+                self.prefill_worker.device != self.decode_worker.device:
+            pages = jax.tree.map(
+                lambda a: jax.device_put(a, self.decode_worker.device),
+                pages)
+        return scatter_pages_tree(dst_cache, idx, pages)
 
     def ensure_migrated(self, slots: Iterable[int]) -> None:
         """Decode-side check before attending over migrated pages.  With
