@@ -38,14 +38,14 @@ def test_gelu_variants_match_torch():
     t = torch.tensor(x)
     np.testing.assert_allclose(
         np.asarray(gelu_new(jnp.asarray(x))),
-        F.gelu(t, approximate="tanh").numpy(), rtol=1e-4, atol=1e-5)
+        F.gelu(t, approximate="tanh").numpy(), rtol=2e-3, atol=5e-5)
     np.testing.assert_allclose(
         np.asarray(gelu_fast(jnp.asarray(x))),
         F.gelu(t, approximate="tanh").numpy(), rtol=1e-2, atol=1e-3)
     half = np.concatenate([x, x], axis=-1).astype(np.float32)
     np.testing.assert_allclose(
         np.asarray(gelu_and_mul(jnp.asarray(half))),
-        (F.gelu(t) * t).numpy(), rtol=1e-4, atol=1e-5)
+        (F.gelu(t) * t).numpy(), rtol=2e-3, atol=5e-5)
 
 
 @pytest.mark.parametrize("is_neox", [True, False])

@@ -51,7 +51,7 @@ def _flash_prefill_kernel(
     has_alibi: bool,
 ):
     if has_alibi:
-        slopes_ref = rest[0]   # [1, rows] f32 block (slope per score row)
+        slopes_ref = rest[0]   # [1, 1, rows] f32 block (slope per row)
         rest = rest[1:]
     else:
         slopes_ref = None
@@ -90,7 +90,7 @@ def _flash_prefill_kernel(
         if sliding_window is not None:
             mask = jnp.logical_and(mask, q_pos - k_pos < sliding_window)
         if slopes_ref is not None:
-            slope = slopes_ref[0][:, None]          # [rows, 1]
+            slope = slopes_ref[0, 0][:, None]       # [rows, 1]
             s = s + slope * (k_pos - q_pos).astype(jnp.float32)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
@@ -188,9 +188,12 @@ def flash_prefill_attention(
         slopes_rows = jnp.tile(
             alibi_slopes.astype(jnp.float32).reshape(num_kv_heads, 1,
                                                      group), (1, _QB, 1))
+        # [kvh, 1, rows] with a (1, 1, rows) block: the trailing two
+        # block dims equal the array dims (Mosaic rejects 1-row partial
+        # blocks on a multi-row axis).
         in_specs.append(
-            pl.BlockSpec((1, rows), lambda b, h, qi, ki, *_: (h, 0)))
-        inputs.append(slopes_rows.reshape(num_kv_heads, rows))
+            pl.BlockSpec((1, 1, rows), lambda b, h, qi, ki, *_: (h, 0, 0)))
+        inputs.append(slopes_rows.reshape(num_kv_heads, 1, rows))
 
     out = pl.pallas_call(
         kernel,

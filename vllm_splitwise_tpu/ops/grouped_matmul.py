@@ -77,9 +77,15 @@ def moe_align(
 
 
 def _grouped_kernel(expert_ids_ref, x_ref, w_ref, o_ref):
+    # fp32 operands get full-precision passes on the MXU; bf16/int paths
+    # (the production dtypes) keep the fast default.
+    precision = (jax.lax.Precision.HIGHEST
+                 if x_ref.dtype == jnp.float32 else
+                 jax.lax.Precision.DEFAULT)
     o_ref[...] = jax.lax.dot_general(
         x_ref[...], w_ref[0],
         dimension_numbers=(((1, ), (0, )), ((), ())),
+        precision=precision,
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 

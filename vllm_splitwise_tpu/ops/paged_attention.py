@@ -73,10 +73,10 @@ def _paged_attention_kernel(
     if int4_kv:
         # W8A4 path: token-pair nibble-packed pages ([kvh, ps/2, hd]
         # int8, token 2r in the low nibble).  Per-token scales arrive as
-        # normal pipelined VMEM blocks ([1, kvh, chunk_tokens], already
-        # gathered + lane-permuted to [evens | odds] in XLA) — no manual
-        # scale DMAs, no sub-128-lane HBM slices.
-        ks_ref = rest[0]   # [1, kvh, chunk_tokens] bf16 block
+        # normal pipelined VMEM blocks ([1, 1, kvh, chunk_tokens],
+        # already gathered + lane-permuted to [evens | odds] in XLA) —
+        # no manual scale DMAs, no sub-128-lane HBM slices.
+        ks_ref = rest[0]   # [1, 1, kvh, chunk_tokens] bf16 block
         vs_ref = rest[1]
         rest = rest[2:]
     else:
@@ -208,7 +208,7 @@ def _paged_attention_kernel(
             s_odd = jax.lax.shift_right_arithmetic(a - bq, 4)  # exact /16
             s_int = jnp.concatenate([s_even, s_odd], axis=-1)
             qs = qscale_ref[0, :, :, 0:1]     # [kvh, gp, 1]
-            ks = ks_ref[0].astype(jnp.float32)       # [kvh, tok]
+            ks = ks_ref[0, 0].astype(jnp.float32)     # [kvh, tok]
             s = (s_int.astype(jnp.float32) * (qs * scale)) * ks[:, None, :]
         elif int8_kv:
             # int8 x int8 -> int32 on the MXU; the 2 MB K chunk never
@@ -267,7 +267,7 @@ def _paged_attention_kernel(
             # tile to int8, then separate the token nibbles with the
             # same masked-dot identity: even tokens from the masked
             # bytes, odd tokens from (raw - masked) / 16.
-            vs = vs_ref[0].astype(jnp.float32)       # [kvh, tok]
+            vs = vs_ref[0, 0].astype(jnp.float32)     # [kvh, tok]
             p_s = p * vs[:, None, :]
             m_p = jnp.maximum(jnp.max(p_s, axis=-1, keepdims=True),
                               1e-20)                  # [kvh, gp, 1]
@@ -488,20 +488,22 @@ def paged_attention(
                                precision=jax.lax.Precision.DEFAULT)
 
         def lane_permute(g):
-            # [B, pps, kvh, ps] -> [B, kvh, T] in per-chunk
+            # [B, pps, kvh, ps] -> [B, C, kvh, chunk_tokens] in per-chunk
             # [evens | odds] lane order (lines up with the kernel's
-            # concatenated half-dots).
+            # concatenated half-dots).  Chunk-major layout so the block's
+            # trailing (kvh, chunk_tokens) dims equal the array dims —
+            # Mosaic rejects sub-(8,128) partial blocks otherwise.
             g = g.transpose(0, 2, 1, 3).reshape(batch, num_kv_heads, -1)
             g = g.reshape(batch, num_kv_heads, num_chunks,
                           chunk_tokens // 2, 2)
-            g = g.transpose(0, 1, 2, 4, 3)
-            return g.reshape(batch, num_kv_heads, num_chunks * chunk_tokens)
+            g = g.transpose(0, 2, 1, 4, 3)
+            return g.reshape(batch, num_chunks, num_kv_heads, chunk_tokens)
 
         in_specs += [
-            pl.BlockSpec((1, num_kv_heads, chunk_tokens),
-                         lambda b, i, *_: (b, 0, i)),
-            pl.BlockSpec((1, num_kv_heads, chunk_tokens),
-                         lambda b, i, *_: (b, 0, i)),
+            pl.BlockSpec((1, 1, num_kv_heads, chunk_tokens),
+                         lambda b, i, *_: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, num_kv_heads, chunk_tokens),
+                         lambda b, i, *_: (b, i, 0, 0)),
         ]
         if fused_kv:
             g = dot_scales(k_pages.scale, 2).reshape(
