@@ -51,6 +51,7 @@ def build(size: str, quant: str, seed: int = 0):
     model = LlamaForCausalLM(config, dtype=jnp.bfloat16)
     if quant == "bf16":
         params = model.init_params(jax.random.PRNGKey(seed))
+        model.merge_projections(params)
         return model, params, config
 
     # Build quantized params DIRECTLY (never materializing the 13.5 GB
@@ -107,6 +108,7 @@ def build(size: str, quant: str, seed: int = 0):
         },
     }
     model._stacked = True
+    model.merge_projections(params)
     return model, params, config
 
 

@@ -42,6 +42,15 @@ def _squeeze0(pages):
     return jax.tree.map(lambda a: a[0], pages)
 
 
+def _pages_per_chunk() -> int:
+    """Decode-kernel DMA batch: pages per double-buffered chunk.  Bigger
+    chunks amortize per-grid-step overhead against VMEM (2 slots x 2
+    arrays x kvh x chunk_tokens x head_dim must stay well under the
+    ~16 MB scoped budget).  Tunable for A/B runs via VST_PAGES_PER_CHUNK."""
+    import os
+    return int(os.environ.get("VST_PAGES_PER_CHUNK", "8"))
+
+
 def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -182,7 +191,8 @@ class Attention:
                                   ctx, scale=self.scale,
                                   kv_scale=self.kv_scale,
                                   alibi_slopes=self.alibi_slopes,
-                                  layer_index=layer_index)
+                                  layer_index=layer_index,
+                                  pages_per_chunk=_pages_per_chunk())
             return out.reshape(batch, seq_len, -1), (k_pages, v_pages)
 
         prefix_kv = None
@@ -356,7 +366,8 @@ class Attention:
                                   md.context_lens, scale=self.scale,
                                   kv_scale=self.kv_scale,
                                   alibi_slopes=self.alibi_slopes,
-                                  layer_index=layer_index)
+                                  layer_index=layer_index,
+                                  pages_per_chunk=_pages_per_chunk())
         else:
             out = paged_attention_reference(q_arg, k_view, v_view,
                                             md.block_tables, md.context_lens,

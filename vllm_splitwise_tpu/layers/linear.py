@@ -30,6 +30,14 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 
+def _block_n() -> int:
+    """Preferred N tile for the stacked quant matmuls (A/B tunable via
+    VST_QM_BLOCK_N; _pick_block caps it to the largest 128-aligned
+    divisor of N).  Full-width tiles won the on-chip A/B at decode
+    batch sizes: fewer, fully contiguous weight-row DMAs."""
+    return int(os.environ.get("VST_QM_BLOCK_N", "16384"))
+
+
 def _w4a8_enabled() -> bool:
     """W4A8 (int8-MXU) decode matmuls, default on; VST_W4A8=0 reverts to
     exact bf16 weight dequant.  Read at trace time so tests can pin it."""
@@ -124,12 +132,13 @@ def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
                         quant_matmul_int4_mxu_stacked
                     y = quant_matmul_int4_mxu_stacked(
                         x2, w["qweight"], w["sz_bands"], layer_index,
-                        group_size=group_size)
+                        group_size=group_size, block_n=_block_n())
                 else:
                     y = quant_matmul_int4_stacked(x2, w["qweight"],
                                                   w["sz_bands"],
                                                   layer_index,
-                                                  group_size=group_size)
+                                                  group_size=group_size,
+                                                  block_n=_block_n())
             else:
                 # Unrolled slice of a stacked dict: un-band the scales
                 # and drop any phantom padding block.

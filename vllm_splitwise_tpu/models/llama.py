@@ -189,6 +189,59 @@ class LlamaForCausalLM:
         params["layers"] = stacked
         self._stacked = True
 
+    def merge_projections(self, params: Dict[str, Any]) -> None:
+        """Fuse q/k/v into one ``qkv_proj`` and gate/up into one
+        ``gate_up_proj`` in a STACKED param tree.
+
+        One kernel launch replaces three/two: each separate quant-matmul
+        call pays a DMA pipeline warm-up bubble, and the fused call
+        streams one wider weight instead.  Single-shard only — under
+        tensor parallelism the concatenated output axis would not align
+        projection boundaries with shard boundaries, so the runner only
+        requests merging when the model runs unsharded.
+        """
+        layers = params.get("layers")
+        if not isinstance(layers, dict):
+            return
+
+        def cat(names, out_name):
+            vals = [layers.get(n) for n in names]
+            if any(v is None for v in vals):
+                return False
+            if isinstance(vals[0], dict):
+                if not all(isinstance(v, dict) and set(v) == set(vals[0])
+                           for v in vals):
+                    return False
+                if "act_perm" in vals[0]:
+                    return False  # per-weight activation permutations
+                merged = {}
+                for key in vals[0]:
+                    arrs = [v[key] for v in vals]
+                    if key == "sz_group":
+                        if any(a.shape != arrs[0].shape for a in arrs):
+                            return False
+                        merged[key] = arrs[0]
+                        continue
+                    if any(a.shape[:-1] != arrs[0].shape[:-1]
+                           for a in arrs):
+                        return False
+                    merged[key] = jnp.concatenate(arrs, axis=-1)
+            else:
+                if any(isinstance(v, dict) for v in vals):
+                    return False
+                if any(v.shape[:-1] != vals[0].shape[:-1] for v in vals):
+                    return False
+                merged = jnp.concatenate(vals, axis=-1)
+            layers[out_name] = merged
+            for n in names:
+                del layers[n]
+            return True
+
+        if cat(("q_proj", "k_proj", "v_proj"), "qkv_proj"):
+            if self.qkv_bias:
+                cat(("q_bias", "k_bias", "v_bias"), "qkv_b")
+        cat(("gate_proj", "up_proj"), "gate_up_proj")
+
     @staticmethod
     def _layer_slice(layers, i: int):
         if isinstance(layers, list):
@@ -279,9 +332,24 @@ class LlamaForCausalLM:
             residual = hidden
             x = rms_norm(hidden, lp["input_layernorm"], self.rms_eps)
 
-            q = dense(x, lp["q_proj"])
-            k = dense(x, lp["k_proj"])
-            v = dense(x, lp["v_proj"])
+            layer_kv_heads = self.attn[i].num_kv_heads
+            if "qkv_proj" in lp:
+                qkv = dense(x, lp["qkv_proj"])
+                if "qkv_b" in lp:
+                    qkv = qkv + lp["qkv_b"]
+                qd = self.num_heads * self.head_dim
+                kvd = layer_kv_heads * self.head_dim
+                q = qkv[..., :qd]
+                k = qkv[..., qd:qd + kvd]
+                v = qkv[..., qd + kvd:]
+            else:
+                q = dense(x, lp["q_proj"])
+                k = dense(x, lp["k_proj"])
+                v = dense(x, lp["v_proj"])
+                if self.qkv_bias:
+                    q = q + lp["q_bias"]
+                    k = k + lp["k_bias"]
+                    v = v + lp["v_bias"]
             if lora is not None:
                 from vllm_splitwise_tpu.lora.layers import lora_apply
                 idx = lora["idx"]
@@ -291,13 +359,8 @@ class LlamaForCausalLM:
                                    lora["k_proj_B"][:, i], idx)
                 v = v + lora_apply(x, lora["v_proj_A"][:, i],
                                    lora["v_proj_B"][:, i], idx)
-            if self.qkv_bias:
-                q = q + lp["q_bias"]
-                k = k + lp["k_bias"]
-                v = v + lp["v_bias"]
 
             b, t, _ = q.shape
-            layer_kv_heads = self.attn[i].num_kv_heads
             q = q.reshape(b, t, self.num_heads, self.head_dim)
             k = k.reshape(b, t, layer_kv_heads, self.head_dim)
             q, k = self.rope(positions, q, k)
@@ -311,8 +374,12 @@ class LlamaForCausalLM:
             residual = hidden
             x = rms_norm(hidden, lp["post_attention_layernorm"],
                          self.rms_eps)
-            gate = dense(x, lp["gate_proj"])
-            up = dense(x, lp["up_proj"])
+            if "gate_up_proj" in lp:
+                gate_up = dense(x, lp["gate_up_proj"])
+                gate, up = jnp.split(gate_up, 2, axis=-1)
+            else:
+                gate = dense(x, lp["gate_proj"])
+                up = dense(x, lp["up_proj"])
             if lora is not None:
                 gate = gate + lora_apply(x, lora["gate_proj_A"][:, i],
                                          lora["gate_proj_B"][:, i], idx)
@@ -349,6 +416,10 @@ class LlamaForCausalLM:
         layers_all = params["layers"]
         quant = {k: v for k, v in layers_all.items()
                  if isinstance(v, dict)}
+        merged_qkv = ("qkv_proj" in layers_all)
+        merged_gu = ("gate_up_proj" in layers_all)
+        qd_m = self.num_heads * self.head_dim
+        kvd_m = layer_kv_heads * self.head_dim
         xs_layers = {k: v for k, v in layers_all.items()
                      if not isinstance(v, dict)}
 
@@ -363,9 +434,21 @@ class LlamaForCausalLM:
 
             residual = h
             x = rms_norm(h, lp["input_layernorm"], self.rms_eps)
-            q = proj(x, "q_proj")
-            k = proj(x, "k_proj")
-            v = proj(x, "v_proj")
+            if merged_qkv:
+                qkv = proj(x, "qkv_proj")
+                if "qkv_b" in lp:
+                    qkv = qkv + lp["qkv_b"]
+                q = qkv[..., :qd_m]
+                k = qkv[..., qd_m:qd_m + kvd_m]
+                v = qkv[..., qd_m + kvd_m:]
+            else:
+                q = proj(x, "q_proj")
+                k = proj(x, "k_proj")
+                v = proj(x, "v_proj")
+                if self.qkv_bias:
+                    q = q + lp["q_bias"]
+                    k = k + lp["k_bias"]
+                    v = v + lp["v_bias"]
             if ll is not None:
                 from vllm_splitwise_tpu.lora.layers import lora_apply
                 q = q + lora_apply(x, ll["q_proj_A"], ll["q_proj_B"],
@@ -374,10 +457,6 @@ class LlamaForCausalLM:
                                    lora_idx)
                 v = v + lora_apply(x, ll["v_proj_A"], ll["v_proj_B"],
                                    lora_idx)
-            if self.qkv_bias:
-                q = q + lp["q_bias"]
-                k = k + lp["k_bias"]
-                v = v + lp["v_bias"]
             b, t, _ = q.shape
             q = q.reshape(b, t, self.num_heads, self.head_dim)
             k = k.reshape(b, t, layer_kv_heads, self.head_dim)
@@ -394,8 +473,11 @@ class LlamaForCausalLM:
             h = residual + o
             residual = h
             x = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
-            gate = proj(x, "gate_proj")
-            up = proj(x, "up_proj")
+            if merged_gu:
+                gate, up = jnp.split(proj(x, "gate_up_proj"), 2, axis=-1)
+            else:
+                gate = proj(x, "gate_proj")
+                up = proj(x, "up_proj")
             if ll is not None:
                 gate = gate + lora_apply(x, ll["gate_proj_A"],
                                          ll["gate_proj_B"], lora_idx)

@@ -33,6 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# KV chunk VMEM slots: DMA lookahead depth is NUM_SLOTS - 1 (the global
+# grid pipeline keeps that many chunk transfers in flight).
+NUM_SLOTS = 3
+
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
@@ -95,17 +99,17 @@ def _paged_attention_kernel(
         slopes_ref = None
     if fused_kv:
         (out_ref,      # [1, kvh, group_padded, head_dim]
-         kv_vmem,      # [2, 2, kvh, chunk_tokens(//2 if int4), head_dim]
-         sems,         # DMA sems [2]
+         kv_vmem,      # [NS, 2, kvh, chunk_tokens(//2 if int4), head_dim]
+         sems,         # DMA sems [NS]
          m_ref,        # [kvh, group_padded, 128] f32
          l_ref,
          acc_ref) = rest
         k_vmem = v_vmem = None
     else:
         (out_ref,      # [1, kvh, group_padded, head_dim]
-         k_vmem,       # [2, kvh, chunk_tokens(//2 if int4), head_dim]
+         k_vmem,       # [NS, kvh, chunk_tokens(//2 if int4), head_dim]
          v_vmem,
-         sems,         # DMA sems [2, 2]
+         sems,         # DMA sems [NS, 2]
          m_ref,        # [kvh, group_padded, 128] f32
          l_ref,
          acc_ref) = rest  # [kvh, group_padded, head_dim] f32
@@ -122,24 +126,40 @@ def _paged_attention_kernel(
     def chunk_needed(chunk):
         return chunk * chunk_tokens < ctx_len
 
-    def make_dmas(chunk, slot):
+    def make_dmas(bb, chunk, slot):
         """ONE DMA per page: the contiguous [kvh, ps, hd] page lands in
         the [kvh, chunk_tokens, hd] VMEM buffer as a strided
-        rectangular copy — no in-kernel relayout needed."""
+        rectangular copy — no in-kernel relayout needed.
+
+        Returns (needed, dma) pairs: pages past the sequence's context
+        are SKIPPED entirely (their score lanes are masked anyway, so
+        stale VMEM there is harmless).  The predicate depends only on
+        context_lens, so the start and wait sides always agree.
+        """
         dmas = []
         rows_per_page = page_size // 2 if int4_kv else page_size
+        ctx_bb = context_lens_ref[bb]
+        # Uninitialized VMEM behind a skipped FLOAT V page could hold
+        # NaN/Inf, and 0 * NaN poisons the pv dot even at zero
+        # probability; int caches are always finite, and garbage K is
+        # neutralized by the score mask's where().
+        v_needs_zero = (kv_vmem.dtype if fused_kv else
+                        v_vmem.dtype) != jnp.int8
         for p in range(pages_per_chunk):  # static unroll
-            page_idx = block_tables_ref[b * pages_per_seq +
-                                        chunk * pages_per_chunk + p]
+            logical = chunk * pages_per_chunk + p
+            needed = logical * page_size < ctx_bb
+            page_idx = block_tables_ref[bb * pages_per_seq + logical]
             dst = pl.ds(p * rows_per_page, rows_per_page)
             if fused_kv:
                 # K half (page 2b) and V half (page 2b+1) in one copy.
                 two = pl.ds(2 * page_idx, 2)
                 src = (kv_pages_hbm.at[layer, two] if stacked
                        else kv_pages_hbm.at[two])
-                dmas.append(
-                    pltpu.make_async_copy(src, kv_vmem.at[slot, :, :, dst],
-                                          sems.at[slot]))
+                zero = (slot, 1, slice(None), dst) if v_needs_zero \
+                    else None
+                dmas.append((needed, pltpu.make_async_copy(
+                    src, kv_vmem.at[slot, :, :, dst], sems.at[slot]),
+                    kv_vmem, zero))
                 continue
             if stacked:
                 k_src = k_pages_hbm.at[layer, page_idx]
@@ -147,28 +167,51 @@ def _paged_attention_kernel(
             else:
                 k_src = k_pages_hbm.at[page_idx]
                 v_src = v_pages_hbm.at[page_idx]
-            dmas.append(
-                pltpu.make_async_copy(k_src, k_vmem.at[slot, :, dst],
-                                      sems.at[slot, 0]))
-            dmas.append(
-                pltpu.make_async_copy(v_src, v_vmem.at[slot, :, dst],
-                                      sems.at[slot, 1]))
+            dmas.append((needed, pltpu.make_async_copy(
+                k_src, k_vmem.at[slot, :, dst], sems.at[slot, 0]),
+                None, None))
+            zero = (slot, slice(None), dst) if v_needs_zero else None
+            dmas.append((needed, pltpu.make_async_copy(
+                v_src, v_vmem.at[slot, :, dst], sems.at[slot, 1]),
+                v_vmem, zero))
         return dmas
 
-    def start_chunk(chunk, slot):
-        for dma in make_dmas(chunk, slot):
-            dma.start()
+    def start_chunk(bb, chunk, slot):
+        for needed, dma, _, _ in make_dmas(bb, chunk, slot):
+            @pl.when(needed)
+            def _():
+                dma.start()
 
-    def wait_chunk(chunk, slot):
-        for dma in make_dmas(chunk, slot):
-            dma.wait()
+    def wait_chunk(bb, chunk, slot):
+        for needed, dma, zref, zidx in make_dmas(bb, chunk, slot):
+            @pl.when(needed)
+            def _():
+                dma.wait()
+            if zidx is not None:
+                @pl.when(jnp.logical_not(needed))
+                def _():
+                    zref[zidx] = jnp.zeros_like(zref[zidx])
 
-    slot = jax.lax.rem(i, 2)
-    next_slot = jax.lax.rem(i + 1, 2)
+    # GLOBAL pipeline over the whole (batch, chunks) grid: DMA lookahead
+    # runs ACROSS sequence boundaries (the next sequence's first chunks
+    # prefetch while this one finishes), killing the per-sequence
+    # pipeline bubble the old per-row double buffer paid at every i==0.
+    num_b = pl.num_programs(0)
+    total = num_b * num_chunks
+    g = b * num_chunks + i
+    slot = jax.lax.rem(g, NUM_SLOTS)
 
-    @pl.when(jnp.logical_and(i == 0, chunk_needed(0)))
+    def start_at(gidx):
+        bb = gidx // num_chunks
+        cc = jax.lax.rem(gidx, num_chunks)
+        @pl.when(cc * chunk_tokens < context_lens_ref[bb])
+        def _():
+            start_chunk(bb, cc, jax.lax.rem(gidx, NUM_SLOTS))
+
+    @pl.when(g == 0)
     def _():
-        start_chunk(0, 0)
+        for la in range(min(NUM_SLOTS - 1, total)):  # static unroll
+            start_at(jnp.int32(la))
 
     @pl.when(i == 0)
     def _():
@@ -176,13 +219,13 @@ def _paged_attention_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(jnp.logical_and(i + 1 < num_chunks, chunk_needed(i + 1)))
+    @pl.when(g + (NUM_SLOTS - 1) < total)
     def _():
-        start_chunk(i + 1, next_slot)
+        start_at(g + (NUM_SLOTS - 1))
 
     @pl.when(chunk_needed(i))
     def _():
-        wait_chunk(i, slot)
+        wait_chunk(b, i, slot)
 
         # Feed the MXU bf16 operands with f32 ACCUMULATION — explicit
         # f32 casts of the 2 MB K/V chunks are pure VPU overhead.
@@ -544,18 +587,18 @@ def paged_attention(
                 lambda b, i, *_: (b, 0, 0, 0),
             ),
             scratch_shapes=([
-                pltpu.VMEM((2, 2, num_kv_heads,
+                pltpu.VMEM((NUM_SLOTS, 2, num_kv_heads,
                             chunk_tokens // 2 if int4_kv else chunk_tokens,
                             head_dim), k_data.dtype),
-                pltpu.SemaphoreType.DMA((2, )),
+                pltpu.SemaphoreType.DMA((NUM_SLOTS, )),
             ] if fused_kv else [
-                pltpu.VMEM((2, num_kv_heads,
+                pltpu.VMEM((NUM_SLOTS, num_kv_heads,
                             chunk_tokens // 2 if int4_kv else chunk_tokens,
                             head_dim), k_data.dtype),
-                pltpu.VMEM((2, num_kv_heads,
+                pltpu.VMEM((NUM_SLOTS, num_kv_heads,
                             chunk_tokens // 2 if int4_kv else chunk_tokens,
                             head_dim), v_data.dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((NUM_SLOTS, 2)),
             ]) + [
                 pltpu.VMEM((num_kv_heads, group_padded, 128), jnp.float32),
                 pltpu.VMEM((num_kv_heads, group_padded, 128), jnp.float32),
@@ -566,7 +609,9 @@ def paged_attention(
         out_shape=jax.ShapeDtypeStruct(
             (batch, num_kv_heads, group_padded, head_dim), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"), ),
+            # Sequential b traversal: the global DMA pipeline prefetches
+            # the NEXT sequence's chunks, so b may not be reordered.
+            dimension_semantics=("arbitrary", "arbitrary"), ),
         interpret=interpret,
     )(*inputs)
 

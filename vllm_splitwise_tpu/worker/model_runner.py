@@ -207,6 +207,10 @@ class ModelRunner:
             self.params = shard_pytree(host_params,
                                        self.model.param_specs(), self.mesh)
         else:
+            # Unsharded: fuse q/k/v and gate/up into single kernel
+            # launches (models/llama.py merge_projections).
+            if hasattr(self.model, "merge_projections"):
+                self.model.merge_projections(host_params)
             self.params = jax.device_put(host_params)
         if self.lora_config is not None:
             from vllm_splitwise_tpu.lora.worker_manager import \
