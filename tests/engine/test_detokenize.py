@@ -51,3 +51,21 @@ def test_streaming_is_prefix_monotonic(tokenizer):
             prev_tokens = new_tokens
         else:
             prev_tokens += new_tokens
+
+
+def test_first_output_token_eos_emits_nothing(tokenizer):
+    """Regression: prompt [5, 6] + an immediate EOS as the FIRST output
+    token.  With skip_special_tokens the EOS vanishes from the token
+    list; the offset math must not re-emit the last prompt token as
+    generated text."""
+    eos = tokenizer.eos_token_id
+    new_tokens, text, prefix_offset, read_offset = \
+        detokenize_incrementally(tokenizer, [5, 6, eos], None, 0, 0,
+                                 skip_special_tokens=True)
+    assert text == ""
+    # Offsets must stay consistent for a follow-up token.
+    prev = new_tokens
+    _, text2, _, _ = detokenize_incrementally(
+        tokenizer, [5, 6, eos, 9], prev, prefix_offset, read_offset,
+        skip_special_tokens=True)
+    assert text2.strip() == tokenizer.decode([9])

@@ -86,14 +86,19 @@ def save_local_checkpoint(config, weights, tmpdir: str) -> str:
     return tmpdir
 
 
-def save_tiny_tokenizer(tmpdir: str, vocab_size: int = 256) -> str:
+def save_tiny_tokenizer(tmpdir: str, vocab_size: int = 256,
+                        extra_words=()) -> str:
     """Write a self-contained fast tokenizer (WordLevel 't<i>' vocab) so
-    engine tests run fully offline."""
+    engine tests run fully offline.  `extra_words` replace the TAIL of
+    the t<i> range (ids stay dense) — e.g. JSON punctuation words for
+    guided-json tests."""
     from tokenizers import Tokenizer, models, pre_tokenizers
     from transformers import PreTrainedTokenizerFast
     vocab = {"<unk>": 0, "<s>": 1, "</s>": 2}
-    for i in range(3, vocab_size):
+    for i in range(3, vocab_size - len(extra_words)):
         vocab[f"t{i}"] = i
+    for j, word in enumerate(extra_words):
+        vocab[word] = vocab_size - len(extra_words) + j
     tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
     tok.pre_tokenizer = pre_tokenizers.Whitespace()
     fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>",

@@ -55,6 +55,20 @@ class UsageInfo(BaseModel):
     completion_tokens: Optional[int] = 0
 
 
+def _bias_processor(logit_bias: Dict[str, float]):
+    """OpenAI logit_bias -> a host-side logits processor (the engine
+    applies these on the fetched logits row before re-dispatching the
+    sample; reference role: protocol.py:98-109)."""
+    pairs = [(int(tok), float(b)) for tok, b in logit_bias.items()]
+
+    def apply_bias(_token_ids, logits):
+        for tok, bias in pairs:
+            logits[tok] += bias
+        return logits
+
+    return apply_bias
+
+
 class CompletionRequest(BaseModel):
     model: str
     prompt: Union[List[int], List[List[int]], str, List[str]]
@@ -91,6 +105,8 @@ class CompletionRequest(BaseModel):
     def to_sampling_params(self) -> SamplingParams:
         echo_without_generation = self.echo and self.max_tokens == 0
         return SamplingParams(
+            logits_processors=([_bias_processor(self.logit_bias)]
+                               if self.logit_bias else None),
             n=self.n,
             best_of=self.best_of,
             presence_penalty=self.presence_penalty,
@@ -152,6 +168,8 @@ class ChatCompletionRequest(BaseModel):
 
     def to_sampling_params(self) -> SamplingParams:
         return SamplingParams(
+            logits_processors=([_bias_processor(self.logit_bias)]
+                               if self.logit_bias else None),
             n=self.n,
             best_of=self.best_of,
             presence_penalty=self.presence_penalty,

@@ -102,10 +102,6 @@ class OpenAIServingCompletion(OpenAIServing):
         if request.suffix is not None:
             return self.create_error_response(
                 "suffix is not currently supported")
-        if request.logit_bias:
-            return self.create_error_response(
-                "logit_bias is not currently supported")
-
         request_id = f"cmpl-{random_uuid()}"
         created_time = int(time.time())
 

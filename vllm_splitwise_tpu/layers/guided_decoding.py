@@ -25,6 +25,12 @@ async def get_guided_decoding_logits_processor(request, tokenizer):
 
 
 def _get_guide_and_mode(request) -> Tuple[Optional[str], Optional[str]]:
+    given = [name for name in ("guided_json", "guided_regex",
+                               "guided_choice")
+             if getattr(request, name, None) not in (None, [], "")]
+    if len(given) > 1:
+        raise ValueError(
+            f"You can only use one kind of guided decoding, got: {given}")
     if getattr(request, "guided_json", None) is not None:
         json_schema = request.guided_json
         if hasattr(json_schema, "model_dump"):

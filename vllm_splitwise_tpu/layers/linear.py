@@ -107,6 +107,14 @@ def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
             if perm.ndim == 2:  # stacked [L, K]: same perm every layer
                 perm = perm[0]
             x2 = jnp.take(x2, perm, axis=1)
+        if ("sz_bands" in w or "zeros" in w) and "weight_dense" not in w:
+            # Odd-group-count weights carry one phantom zero group (see
+            # quant_loaders.to_internal_int4); pad x's K dim with zeros
+            # to match the packed weight's K.
+            k_w = w["qweight"].shape[-2] * 2
+            if k_w > k:
+                x2 = jnp.pad(x2, ((0, 0), (0, k_w - k)))
+                k = k_w
         if "weight_dense" in w:
             y = jnp.dot(x2, w["weight_dense"].astype(x.dtype))
         elif "sz_bands" in w:

@@ -114,9 +114,23 @@ def unpack_squeezellm(qweight: np.ndarray,
 def to_internal_int4(w_int: np.ndarray, scales: np.ndarray,
                      zeros: np.ndarray,
                      dtype=np.float32) -> Dict[str, np.ndarray]:
-    """(unpacked HF tensors) -> internal pack2G param dict."""
-    k = w_int.shape[0]
-    group_size = k // scales.shape[0]
+    """(unpacked HF tensors) -> internal pack2G param dict.
+
+    pack2G pairs k-groups two-per-band, so an ODD group count (e.g.
+    K=5504 at g128 -> 43 groups, the llama-1b MLP) gets one phantom
+    zero group appended: scale 0 makes its contribution exactly 0, and
+    the matmul wrapper zero-pads the activation K dim to match
+    (layers/linear.py)."""
+    k, n = w_int.shape
+    ng = scales.shape[0]
+    group_size = k // ng
+    if ng % 2 == 1:
+        w_int = np.concatenate(
+            [w_int, np.zeros((group_size, n), w_int.dtype)], axis=0)
+        scales = np.concatenate([scales, np.zeros((1, n), scales.dtype)],
+                                axis=0)
+        zeros = np.concatenate([zeros, np.zeros((1, n), zeros.dtype)],
+                               axis=0)
     return {
         "qweight": pack_int4(w_int, group_size),
         "scales": scales.astype(dtype),

@@ -157,7 +157,16 @@ def detokenize_incrementally(
         output_tokens = new_tokens
         prefix_offset = max(
             len(output_tokens) - INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET, 0)
-        read_offset = max(len(output_tokens) - 1, 0)
+        if skip_special_tokens and new_token_id in getattr(
+                tokenizer, "all_special_ids", ()):
+            # The newest id was dropped from output_tokens entirely —
+            # nothing is newly readable.  Without this, the last PROMPT
+            # token lands in the [read_offset:] window and is re-emitted
+            # as generated text (e.g. an immediate EOS produced the
+            # previous token's text instead of "").
+            read_offset = len(output_tokens)
+        else:
+            read_offset = max(len(output_tokens) - 1, 0)
     else:
         if skip_special_tokens and new_token_id in getattr(
                 tokenizer, "all_special_ids", ()):
