@@ -11,6 +11,7 @@ robust against two measurement hazards on tunneled transports:
   the [L, ...] stack cannot be hoisted, matching the real model).
 """
 import argparse
+import os
 import sys
 import time
 
@@ -59,10 +60,17 @@ def main(args):
 
     r = run(xs_a, qw, sz)
     jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    r = run(xs_b, qw, sz)
-    jax.block_until_ready(r)
-    t = (time.perf_counter() - t0) / L
+    # Host wall-clock lies on tunneled transports (block_until_ready on
+    # a scalar can return ~50x early) — read the DEVICE lane instead.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from trace_timing import device_kernel_times
+    times = device_kernel_times(
+        lambda: jax.block_until_ready(run(xs_b, qw, sz)))
+    kern_ms = sum(ms for name, (ms, _) in times.items()
+                  if name.startswith("quant_matmul"))
+    kern_n = sum(c for name, (_, c) in times.items()
+                 if name.startswith("quant_matmul"))
+    t = kern_ms / 1000.0 / max(kern_n, 1)
 
     w_bytes = (k // 2) * n
     sz_bytes = int(sz.shape[1]) * n * 4 // 1
