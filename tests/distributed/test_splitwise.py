@@ -243,3 +243,63 @@ def test_splitwise_fused_kv_migration(tiny_checkpoint):
             ref = hf.generate(torch.tensor([ids]), max_new_tokens=6,
                               do_sample=False)[0, len(ids):].tolist()
         assert out.outputs[0].token_ids == ref
+
+
+def test_dual_step_runs_both_pools_concurrently(tiny_checkpoint):
+    """Stagger arrivals so prefill bursts land while earlier requests
+    are decoding: at least one engine step must dispatch a prompt batch
+    AND a decode batch together (execute_dual with both halves
+    non-empty), and outputs must equal the single-pool engine's."""
+    import torch
+
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    d, hf, config = tiny_checkpoint
+
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=64, block_size=16,
+              max_num_seqs=8, max_paddings=512, swap_space=0.1,
+              sep_prompt_token=True)
+    engine = llm.llm_engine
+    executor = engine.executor
+
+    dual_steps = {"both": 0}
+    orig = executor.execute_dual
+
+    def counting_dual(prompt_meta, pnw, decode_meta, *args, **kwargs):
+        if prompt_meta and decode_meta:
+            dual_steps["both"] += 1
+        return orig(prompt_meta, pnw, decode_meta, *args, **kwargs)
+
+    executor.execute_dual = counting_dual
+
+    rng = np.random.RandomState(3)
+    prompts = [
+        rng.randint(3, config.vocab_size, size=rng.randint(8, 24)).tolist()
+        for _ in range(6)
+    ]
+    params = SamplingParams(temperature=0.0, max_tokens=16,
+                            ignore_eos=True)
+
+    # Drive the engine loop by hand, adding two requests up front and
+    # the rest one per step (each arrival prefills while others decode).
+    results = {}
+    for i, p in enumerate(prompts[:2]):
+        engine.add_request(str(i), None, params, p)
+    next_i = 2
+    while engine.has_unfinished_requests():
+        if next_i < len(prompts):
+            engine.add_request(str(next_i), None, params, prompts[next_i])
+            next_i += 1
+        for out in engine.step():
+            if out.finished:
+                results[out.request_id] = out.outputs[0].token_ids
+
+    assert dual_steps["both"] >= 1, \
+        "no engine step ever dispatched both pools together"
+
+    for i, p in enumerate(prompts):
+        with torch.no_grad():
+            hf_out = hf.generate(torch.tensor([p]), max_new_tokens=16,
+                                 do_sample=False)
+        assert results[str(i)] == hf_out[0, len(p):].tolist(), \
+            f"request {i} diverged from HF under dual-pool stepping"

@@ -182,120 +182,127 @@ class Scheduler:
             blocks_to_nw[slot_id] = list(dict.fromkeys(block_ids))
 
     def _schedule(self) -> SchedulerOutputs:
+        # Prompts-first policy, unless sequences are swapped out — those
+        # must resume first.
+        if not self.swapped:
+            prompt_outputs = self._schedule_prompt_phase()
+            if prompt_outputs is not None:
+                return prompt_outputs
+        return self._schedule_decode_phase()
+
+    def _schedule_prompt_phase(self) -> Optional[SchedulerOutputs]:
+        """Batch waiting prompts; None if nothing was scheduled/ignored."""
+        blocks_to_nw: Dict[int, List[int]] = {}
+        ignored_seq_groups: List[SequenceGroup] = []
+        scheduled: List[SequenceGroup] = []
+        seq_lens: List[int] = []
+        num_curr_seqs = sum(
+            sg.max_parallel_seqs for sg in self.running)
+        curr_loras = set(
+            sg.lora_int_id for sg in self.running
+            if getattr(sg, "lora_request", None)) if \
+            self.lora_enabled else None
+
+        leftover_waiting: Deque[SequenceGroup] = deque()
+        while self.waiting:
+            seq_group = self.waiting[0]
+            waiting_seqs = seq_group.get_seqs(
+                status=SequenceStatus.WAITING)
+            assert len(waiting_seqs) == 1, (
+                "Waiting sequence group should have only one prompt "
+                "sequence.")
+            num_prompt_tokens = waiting_seqs[0].num_tokens
+            if num_prompt_tokens > self.prompt_limit:
+                logger.warning(
+                    "Input prompt (%d tokens) is too long and exceeds "
+                    "limit of %d", num_prompt_tokens, self.prompt_limit)
+                for seq in waiting_seqs:
+                    seq.status = SequenceStatus.FINISHED_IGNORED
+                ignored_seq_groups.append(seq_group)
+                self.waiting.popleft()
+                continue
+
+            can_allocate = self.block_manager.can_allocate(seq_group)
+            if can_allocate == AllocStatus.LATER:
+                break
+            if can_allocate == AllocStatus.NEVER:
+                logger.warning(
+                    "Input prompt (%d tokens) is too long and exceeds "
+                    "the capacity of the KV cache", num_prompt_tokens)
+                for seq in waiting_seqs:
+                    seq.status = SequenceStatus.FINISHED_IGNORED
+                ignored_seq_groups.append(seq_group)
+                self.waiting.popleft()
+                continue
+
+            # Token budget: batches pad to the longest prompt, so the
+            # cost of the batch is num_seqs * max_len.
+            new_seq_lens = seq_lens + [num_prompt_tokens]
+            num_batched_tokens = len(new_seq_lens) * max(new_seq_lens)
+            if (num_batched_tokens
+                    > self.scheduler_config.max_num_batched_tokens):
+                break
+
+            num_new_seqs = seq_group.max_parallel_seqs
+            if (num_curr_seqs + num_new_seqs
+                    > self.scheduler_config.max_num_seqs):
+                break
+
+            if curr_loras is not None:
+                lora_id = seq_group.lora_int_id
+                if (lora_id > 0 and lora_id not in curr_loras
+                        and len(curr_loras) >=
+                        self.lora_config.max_loras):
+                    # No adapter slot free: defer just this group
+                    # (reference scheduler.py:233-241) — breaking
+                    # would head-of-line block base-model requests
+                    # behind it.
+                    leftover_waiting.appendleft(seq_group)
+                    self.waiting.popleft()
+                    continue
+                if lora_id > 0:
+                    curr_loras.add(lora_id)
+
+            num_paddings = num_batched_tokens - sum(new_seq_lens)
+            if num_paddings > self.scheduler_config.max_paddings:
+                break
+
+            seq_lens = new_seq_lens
+            self.waiting.popleft()
+            self._allocate(seq_group)
+            self.running.append(seq_group)
+            num_curr_seqs += num_new_seqs
+            scheduled.append(seq_group)
+            seq_group.maybe_set_first_scheduled_time(time.time())
+
+        self.waiting.extendleft(leftover_waiting)
+
+        if scheduled or ignored_seq_groups:
+            for seq_group in scheduled:
+                self._track_nw_blocks(seq_group, blocks_to_nw,
+                                      prompt_run=True)
+            return SchedulerOutputs(
+                scheduled_seq_groups=scheduled,
+                prompt_run=True,
+                num_batched_tokens=(len(seq_lens) *
+                                    max(seq_lens) if seq_lens else 0),
+                blocks_to_swap_in={},
+                blocks_to_swap_out={},
+                blocks_to_copy={},
+                blocks_to_nw=blocks_to_nw,
+                ignored_seq_groups=ignored_seq_groups,
+            )
+        return None
+
+    def _schedule_decode_phase(self) -> SchedulerOutputs:
         blocks_to_swap_in: Dict[int, int] = {}
         blocks_to_swap_out: Dict[int, int] = {}
         blocks_to_copy: Dict[int, List[int]] = {}
         blocks_to_nw: Dict[int, List[int]] = {}
-
         # Same clock as RequestMetrics.arrival_time (llm_engine
         # add_request stamps time.time()): mixing monotonic here made
         # priority values meaningless offsets.
         now = time.time()
-
-        # --- Prompt phase: batch waiting prompts (prompts-first policy,
-        # unless sequences are swapped out — those must resume first). ---
-        if not self.swapped:
-            ignored_seq_groups: List[SequenceGroup] = []
-            scheduled: List[SequenceGroup] = []
-            seq_lens: List[int] = []
-            num_curr_seqs = sum(
-                sg.max_parallel_seqs for sg in self.running)
-            curr_loras = set(
-                sg.lora_int_id for sg in self.running
-                if getattr(sg, "lora_request", None)) if \
-                self.lora_enabled else None
-
-            leftover_waiting: Deque[SequenceGroup] = deque()
-            while self.waiting:
-                seq_group = self.waiting[0]
-                waiting_seqs = seq_group.get_seqs(
-                    status=SequenceStatus.WAITING)
-                assert len(waiting_seqs) == 1, (
-                    "Waiting sequence group should have only one prompt "
-                    "sequence.")
-                num_prompt_tokens = waiting_seqs[0].num_tokens
-                if num_prompt_tokens > self.prompt_limit:
-                    logger.warning(
-                        "Input prompt (%d tokens) is too long and exceeds "
-                        "limit of %d", num_prompt_tokens, self.prompt_limit)
-                    for seq in waiting_seqs:
-                        seq.status = SequenceStatus.FINISHED_IGNORED
-                    ignored_seq_groups.append(seq_group)
-                    self.waiting.popleft()
-                    continue
-
-                can_allocate = self.block_manager.can_allocate(seq_group)
-                if can_allocate == AllocStatus.LATER:
-                    break
-                if can_allocate == AllocStatus.NEVER:
-                    logger.warning(
-                        "Input prompt (%d tokens) is too long and exceeds "
-                        "the capacity of the KV cache", num_prompt_tokens)
-                    for seq in waiting_seqs:
-                        seq.status = SequenceStatus.FINISHED_IGNORED
-                    ignored_seq_groups.append(seq_group)
-                    self.waiting.popleft()
-                    continue
-
-                # Token budget: batches pad to the longest prompt, so the
-                # cost of the batch is num_seqs * max_len.
-                new_seq_lens = seq_lens + [num_prompt_tokens]
-                num_batched_tokens = len(new_seq_lens) * max(new_seq_lens)
-                if (num_batched_tokens
-                        > self.scheduler_config.max_num_batched_tokens):
-                    break
-
-                num_new_seqs = seq_group.max_parallel_seqs
-                if (num_curr_seqs + num_new_seqs
-                        > self.scheduler_config.max_num_seqs):
-                    break
-
-                if curr_loras is not None:
-                    lora_id = seq_group.lora_int_id
-                    if (lora_id > 0 and lora_id not in curr_loras
-                            and len(curr_loras) >=
-                            self.lora_config.max_loras):
-                        # No adapter slot free: defer just this group
-                        # (reference scheduler.py:233-241) — breaking
-                        # would head-of-line block base-model requests
-                        # behind it.
-                        leftover_waiting.appendleft(seq_group)
-                        self.waiting.popleft()
-                        continue
-                    if lora_id > 0:
-                        curr_loras.add(lora_id)
-
-                num_paddings = num_batched_tokens - sum(new_seq_lens)
-                if num_paddings > self.scheduler_config.max_paddings:
-                    break
-
-                seq_lens = new_seq_lens
-                self.waiting.popleft()
-                self._allocate(seq_group)
-                self.running.append(seq_group)
-                num_curr_seqs += num_new_seqs
-                scheduled.append(seq_group)
-                seq_group.maybe_set_first_scheduled_time(time.time())
-
-            self.waiting.extendleft(leftover_waiting)
-
-            if scheduled or ignored_seq_groups:
-                for seq_group in scheduled:
-                    self._track_nw_blocks(seq_group, blocks_to_nw,
-                                          prompt_run=True)
-                return SchedulerOutputs(
-                    scheduled_seq_groups=scheduled,
-                    prompt_run=True,
-                    num_batched_tokens=(len(seq_lens) *
-                                        max(seq_lens) if seq_lens else 0),
-                    blocks_to_swap_in=blocks_to_swap_in,
-                    blocks_to_swap_out=blocks_to_swap_out,
-                    blocks_to_copy=blocks_to_copy,
-                    blocks_to_nw=blocks_to_nw,
-                    ignored_seq_groups=ignored_seq_groups,
-                )
-
-        # --- Decode phase. ---
         self.running = self.policy.sort_by_priority(now, self.running)
 
         running: Deque[SequenceGroup] = deque()
@@ -446,6 +453,45 @@ class Scheduler:
 
     def schedule(self) -> Tuple[List[SequenceGroupMetadata], SchedulerOutputs]:
         scheduler_outputs = self._schedule()
+        return self._build_metadata(scheduler_outputs), scheduler_outputs
+
+    def schedule_splitwise(
+        self
+    ) -> Tuple[Tuple[List[SequenceGroupMetadata], SchedulerOutputs],
+               Tuple[List[SequenceGroupMetadata], SchedulerOutputs]]:
+        """One engine step feeding BOTH pools of a disaggregated
+        (Splitwise) executor: the decode batch for the decode mesh AND a
+        prompt batch for the prefill mesh, scheduled together so the
+        executor can dispatch them concurrently (the point of
+        disaggregation — the reference steps its pools serially,
+        ray_gpu_executor.py:292-293).
+
+        Decode is scheduled FIRST: running sequences get page priority
+        (their append/preempt decisions must not be starved by a prompt
+        burst), and prompt groups scheduled in this same step have no KV
+        yet so they must not join this step's decode batch.  Returns
+        ((decode_meta, decode_outputs), (prompt_meta, prompt_outputs));
+        either half may be empty."""
+        decode_outputs = self._schedule_decode_phase()
+        decode_meta = self._build_metadata(decode_outputs)
+
+        prompt_outputs = None
+        if not self.swapped:
+            # Same gate as _schedule: swapped-out groups must resume
+            # before new prompts may claim their pages.
+            prompt_outputs = self._schedule_prompt_phase()
+        if prompt_outputs is None:
+            prompt_outputs = SchedulerOutputs(
+                scheduled_seq_groups=[], prompt_run=True,
+                num_batched_tokens=0, blocks_to_swap_in={},
+                blocks_to_swap_out={}, blocks_to_copy={}, blocks_to_nw={},
+                ignored_seq_groups=[])
+        prompt_meta = self._build_metadata(prompt_outputs)
+        return (decode_meta, decode_outputs), (prompt_meta, prompt_outputs)
+
+    def _build_metadata(
+        self, scheduler_outputs: SchedulerOutputs
+    ) -> List[SequenceGroupMetadata]:
         now = time.time()
 
         seq_group_metadata_list: List[SequenceGroupMetadata] = []
@@ -485,7 +531,7 @@ class Scheduler:
         # the step: mark them computed for prefix caching.
         for seq_group in scheduler_outputs.scheduled_seq_groups:
             self.block_manager.mark_blocks_as_computed(seq_group)
-        return seq_group_metadata_list, scheduler_outputs
+        return seq_group_metadata_list
 
     # ---- sequence lifecycle hooks ----
 

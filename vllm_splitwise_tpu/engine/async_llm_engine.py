@@ -168,6 +168,8 @@ class _AsyncLLMEngine(LLMEngine):
     """LLMEngine whose step awaits the executor instead of blocking."""
 
     async def step_async(self) -> List[RequestOutput]:
+        if getattr(self.executor, "execute_dual", None) is not None:
+            return await self._step_splitwise_async()
         metadata, plan = self.scheduler.schedule()
         if plan.is_empty():
             outputs = []
@@ -183,6 +185,25 @@ class _AsyncLLMEngine(LLMEngine):
         if plan.num_decode_steps > 1:
             return self._process_multi_step_outputs(outputs, plan)
         return self._process_model_outputs(outputs, plan)
+
+    async def _step_splitwise_async(self) -> List[RequestOutput]:
+        """Dual-pool step (see LLMEngine._step_splitwise), dispatched off
+        the event loop."""
+        ((decode_meta, decode_sched),
+         (prompt_meta, prompt_sched)) = self.scheduler.schedule_splitwise()
+        if decode_sched.is_empty() and prompt_sched.is_empty() \
+                and not prompt_sched.ignored_seq_groups:
+            return self._process_model_outputs([], decode_sched)
+        loop = asyncio.get_running_loop()
+        prompt_output, decode_output = await loop.run_in_executor(
+            None, lambda: self.executor.execute_dual(
+                prompt_meta, prompt_sched.blocks_to_nw,
+                decode_meta, decode_sched.blocks_to_swap_in,
+                decode_sched.blocks_to_swap_out,
+                decode_sched.blocks_to_copy, decode_sched.blocks_to_nw,
+                num_decode_steps=decode_sched.num_decode_steps))
+        return self._finish_splitwise_step(decode_sched, decode_output,
+                                           prompt_sched, prompt_output)
 
     async def add_request_async(self, request_id: str, prompt: Optional[str],
                                 sampling_params: SamplingParams,

@@ -178,6 +178,8 @@ class LLMEngine:
     # ---- the step ----
 
     def step(self) -> List[RequestOutput]:
+        if getattr(self.executor, "execute_dual", None) is not None:
+            return self._step_splitwise()
         (seq_group_metadata_list,
          scheduler_outputs) = self.scheduler.schedule()
 
@@ -198,6 +200,46 @@ class LLMEngine:
             return self._process_multi_step_outputs(output,
                                                     scheduler_outputs)
         return self._process_model_outputs(output, scheduler_outputs)
+
+    def _step_splitwise(self) -> List[RequestOutput]:
+        """One engine step driving BOTH pools of a disaggregated
+        executor: the decode batch and a prompt batch are scheduled
+        together and dispatched concurrently on the two meshes, so the
+        decode pool no longer idles through every prefill burst (the
+        serial-pools limitation the reference documents at
+        ray_gpu_executor.py:292-293)."""
+        ((decode_meta, decode_sched),
+         (prompt_meta, prompt_sched)) = self.scheduler.schedule_splitwise()
+
+        if decode_sched.is_empty() and prompt_sched.is_empty() \
+                and not prompt_sched.ignored_seq_groups:
+            return self._process_model_outputs([], decode_sched)
+
+        prompt_output, decode_output = self.executor.execute_dual(
+            prompt_meta, prompt_sched.blocks_to_nw,
+            decode_meta, decode_sched.blocks_to_swap_in,
+            decode_sched.blocks_to_swap_out, decode_sched.blocks_to_copy,
+            decode_sched.blocks_to_nw,
+            num_decode_steps=decode_sched.num_decode_steps)
+        return self._finish_splitwise_step(decode_sched, decode_output,
+                                           prompt_sched, prompt_output)
+
+    def _finish_splitwise_step(self, decode_sched, decode_output,
+                               prompt_sched,
+                               prompt_output) -> List[RequestOutput]:
+        self._record_migration_times(prompt_sched)
+        results: List[RequestOutput] = []
+        if not decode_sched.is_empty():
+            if decode_sched.num_decode_steps > 1:
+                results += self._process_multi_step_outputs(
+                    decode_output, decode_sched)
+            else:
+                results += self._process_model_outputs(
+                    decode_output or [], decode_sched)
+        if not prompt_sched.is_empty() or prompt_sched.ignored_seq_groups:
+            results += self._process_model_outputs(
+                prompt_output or [], prompt_sched)
+        return results
 
     def _record_migration_times(self, scheduler_outputs) -> None:
         """Splitwise request-lifetime instrumentation (the reference

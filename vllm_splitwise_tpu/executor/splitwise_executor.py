@@ -8,12 +8,17 @@ are two JAX meshes in one single-controller process; routing is a Python
 if; KV migration is the KVMigrationManager's gather -> device_put ->
 scatter pipeline, ordered by dataflow instead of device semaphores.
 
-Like the reference (ray_gpu_executor.py:292-293 comment), prompt and
-token steps are not yet overlapped from one engine step.
+Unlike the reference (which documents its pools as stepped serially,
+ray_gpu_executor.py:292-293), ``execute_dual`` dispatches a prefill
+batch and a decode batch from the SAME engine step on their two meshes
+concurrently (two dispatch threads; the meshes are disjoint device
+sets, so the steps genuinely overlap on hardware).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+import concurrent.futures
+
+from typing import Dict, List, Optional, Tuple
 
 from vllm_splitwise_tpu.config import (CacheConfig, DeviceConfig,
                                        LoRAConfig, ModelConfig,
@@ -137,6 +142,68 @@ class SplitwiseExecutor(ExecutorBase):
             blocks_to_swap_out=blocks_to_swap_out,
             blocks_to_copy=blocks_to_copy,
             num_decode_steps=num_decode_steps)
+
+    def execute_dual(
+        self,
+        prompt_meta: List[SequenceGroupMetadata],
+        prompt_blocks_to_nw: Dict[int, List[int]],
+        decode_meta: List[SequenceGroupMetadata],
+        decode_blocks_to_swap_in: Dict[int, int],
+        decode_blocks_to_swap_out: Dict[int, int],
+        decode_blocks_to_copy: Dict[int, List[int]],
+        decode_blocks_to_nw: Optional[Dict[int, List[int]]] = None,
+        num_decode_steps: int = 1,
+    ) -> Tuple[Optional[SamplerOutput], Optional[SamplerOutput]]:
+        """Run a prefill batch and a decode batch CONCURRENTLY, one per
+        pool; returns (prompt_output, decode_output) (None for an empty
+        half).
+
+        The two meshes are disjoint devices, so the jitted steps overlap
+        on hardware; each runs in its own dispatch thread because the
+        worker API is blocking (it fetches sampled tokens).  KV
+        migration of the freshly prefilled pages is dispatched only
+        AFTER the decode step joins: migration scatter produces a new
+        decode-pool cache value, and scattering into the pre-step cache
+        would drop the decode step's in-flight KV writes."""
+        self.kv_migration.ensure_migrated(
+            (decode_blocks_to_nw or {}).keys())
+
+        prompt_out: List[Optional[SamplerOutput]] = [None]
+        decode_out: List[Optional[SamplerOutput]] = [None]
+
+        def run_prefill():
+            prompt_out[0] = self.prefill_worker.execute_model(
+                prompt_meta, blocks_to_swap_in={}, blocks_to_swap_out={},
+                blocks_to_copy={})
+
+        def run_decode():
+            decode_out[0] = self.decode_worker.execute_model(
+                decode_meta,
+                blocks_to_swap_in=decode_blocks_to_swap_in,
+                blocks_to_swap_out=decode_blocks_to_swap_out,
+                blocks_to_copy=decode_blocks_to_copy,
+                num_decode_steps=num_decode_steps)
+
+        jobs = []
+        if prompt_meta:
+            jobs.append(run_prefill)
+        if decode_meta or decode_blocks_to_swap_in or \
+                decode_blocks_to_swap_out or decode_blocks_to_copy:
+            jobs.append(run_decode)
+        if len(jobs) == 2:
+            with concurrent.futures.ThreadPoolExecutor(2) as pool:
+                futs = [pool.submit(j) for j in jobs]
+                for f in futs:
+                    f.result()
+        else:
+            for j in jobs:
+                j()
+
+        if prompt_meta and prompt_blocks_to_nw:
+            # Async device-side: returns once enqueued; the next decode
+            # step's data dependency does the waiting.
+            self.kv_migration.migrate(prompt_blocks_to_nw)
+        return prompt_out[0], decode_out[0]
 
     def check_health(self) -> None:
         """Probe both pools with a trivial device round-trip.

@@ -177,12 +177,16 @@ class KVMigrationManager:
     def ensure_migrated(self, slots: Iterable[int]) -> None:
         """Decode-side check before attending over migrated pages.  With
         single-controller dataflow this is a consistency assertion, not a
-        blocking wait."""
+        blocking wait — a miss means the scheduler produced a decode
+        batch whose pages were never pushed from the prefill pool, and
+        decoding would silently attend over garbage, so it is an ERROR,
+        not a warning."""
         missing = [s for s in slots if s not in self._migrated_slots]
         if missing:
-            logger.warning(
-                "Decode step references unmigrated KV slots %s — the "
-                "pages were never pushed from the prefill pool.", missing)
+            raise RuntimeError(
+                f"Decode step references unmigrated KV slots {missing} — "
+                "the pages were never pushed from the prefill pool "
+                "(scheduler/migration ordering bug).")
 
     def free_slots(self, slots: Iterable[int]) -> None:
         for s in slots:
