@@ -131,24 +131,24 @@ class Scheduler:
         self.waiting.append(seq_group)
 
     def abort_seq_group(self, request_id: Union[str, Iterable[str]]) -> None:
-        if isinstance(request_id, str):
-            request_id = (request_id, )
-        request_ids = set(request_id)
-        for state_queue in (self.waiting, self.running, self.swapped):
-            aborted_groups: List[SequenceGroup] = []
-            for seq_group in state_queue:
-                if not request_ids:
-                    break
-                if seq_group.request_id in request_ids:
-                    aborted_groups.append(seq_group)
-                    request_ids.remove(seq_group.request_id)
-            for aborted_group in aborted_groups:
-                state_queue.remove(aborted_group)
-                for seq in aborted_group.get_seqs():
-                    if seq.is_finished():
-                        continue
-                    seq.status = SequenceStatus.FINISHED_ABORTED
-                    self.free_seq(seq)
+        targets = ({request_id} if isinstance(request_id, str)
+                   else set(request_id))
+        for queue in (self.waiting, self.running, self.swapped):
+            if not targets:
+                break
+            kept: List[SequenceGroup] = []
+            for group in queue:
+                if group.request_id not in targets:
+                    kept.append(group)
+                    continue
+                targets.discard(group.request_id)
+                for seq in group.get_seqs():
+                    if not seq.is_finished():
+                        seq.status = SequenceStatus.FINISHED_ABORTED
+                        self.free_seq(seq)
+            if len(kept) != len(queue):
+                queue.clear()
+                queue.extend(kept)
 
     def has_unfinished_seqs(self) -> bool:
         return bool(self.waiting or self.running or self.swapped)
@@ -303,27 +303,26 @@ class Scheduler:
         # add_request stamps time.time()): mixing monotonic here made
         # priority values meaningless offsets.
         now = time.time()
-        self.running = self.policy.sort_by_priority(now, self.running)
+        queue = self.policy.sort_by_priority(now, self.running)
 
-        running: Deque[SequenceGroup] = deque()
+        # Walk the queue in priority order; whenever a group cannot grow
+        # by one KV slot, evict from the back (lowest priority) until it
+        # can — or, with nothing left behind it, evict the group itself.
+        survivors: Deque[SequenceGroup] = deque()
         preempted: List[SequenceGroup] = []
-        while self.running:
-            seq_group = self.running.popleft()
-            while not self.block_manager.can_append_slot(seq_group):
-                if self.running:
-                    # Preempt the lowest-priority group.
-                    victim_seq_group = self.running.pop()
-                    self._preempt(victim_seq_group, blocks_to_swap_out)
-                    preempted.append(victim_seq_group)
-                else:
-                    # Preempt the current group itself.
-                    self._preempt(seq_group, blocks_to_swap_out)
-                    preempted.append(seq_group)
+        while queue:
+            group = queue.popleft()
+            while True:
+                if self.block_manager.can_append_slot(group):
+                    self._append_slot(group, blocks_to_copy)
+                    survivors.append(group)
                     break
-            else:
-                self._append_slot(seq_group, blocks_to_copy)
-                running.append(seq_group)
-        self.running = running
+                victim = queue.pop() if queue else group
+                self._preempt(victim, blocks_to_swap_out)
+                preempted.append(victim)
+                if victim is group:
+                    break
+        self.running = survivors
 
         # Swap in previously preempted groups if there is room.
         if not preempted:
