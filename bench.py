@@ -66,9 +66,9 @@ def build(size: str, quant: str, seed: int = 0):
     # Build quantized params DIRECTLY (never materializing the 13.5 GB
     # dense weights on a 16 GB chip): random int4/int8 payloads generated
     # on device, one op per stacked tensor.
-    # Band-packed int4 metadata needs an EVEN group count per K dim; the
-    # 1b shape's inter=5504 has 43 groups at G=128, so drop to G=64.
-    group = 128 if all(d % 256 == 0 for d in (h, inter)) else 64
+    # Standard GPTQ group size; odd k-block counts (1b's inter=5504 has
+    # 43 blocks at G=128) ride the phantom zero-block pad below.
+    group = 128
     num_l = layers
     hd = model.head_dim
     key = jax.random.PRNGKey(seed)
@@ -79,9 +79,13 @@ def build(size: str, quant: str, seed: int = 0):
         if quant == "int4":
             from vllm_splitwise_tpu.ops.quant_matmul import pack_sz_bands
             ng = shape_in // group
+            # Phantom zero k-block for odd k-block counts (the kernels'
+            # superblock grid walks full bands; pad_qweight_even's role).
+            nbq = shape_in // (2 * group)
+            rows = shape_in // 2 + (group if nbq % 2 else 0)
             return {
                 "qweight": jax.random.randint(
-                    k1, (num_l, shape_in // 2, shape_out), -128, 128,
+                    k1, (num_l, rows, shape_out), -128, 128,
                     dtype=jnp.int8),
                 "sz_bands": pack_sz_bands(
                     jnp.full((num_l, ng, shape_out), 0.01, jnp.float32),

@@ -52,7 +52,9 @@ def main():
     step_ms /= max(nsteps, 1)
 
     # ---- byte model -------------------------------------------------
-    wpl = h * (heads * hd) + h * h + h * 2 * inter + inter * h
+    # qkv (q + k + v outputs) + o + gate_up (2x inter) + down.
+    wpl = (h * (heads * hd + 2 * kv_heads * hd) + (heads * hd) * h +
+           h * 2 * inter + inter * h)
     if args.quant == "int4":
         layer_w = wpl / 2 + wpl / 16          # packed nibbles + sz bands
     elif args.quant == "int8":

@@ -130,12 +130,12 @@ def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
                 # kernel (per-token int8 activations, ~0.4% extra quant
                 # error, +44% decode tput); VST_W4A8=0 reverts to pure
                 # bf16 weight dequant.
-                # Mosaic needs the kernel's [bm, 2G] x-block lane dim
-                # 128-aligned; unaligned group sizes stay on the exact
-                # dequant path (whose XLA fallback is lossless).
+                # Mosaic needs the kernel's [bm, 4G] x-block lane dim
+                # 128-aligned (one full band per superblock grid step);
+                # unaligned group sizes stay on the exact dequant path
+                # (whose XLA fallback is lossless).
                 if (_w4a8_enabled() and x2.shape[0] <= 128
-                        and ((2 * group_size) % 128 == 0
-                             or 2 * group_size == x2.shape[1])):
+                        and (4 * group_size) % 128 == 0):
                     from vllm_splitwise_tpu.ops.quant_matmul import \
                         quant_matmul_int4_mxu_stacked
                     y = quant_matmul_int4_mxu_stacked(

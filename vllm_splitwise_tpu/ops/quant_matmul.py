@@ -617,16 +617,22 @@ def quantize_activations_int8(x: jax.Array, group_size: int):
 
 def _int4_mxu_kernel_stacked(
     layer_ref,    # [1] int32 (scalar prefetch)
-    x_ref,        # [bm, 2G] int8
-    sums_ref,     # [bm, 128] f32 (this k-block's group sums in cols 0/1)
-    q_ref,        # [1, G, bn] int8 pack2G
-    sz_ref,       # [1, 8, bn] f32 (pack_sz_bands)
+    x_ref,        # [bm, 4G] int8 (one full band = two k-blocks of x)
+    sums_ref,     # [bm, 256] f32 (group sums: k-block h at cols 128h+{0,1})
+    q_ref,        # [1, 2G, bn] int8 pack2G (both k-blocks of the band)
+    sz_ref,       # [1, 8, bn] f32 (one pack_sz_bands band)
     sx_ref,       # [bm, 128] f32 (per-token act scale, lane-broadcast)
     o_ref,        # [bm, bn] out dtype (sx folded in the epilogue)
     acc_ref,      # [bm, bn] f32
     *,
     group_size: int,
 ):
+    """Superblock grid step: each step consumes ONE full metadata band =
+    two pack2G k-blocks = 4 quant groups (4G k-rows).  Half the grid
+    steps of the classic one-k-block step, double the DMA size (better
+    pipeline utilization at decode shapes), and the band's (s, z) rows
+    sit at STATIC offsets — no even/odd parity selects."""
+    g = group_size
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
 
@@ -634,39 +640,39 @@ def _int4_mxu_kernel_stacked(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Signed-high pack2G (see pack_int4): byte = 16*(hi-8) + lo.  Both
-    # nibble dots come off the int8 MXU without unpacking the weight
-    # block — the ONLY per-element vector op is one bitwise AND; the
-    # shift/bias fix-ups run on the small [bm, bn] accumulators.
-    p = q_ref[0]                               # [G, bn] int8 raw
-    pm = jnp.bitwise_and(p, jnp.int8(0xF))     # lo in [0, 15]
-
-    xq = x_ref[...]                            # [bm, 2G] int8
-    x_lo = xq[:, :group_size]
-    x_hi = xq[:, group_size:]
+    sz = sz_ref[0]                             # [8, bn]
+    xq = x_ref[...]                            # [bm, 4G] int8
+    sums = sums_ref[...]                       # [bm, 256]
     dn = (((1, ), (0, )), ((), ()))
-    d_lo = jax.lax.dot_general(x_lo, pm, dimension_numbers=dn,
-                               preferred_element_type=jnp.int32)
-    d_hi_m = jax.lax.dot_general(x_hi, pm, dimension_numbers=dn,
-                                 preferred_element_type=jnp.int32)
-    d_hi_raw = jax.lax.dot_general(x_hi, p, dimension_numbers=dn,
+    acc = jnp.zeros_like(acc_ref)
+    for h in (0, 1):                           # the band's two k-blocks
+        # Signed-high pack2G (see pack_int4): byte = 16*(hi-8) + lo.
+        # Both nibble dots come off the int8 MXU without unpacking the
+        # weight block — the ONLY per-element vector op is one bitwise
+        # AND; the shift/bias fix-ups run on the [bm, bn] accumulators.
+        p = q_ref[0, h * g:(h + 1) * g]        # [G, bn] int8 raw
+        pm = jnp.bitwise_and(p, jnp.int8(0xF))
+        x_lo = xq[:, 2 * h * g:(2 * h + 1) * g]
+        x_hi = xq[:, (2 * h + 1) * g:(2 * h + 2) * g]
+        d_lo = jax.lax.dot_general(x_lo, pm, dimension_numbers=dn,
                                    preferred_element_type=jnp.int32)
-    # x_hi @ (hi - 8); the difference is an exact multiple of 16.
-    hi_signed = jax.lax.shift_right_arithmetic(d_hi_raw - d_hi_m, 4)
+        d_hi_m = jax.lax.dot_general(x_hi, pm, dimension_numbers=dn,
+                                     preferred_element_type=jnp.int32)
+        d_hi_raw = jax.lax.dot_general(x_hi, p, dimension_numbers=dn,
+                                       preferred_element_type=jnp.int32)
+        # x_hi @ (hi - 8); the difference is an exact multiple of 16.
+        hi_signed = jax.lax.shift_right_arithmetic(d_hi_raw - d_hi_m, 4)
 
-    even = (kb % 2) == 0
-    sz = sz_ref[0]
-    s0 = jnp.where(even, sz[0:1, :], sz[4:5, :])
-    s1 = jnp.where(even, sz[1:2, :], sz[5:6, :])
-    z0 = jnp.where(even, sz[2:3, :], sz[6:7, :])
-    z1 = jnp.where(even, sz[3:4, :], sz[7:8, :])
-
-    sum0 = sums_ref[:, 0:1]                    # [bm, 1]
-    sum1 = sums_ref[:, 1:2]
-    acc_lo = d_lo.astype(jnp.float32)
-    acc_hi = hi_signed.astype(jnp.float32) + 8.0 * sum1
-    acc_ref[...] += ((acc_lo - sum0 * z0) * s0 +
-                     (acc_hi - sum1 * z1) * s1)
+        s0 = sz[4 * h + 0:4 * h + 1, :]
+        s1 = sz[4 * h + 1:4 * h + 2, :]
+        z0 = sz[4 * h + 2:4 * h + 3, :]
+        z1 = sz[4 * h + 3:4 * h + 4, :]
+        sum0 = sums[:, 128 * h + 0:128 * h + 1]   # [bm, 1]
+        sum1 = sums[:, 128 * h + 1:128 * h + 2]
+        acc_lo = d_lo.astype(jnp.float32)
+        acc_hi = hi_signed.astype(jnp.float32) + 8.0 * sum1
+        acc += (acc_lo - sum0 * z0) * s0 + (acc_hi - sum1 * z1) * s1
+    acc_ref[...] += acc
 
     @pl.when(kb == num_kb - 1)
     def _():
@@ -701,8 +707,9 @@ def quant_matmul_int4_mxu_stacked(
     nb = k // (2 * g)
     assert kk * 2 >= k, (k, kk)
 
-    # Mosaic needs the [bm, 2G] x-block lane dim 128-aligned (or == K).
-    lane_ok = (2 * g) % 128 == 0 or 2 * g == k
+    # Superblock grid: one full band (two k-blocks = 4G k-rows) per step.
+    # Mosaic needs the [bm, 4G] x-block lane dim 128-aligned.
+    lane_ok = (4 * g) % 128 == 0
     if not ((_use_pallas() and lane_ok) or interpret):
         qw = jax.lax.dynamic_index_in_dim(qweight, layer_index,
                                           keepdims=False)[:k // 2]
@@ -713,20 +720,30 @@ def quant_matmul_int4_mxu_stacked(
         xd = xq.astype(jnp.float32) * sx
         return quant_matmul_int4_reference(xd.astype(x.dtype), qw, s, z, g)
 
+    # Odd k-block counts (e.g. K=11008 at g128 -> 43) ride the phantom
+    # zero block pad_qweight_even appended at stack time: its band
+    # metadata is zero (pack_sz_bands pads with zeros), so the padded
+    # x/sums lanes contribute exactly 0.
+    nb_pad = kk // g
+    assert nb_pad % 2 == 0 and nb_pad >= nb, (nb_pad, nb)
+    num_bands = nb_pad // 2
+    k_pad = nb_pad * 2 * g
+
     xq, sx, sums = quantize_activations_int8(x, g)
+    if k_pad > k:
+        xq = jnp.pad(xq, ((0, 0), (0, k_pad - k)))
     # Lane-pad each k-block's two group sums to a 128-wide column so the
     # grid's BlockSpec can deliver them at STATIC in-kernel positions
     # (dynamic lane slicing is not a Mosaic primitive).
-    sums_wide = jnp.zeros((m, nb, 128), jnp.float32)
-    sums_wide = sums_wide.at[:, :, :2].set(sums.reshape(m, nb, 2))
-    sums_wide = sums_wide.reshape(m, nb * 128)
+    sums_wide = jnp.zeros((m, nb_pad, 128), jnp.float32)
+    sums_wide = sums_wide.at[:, :nb, :2].set(sums.reshape(m, nb, 2))
+    sums_wide = sums_wide.reshape(m, nb_pad * 128)
     sx_wide = jnp.broadcast_to(sx, (m, 128))
 
     if block_m == 0:
         block_m = 128 if m >= 128 else max(8, _round_up(m, 8))
     block_n = _pick_block(n, block_n)
-    bk = 2 * g
-    grid = (_cdiv(m, block_m), n // block_n, nb)
+    grid = (_cdiv(m, block_m), n // block_n, num_bands)
 
     m_pad = _round_up(m, block_m) - m
     if m_pad:
@@ -741,13 +758,14 @@ def quant_matmul_int4_mxu_stacked(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((block_m, bk), lambda i, j, kb, L: (i, kb)),
-                pl.BlockSpec((block_m, 128),
+                pl.BlockSpec((block_m, 4 * g),
                              lambda i, j, kb, L: (i, kb)),
-                pl.BlockSpec((1, g, block_n),
+                pl.BlockSpec((block_m, 256),
+                             lambda i, j, kb, L: (i, kb)),
+                pl.BlockSpec((1, 2 * g, block_n),
                              lambda i, j, kb, L: (L[0], kb, j)),
                 pl.BlockSpec((1, 8, block_n),
-                             lambda i, j, kb, L: (L[0], kb // 2, j)),
+                             lambda i, j, kb, L: (L[0], kb, j)),
                 pl.BlockSpec((block_m, 128),
                              lambda i, j, kb, L: (i, 0)),
             ],
