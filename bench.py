@@ -349,11 +349,11 @@ def main():
     # b16 is the throughput sweet spot on v5e: 1124 tok/s/chip at
     # 14.2 ms TPOT — still under the reference GPU fork's 15.2 ms p50
     # TPOT (BASELINE.md).  b32 reaches 1474 tok/s but exceeds it.
-    # b21 is the on-chip sweet spot (r2, superblock kernel + page-gated
-    # attention): 1418 tok/s/chip at 14.8 ms TPOT — above the 1400
-    # target with margin under the reference's 15.2 ms p50 (b22 hits
-    # 1449 but at 15.19 ms, a 0.01 ms margin).
-    parser.add_argument("--batch", type=int, default=21)
+    # b23 is the on-chip sweet spot (r2: superblock W4A8 kernel +
+    # page-gated attention + fused act-quantize prologue): 1537
+    # tok/s/chip at 14.97 ms TPOT, under the reference's 15.2 ms p50
+    # (b24 = 1573 but at 15.26 ms, over budget).
+    parser.add_argument("--batch", type=int, default=23)
     parser.add_argument("--context", type=int, default=768)
     parser.add_argument("--steps", type=int, default=64)
     parser.add_argument("--page-size", type=int, default=16)

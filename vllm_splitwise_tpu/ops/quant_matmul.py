@@ -615,6 +615,57 @@ def quantize_activations_int8(x: jax.Array, group_size: int):
     return xq, sx, sums
 
 
+def _quantize_acts_kernel(x_ref, xq_ref, sums_ref, sx_ref, *,
+                          group_size: int):
+    """Fused activation-quantization prologue: per-token symmetric int8
+    + per-group sums + lane-broadcast scale, all in ONE kernel launch,
+    emitting exactly the W4A8 matmul's input layout.  The XLA lowering
+    of the same math is ~4 separate fusion launches per matmul site
+    (abs-max reduce, round/clip, group-sum reduce, sums-lane scatter) —
+    at decode shapes each launch is ~3-5 us of issue latency on tensors
+    that move ~0.1 MiB, so the launches ARE the cost."""
+    g = group_size
+    xf = x_ref[...].astype(jnp.float32)           # [bm, k_pad]
+    sx = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-10)
+    q = jnp.clip(jnp.round(xf / sx), -127.0, 127.0)
+    xq_ref[...] = q.astype(jnp.int8)
+    sx_ref[...] = jnp.broadcast_to(sx, sx_ref.shape)
+    bm, kp = xf.shape
+    pieces = []
+    pad = jnp.zeros((bm, 126), jnp.float32)
+    for blk in range(kp // (2 * g)):
+        s0 = jnp.sum(q[:, 2 * blk * g:(2 * blk + 1) * g], axis=1,
+                     keepdims=True)
+        s1 = jnp.sum(q[:, (2 * blk + 1) * g:(2 * blk + 2) * g], axis=1,
+                     keepdims=True)
+        pieces.append(jnp.concatenate([s0, s1, pad], axis=1))
+    sums_ref[...] = jnp.concatenate(pieces, axis=1)
+
+
+def quantize_activations_int8_fused(x: jax.Array, group_size: int,
+                                    k_pad: int, block_m: int,
+                                    interpret: bool = False):
+    """(x [M, K]) -> (xq int8 [M_pad, k_pad], sums_wide [M_pad, nb*128],
+    sx_wide [M_pad, 128]) via the fused Pallas prologue.  Zero-pads K to
+    k_pad first, so phantom-block groups quantize to 0 with 0 sums."""
+    m, k = x.shape
+    m_pad = _round_up(m, block_m)
+    if k_pad > k or m_pad > m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))
+    nb = k_pad // (2 * group_size)
+    xq, sums_wide, sx_wide = pl.pallas_call(
+        functools.partial(_quantize_acts_kernel, group_size=group_size),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_pad, k_pad), jnp.int8),
+            jax.ShapeDtypeStruct((m_pad, nb * 128), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x)
+    return xq, sums_wide, sx_wide
+
+
 def _int4_mxu_kernel_stacked(
     layer_ref,    # [1] int32 (scalar prefetch)
     x_ref,        # [bm, 4G] int8 (one full band = two k-blocks of x)
@@ -729,27 +780,18 @@ def quant_matmul_int4_mxu_stacked(
     num_bands = nb_pad // 2
     k_pad = nb_pad * 2 * g
 
-    xq, sx, sums = quantize_activations_int8(x, g)
-    if k_pad > k:
-        xq = jnp.pad(xq, ((0, 0), (0, k_pad - k)))
-    # Lane-pad each k-block's two group sums to a 128-wide column so the
-    # grid's BlockSpec can deliver them at STATIC in-kernel positions
-    # (dynamic lane slicing is not a Mosaic primitive).
-    sums_wide = jnp.zeros((m, nb_pad, 128), jnp.float32)
-    sums_wide = sums_wide.at[:, :nb, :2].set(sums.reshape(m, nb, 2))
-    sums_wide = sums_wide.reshape(m, nb_pad * 128)
-    sx_wide = jnp.broadcast_to(sx, (m, 128))
-
     if block_m == 0:
         block_m = 128 if m >= 128 else max(8, _round_up(m, 8))
     block_n = _pick_block(n, block_n)
     grid = (_cdiv(m, block_m), n // block_n, num_bands)
-
     m_pad = _round_up(m, block_m) - m
-    if m_pad:
-        xq = jnp.pad(xq, ((0, m_pad), (0, 0)))
-        sums_wide = jnp.pad(sums_wide, ((0, m_pad), (0, 0)))
-        sx_wide = jnp.pad(sx_wide, ((0, m_pad), (0, 0)))
+
+    # One fused prologue launch builds the quantized activations, the
+    # lane-padded per-k-block group sums (static in-kernel positions —
+    # dynamic lane slicing is not a Mosaic primitive), and the
+    # lane-broadcast per-token scale.
+    xq, sums_wide, sx_wide = quantize_activations_int8_fused(
+        x, g, k_pad, block_m, interpret=interpret)
 
     layer_arr = jnp.asarray([layer_index], dtype=jnp.int32).reshape(1)
     out = pl.pallas_call(
