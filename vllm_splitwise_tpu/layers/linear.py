@@ -87,43 +87,68 @@ def linear(x: jax.Array,
 
 
 def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
-          layer_index=None) -> jax.Array:
+          layer_index=None, pre_op: str = "none",
+          pre_w: Optional[jax.Array] = None,
+          pre_eps: float = 1e-6) -> jax.Array:
     """The universal projection: y = x @ W (+ b) where W is either a plain
     [in, out] array or a quantized param dict (pack2G int4 / int8 /
     dense-fallback — see ops/quant_matmul.py).  Models call this instead
     of jnp.dot so quantization is a checkpoint property, not a model-code
     property (the role of the reference's LinearMethodBase plug-ins).
-    """
+
+    ``pre_op``/``pre_w`` optionally fold the op feeding the projection
+    ("rmsnorm" with its weight, or "silu_mul" on a merged gate_up
+    output) into the W4A8 kernel's quantize prologue — one fused launch
+    instead of separate elementwise fusions; every other weight kind
+    applies the same math in XLA first (identical numerics)."""
     if isinstance(w, dict):
         from vllm_splitwise_tpu.ops.quant_matmul import (
             quant_matmul_int4, quant_matmul_int4_stacked, quant_matmul_int8,
             quant_matmul_int8_stacked)
+        from vllm_splitwise_tpu.ops.quant_matmul import apply_pre_op
         lead = x.shape[:-1]
         k = x.shape[-1]
         x2 = x.reshape(-1, k)
+
+        # The pre-op can ride the W4A8 kernel's fused quantize prologue
+        # only on the plain stacked-int4 path; everywhere else apply the
+        # identical XLA math up front.
+        fusable = ("sz_bands" in w and "weight_dense" not in w
+                   and "act_perm" not in w and w["qweight"].ndim == 3)
+        if pre_op != "none" and not fusable:
+            x2 = apply_pre_op(x2, pre_op, pre_w, pre_eps)
+            k = x2.shape[-1]
+            pre_op = "none"
+
         if "act_perm" in w:
             # GPTQ desc_act: activations follow the weight-row reorder.
             perm = w["act_perm"]
             if perm.ndim == 2:  # stacked [L, K]: same perm every layer
                 perm = perm[0]
             x2 = jnp.take(x2, perm, axis=1)
-        if ("sz_bands" in w or "zeros" in w) and "weight_dense" not in w:
+
+        def pad_phantom(x2, k):
             # Odd-group-count weights carry one phantom zero group (see
             # quant_loaders.to_internal_int4); pad x's K dim with zeros
-            # to match the packed weight's K.
+            # to match the packed weight's K.  (The fused W4A8 wrapper
+            # pads internally instead — it must see the real width for
+            # the rmsnorm mean.)
             k_w = w["qweight"].shape[-2] * 2
             if k_w > k:
-                x2 = jnp.pad(x2, ((0, 0), (0, k_w - k)))
-                k = k_w
+                return jnp.pad(x2, ((0, 0), (0, k_w - k))), k_w
+            return x2, k
+
         if "weight_dense" in w:
             y = jnp.dot(x2, w["weight_dense"].astype(x.dtype))
         elif "sz_bands" in w:
             from vllm_splitwise_tpu.ops.quant_matmul import (
                 infer_group_size, unpack_sz_bands)
+            k_eff = k // 2 if pre_op == "silu_mul" else k
             if "sz_group" in w:
                 group_size = int(w["sz_group"].shape[-2])
             else:
-                group_size = infer_group_size(k, w["sz_bands"].shape[-2])
+                group_size = infer_group_size(k_eff,
+                                              w["sz_bands"].shape[-2])
             if w["qweight"].ndim == 3:
                 # Stacked scan layout: kernel indexes the [L, ...] stack.
                 # Decode-size matmuls default to the int8-MXU W4A8
@@ -140,8 +165,11 @@ def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
                         quant_matmul_int4_mxu_stacked
                     y = quant_matmul_int4_mxu_stacked(
                         x2, w["qweight"], w["sz_bands"], layer_index,
-                        group_size=group_size, block_n=_block_n())
+                        group_size=group_size, block_n=_block_n(),
+                        pre_op=pre_op, pre_w=pre_w, eps=pre_eps)
                 else:
+                    x2 = apply_pre_op(x2, pre_op, pre_w, pre_eps)
+                    x2, _ = pad_phantom(x2, k_eff)
                     y = quant_matmul_int4_stacked(x2, w["qweight"],
                                                   w["sz_bands"],
                                                   layer_index,
@@ -150,11 +178,13 @@ def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
             else:
                 # Unrolled slice of a stacked dict: un-band the scales
                 # and drop any phantom padding block.
+                x2, k = pad_phantom(x2, k)
                 s_raw, z_raw = unpack_sz_bands(w["sz_bands"], k,
                                                group_size)
                 y = quant_matmul_int4(x2, w["qweight"][:k // 2], s_raw,
                                       z_raw, group_size=group_size)
         elif "zeros" in w:
+            x2, k = pad_phantom(x2, k)
             group_size = k // w["scales"].shape[-1 - 1]
             y = quant_matmul_int4(x2, w["qweight"], w["scales"], w["zeros"],
                                   group_size=group_size)
@@ -165,6 +195,9 @@ def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
             y = quant_matmul_int8(x2, w["qweight"], w["scales"])
         y = y.reshape(*lead, -1)
     else:
+        if pre_op != "none":
+            from vllm_splitwise_tpu.ops.quant_matmul import apply_pre_op
+            x = apply_pre_op(x, pre_op, pre_w, pre_eps)
         y = jnp.dot(x, w)
     if bias is not None:
         y = y + bias

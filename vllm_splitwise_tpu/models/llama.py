@@ -56,7 +56,8 @@ class LlamaForCausalLM:
         self.vocab_size = config.vocab_size
         self.padded_vocab = round_up(config.vocab_size, VOCAB_ALIGN)
         self.rms_eps = getattr(config, "rms_norm_eps", 1e-6)
-        self.act_fn = get_act_fn(getattr(config, "hidden_act", "silu"))
+        self.hidden_act = getattr(config, "hidden_act", "silu")
+        self.act_fn = get_act_fn(self.hidden_act)
         self.tie_word_embeddings = getattr(config, "tie_word_embeddings",
                                            self.tie_word_embeddings_default)
         self.sliding_window = sliding_window if sliding_window is not None \
@@ -330,11 +331,13 @@ class LlamaForCausalLM:
         for i in range(self.num_layers):
             lp = self._layer_slice(params["layers"], i)
             residual = hidden
-            x = rms_norm(hidden, lp["input_layernorm"], self.rms_eps)
-
             layer_kv_heads = self.attn[i].num_kv_heads
-            if "qkv_proj" in lp:
-                qkv = dense(x, lp["qkv_proj"])
+            if "qkv_proj" in lp and lora is None:
+                # Input norm rides the quant kernel's fused prologue.
+                x = None
+                qkv = dense(hidden, lp["qkv_proj"], pre_op="rmsnorm",
+                            pre_w=lp["input_layernorm"],
+                            pre_eps=self.rms_eps)
                 if "qkv_b" in lp:
                     qkv = qkv + lp["qkv_b"]
                 qd = self.num_heads * self.head_dim
@@ -343,13 +346,24 @@ class LlamaForCausalLM:
                 k = qkv[..., qd:qd + kvd]
                 v = qkv[..., qd + kvd:]
             else:
-                q = dense(x, lp["q_proj"])
-                k = dense(x, lp["k_proj"])
-                v = dense(x, lp["v_proj"])
-                if self.qkv_bias:
-                    q = q + lp["q_bias"]
-                    k = k + lp["k_bias"]
-                    v = v + lp["v_bias"]
+                x = rms_norm(hidden, lp["input_layernorm"], self.rms_eps)
+                if "qkv_proj" in lp:
+                    qkv = dense(x, lp["qkv_proj"])
+                    if "qkv_b" in lp:
+                        qkv = qkv + lp["qkv_b"]
+                    qd = self.num_heads * self.head_dim
+                    kvd = layer_kv_heads * self.head_dim
+                    q = qkv[..., :qd]
+                    k = qkv[..., qd:qd + kvd]
+                    v = qkv[..., qd + kvd:]
+                else:
+                    q = dense(x, lp["q_proj"])
+                    k = dense(x, lp["k_proj"])
+                    v = dense(x, lp["v_proj"])
+                    if self.qkv_bias:
+                        q = q + lp["q_bias"]
+                        k = k + lp["k_bias"]
+                        v = v + lp["v_bias"]
             if lora is not None:
                 from vllm_splitwise_tpu.lora.layers import lora_apply
                 idx = lora["idx"]
@@ -372,24 +386,37 @@ class LlamaForCausalLM:
             hidden = residual + dense(attn_out, lp["o_proj"])
 
             residual = hidden
-            x = rms_norm(hidden, lp["post_attention_layernorm"],
-                         self.rms_eps)
-            if "gate_up_proj" in lp:
-                gate_up = dense(x, lp["gate_up_proj"])
-                gate, up = jnp.split(gate_up, 2, axis=-1)
+            if ("gate_up_proj" in lp and lora is None
+                    and self.hidden_act == "silu"):
+                # Post-attn norm and silu*up both ride the quant
+                # kernels' fused prologues.
+                gate_up = dense(hidden, lp["gate_up_proj"],
+                                pre_op="rmsnorm",
+                                pre_w=lp["post_attention_layernorm"],
+                                pre_eps=self.rms_eps)
+                down = dense(gate_up, lp["down_proj"], pre_op="silu_mul")
             else:
-                gate = dense(x, lp["gate_proj"])
-                up = dense(x, lp["up_proj"])
-            if lora is not None:
-                gate = gate + lora_apply(x, lora["gate_proj_A"][:, i],
-                                         lora["gate_proj_B"][:, i], idx)
-                up = up + lora_apply(x, lora["up_proj_A"][:, i],
-                                     lora["up_proj_B"][:, i], idx)
-            inner = self.act_fn(gate) * up
-            down = dense(inner, lp["down_proj"])
-            if lora is not None:
-                down = down + lora_apply(inner, lora["down_proj_A"][:, i],
-                                         lora["down_proj_B"][:, i], idx)
+                x = rms_norm(hidden, lp["post_attention_layernorm"],
+                             self.rms_eps)
+                if "gate_up_proj" in lp:
+                    gate_up = dense(x, lp["gate_up_proj"])
+                    gate, up = jnp.split(gate_up, 2, axis=-1)
+                else:
+                    gate = dense(x, lp["gate_proj"])
+                    up = dense(x, lp["up_proj"])
+                if lora is not None:
+                    gate = gate + lora_apply(x, lora["gate_proj_A"][:, i],
+                                             lora["gate_proj_B"][:, i],
+                                             idx)
+                    up = up + lora_apply(x, lora["up_proj_A"][:, i],
+                                         lora["up_proj_B"][:, i], idx)
+                inner = self.act_fn(gate) * up
+                down = dense(inner, lp["down_proj"])
+                if lora is not None:
+                    down = down + lora_apply(inner,
+                                             lora["down_proj_A"][:, i],
+                                             lora["down_proj_B"][:, i],
+                                             idx)
             hidden = residual + down
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
@@ -427,14 +454,26 @@ class LlamaForCausalLM:
             h, k_pages, v_pages = carry
             lp, li, ll = xs
 
-            def proj(x_in, name):
+            def proj(x_in, name, **pre):
                 if name in quant:
-                    return dense(x_in, quant[name], layer_index=li)
-                return dense(x_in, lp[name])
+                    return dense(x_in, quant[name], layer_index=li,
+                                 **pre)
+                return dense(x_in, lp[name], **pre)
 
             residual = h
-            x = rms_norm(h, lp["input_layernorm"], self.rms_eps)
-            if merged_qkv:
+            if merged_qkv and ll is None:
+                # Input norm rides the quant kernel's fused prologue.
+                x = None
+                qkv = proj(h, "qkv_proj", pre_op="rmsnorm",
+                           pre_w=lp["input_layernorm"],
+                           pre_eps=self.rms_eps)
+                if "qkv_b" in lp:
+                    qkv = qkv + lp["qkv_b"]
+                q = qkv[..., :qd_m]
+                k = qkv[..., qd_m:qd_m + kvd_m]
+                v = qkv[..., qd_m + kvd_m:]
+            elif merged_qkv:
+                x = rms_norm(h, lp["input_layernorm"], self.rms_eps)
                 qkv = proj(x, "qkv_proj")
                 if "qkv_b" in lp:
                     qkv = qkv + lp["qkv_b"]
@@ -442,6 +481,7 @@ class LlamaForCausalLM:
                 k = qkv[..., qd_m:qd_m + kvd_m]
                 v = qkv[..., qd_m + kvd_m:]
             else:
+                x = rms_norm(h, lp["input_layernorm"], self.rms_eps)
                 q = proj(x, "q_proj")
                 k = proj(x, "k_proj")
                 v = proj(x, "v_proj")
@@ -472,22 +512,31 @@ class LlamaForCausalLM:
                                    ll["o_proj_B"], lora_idx)
             h = residual + o
             residual = h
-            x = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
-            if merged_gu:
-                gate, up = jnp.split(proj(x, "gate_up_proj"), 2, axis=-1)
+            if merged_gu and ll is None and self.hidden_act == "silu":
+                # Post-attn norm and silu*up ride the fused prologues.
+                gate_up = proj(h, "gate_up_proj", pre_op="rmsnorm",
+                               pre_w=lp["post_attention_layernorm"],
+                               pre_eps=self.rms_eps)
+                down = proj(gate_up, "down_proj", pre_op="silu_mul")
             else:
-                gate = proj(x, "gate_proj")
-                up = proj(x, "up_proj")
-            if ll is not None:
-                gate = gate + lora_apply(x, ll["gate_proj_A"],
-                                         ll["gate_proj_B"], lora_idx)
-                up = up + lora_apply(x, ll["up_proj_A"], ll["up_proj_B"],
-                                     lora_idx)
-            inner = self.act_fn(gate) * up
-            down = proj(inner, "down_proj")
-            if ll is not None:
-                down = down + lora_apply(inner, ll["down_proj_A"],
-                                         ll["down_proj_B"], lora_idx)
+                x = rms_norm(h, lp["post_attention_layernorm"],
+                             self.rms_eps)
+                if merged_gu:
+                    gate, up = jnp.split(proj(x, "gate_up_proj"), 2,
+                                         axis=-1)
+                else:
+                    gate = proj(x, "gate_proj")
+                    up = proj(x, "up_proj")
+                if ll is not None:
+                    gate = gate + lora_apply(x, ll["gate_proj_A"],
+                                             ll["gate_proj_B"], lora_idx)
+                    up = up + lora_apply(x, ll["up_proj_A"],
+                                         ll["up_proj_B"], lora_idx)
+                inner = self.act_fn(gate) * up
+                down = proj(inner, "down_proj")
+                if ll is not None:
+                    down = down + lora_apply(inner, ll["down_proj_A"],
+                                             ll["down_proj_B"], lora_idx)
             h = residual + down
             return (h, k_pages, v_pages), None
 

@@ -615,23 +615,19 @@ def quantize_activations_int8(x: jax.Array, group_size: int):
     return xq, sx, sums
 
 
-def _quantize_acts_kernel(x_ref, xq_ref, sums_ref, sx_ref, *,
-                          group_size: int):
-    """Fused activation-quantization prologue: per-token symmetric int8
-    + per-group sums + lane-broadcast scale, all in ONE kernel launch,
-    emitting exactly the W4A8 matmul's input layout.  The XLA lowering
-    of the same math is ~4 separate fusion launches per matmul site
-    (abs-max reduce, round/clip, group-sum reduce, sums-lane scatter) —
-    at decode shapes each launch is ~3-5 us of issue latency on tensors
-    that move ~0.1 MiB, so the launches ARE the cost."""
-    g = group_size
-    xf = x_ref[...].astype(jnp.float32)           # [bm, k_pad]
+def _quantize_tail(xf, xq_ref, sums_ref, sx_ref, g, k_real):
+    """Shared prologue tail: per-token symmetric int8 + per-group sums +
+    lane-broadcast scale, written in the W4A8 matmul's input layout.
+    Columns >= k_real are phantom padding and quantize to exact 0."""
+    bm, kp = xf.shape
+    if kp > k_real:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bm, kp), 1)
+        xf = jnp.where(lane < k_real, xf, 0.0)
     sx = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
     sx = jnp.maximum(sx, 1e-10)
     q = jnp.clip(jnp.round(xf / sx), -127.0, 127.0)
     xq_ref[...] = q.astype(jnp.int8)
     sx_ref[...] = jnp.broadcast_to(sx, sx_ref.shape)
-    bm, kp = xf.shape
     pieces = []
     pad = jnp.zeros((bm, 126), jnp.float32)
     for blk in range(kp // (2 * g)):
@@ -643,26 +639,86 @@ def _quantize_acts_kernel(x_ref, xq_ref, sums_ref, sx_ref, *,
     sums_ref[...] = jnp.concatenate(pieces, axis=1)
 
 
+def _quantize_acts_kernel(x_ref, xq_ref, sums_ref, sx_ref, *,
+                          group_size: int, k_real: int):
+    """Fused activation-quantization prologue in ONE kernel launch.  The
+    XLA lowering of the same math is ~4 separate fusion launches per
+    matmul site (abs-max reduce, round/clip, group-sum reduce,
+    sums-lane scatter) — at decode shapes each launch is ~3-5 us of
+    issue latency on tensors that move ~0.1 MiB, so the launches ARE
+    the cost."""
+    _quantize_tail(x_ref[...].astype(jnp.float32), xq_ref, sums_ref,
+                   sx_ref, group_size, k_real)
+
+
+def _rmsnorm_quantize_kernel(x_ref, w_ref, xq_ref, sums_ref, sx_ref, *,
+                             group_size: int, k_real: int, eps: float):
+    """RMSNorm fused ahead of the quantize tail (zero-padded lanes do
+    not perturb the mean: it divides by the REAL width)."""
+    xf = x_ref[...].astype(jnp.float32)
+    var = jnp.sum(xf * xf, axis=1, keepdims=True) / k_real
+    xf = xf * jax.lax.rsqrt(var + eps) * w_ref[...].astype(jnp.float32)
+    _quantize_tail(xf, xq_ref, sums_ref, sx_ref, group_size, k_real)
+
+
+def _silu_mul_quantize_kernel(x_ref, xq_ref, sums_ref, sx_ref, *,
+                              group_size: int, k_real: int):
+    """silu(gate) * up fused ahead of the quantize tail; the input is
+    the merged gate_up projection output [bm, 2*K]."""
+    xf = x_ref[...].astype(jnp.float32)
+    bm, two_k = xf.shape
+    a = xf[:, :two_k // 2]
+    b = xf[:, two_k // 2:]
+    act = (a / (1.0 + jnp.exp(-a))) * b
+    if act.shape[1] < sums_ref.shape[1] // 128 * 2 * group_size:
+        act = jnp.pad(act, ((0, 0), (0, sums_ref.shape[1] // 128 * 2 *
+                                     group_size - act.shape[1])))
+    _quantize_tail(act, xq_ref, sums_ref, sx_ref, group_size, k_real)
+
+
 def quantize_activations_int8_fused(x: jax.Array, group_size: int,
                                     k_pad: int, block_m: int,
+                                    pre_op: str = "none",
+                                    pre_w=None, eps: float = 1e-6,
                                     interpret: bool = False):
     """(x [M, K]) -> (xq int8 [M_pad, k_pad], sums_wide [M_pad, nb*128],
-    sx_wide [M_pad, 128]) via the fused Pallas prologue.  Zero-pads K to
-    k_pad first, so phantom-block groups quantize to 0 with 0 sums."""
-    m, k = x.shape
+    sx_wide [M_pad, 128]) via the fused Pallas prologue.  ``pre_op``
+    optionally folds the op feeding the matmul into the same launch:
+    "rmsnorm" (x is the raw hidden state, pre_w the norm weight) or
+    "silu_mul" (x is the merged gate_up output [M, 2*K])."""
+    m, k_in = x.shape
+    k_real = k_in // 2 if pre_op == "silu_mul" else k_in
     m_pad = _round_up(m, block_m)
-    if k_pad > k or m_pad > m:
-        x = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))
+    # Lane padding happens inside the kernel (k_real masking) except for
+    # silu_mul whose halves must stay adjacent; pad rows only here.
+    if pre_op != "silu_mul" and k_pad > k_in:
+        x = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k_in)))
+    elif m_pad > m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     nb = k_pad // (2 * group_size)
+    outs = (
+        jax.ShapeDtypeStruct((m_pad, k_pad), jnp.int8),
+        jax.ShapeDtypeStruct((m_pad, nb * 128), jnp.float32),
+        jax.ShapeDtypeStruct((m_pad, 128), jnp.float32),
+    )
+    if pre_op == "rmsnorm":
+        kern = functools.partial(_rmsnorm_quantize_kernel,
+                                 group_size=group_size, k_real=k_real,
+                                 eps=eps)
+        w = pre_w.reshape(1, -1)
+        if k_pad > w.shape[1]:
+            w = jnp.pad(w, ((0, 0), (0, k_pad - w.shape[1])))
+        args = (x, w)
+    elif pre_op == "silu_mul":
+        kern = functools.partial(_silu_mul_quantize_kernel,
+                                 group_size=group_size, k_real=k_real)
+        args = (x, )
+    else:
+        kern = functools.partial(_quantize_acts_kernel,
+                                 group_size=group_size, k_real=k_real)
+        args = (x, )
     xq, sums_wide, sx_wide = pl.pallas_call(
-        functools.partial(_quantize_acts_kernel, group_size=group_size),
-        out_shape=(
-            jax.ShapeDtypeStruct((m_pad, k_pad), jnp.int8),
-            jax.ShapeDtypeStruct((m_pad, nb * 128), jnp.float32),
-            jax.ShapeDtypeStruct((m_pad, 128), jnp.float32),
-        ),
-        interpret=interpret,
-    )(x)
+        kern, out_shape=outs, interpret=interpret)(*args)
     return xq, sums_wide, sx_wide
 
 
@@ -734,9 +790,23 @@ def _int4_mxu_kernel_stacked(
                       sx_ref[:, 0:1]).astype(o_ref.dtype)
 
 
+def apply_pre_op(x: jax.Array, pre_op: str, pre_w, eps: float):
+    """XLA lowering of the prologue pre-ops (non-TPU fallback and the
+    non-W4A8 kernels; must match the Pallas prologue's math)."""
+    if pre_op == "rmsnorm":
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(var + eps) *
+                pre_w.astype(jnp.float32)).astype(x.dtype)
+    if pre_op == "silu_mul":
+        a, b = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+        return (jax.nn.silu(a) * b).astype(x.dtype)
+    return x
+
+
 @functools.partial(
     jax.jit, static_argnames=("group_size", "block_m", "block_n",
-                              "interpret"))
+                              "pre_op", "eps", "interpret"))
 def quant_matmul_int4_mxu_stacked(
     x: jax.Array,          # [M, K] float (bf16/f32)
     qweight: jax.Array,    # [L, K/2, N] int8 pack2G
@@ -746,13 +816,20 @@ def quant_matmul_int4_mxu_stacked(
     group_size: int,
     block_m: int = 0,
     block_n: int = 512,
+    pre_op: str = "none",
+    pre_w: "jax.Array" = None,
+    eps: float = 1e-6,
     interpret: bool = False,
 ) -> jax.Array:
     """W4A8 path: y ~= x @ dequant(qweight) with int8-MXU group matmuls.
 
     Activation quantization adds ~0.4% relative error on top of the int4
-    weight quantization (per-token symmetric int8)."""
-    m, k = x.shape
+    weight quantization (per-token symmetric int8).  ``pre_op`` folds
+    the op feeding the matmul into the quantize prologue launch:
+    "rmsnorm" (x = raw hidden, pre_w = norm weight) or "silu_mul"
+    (x = merged gate_up output [M, 2K])."""
+    m, k_in = x.shape
+    k = k_in // 2 if pre_op == "silu_mul" else k_in
     num_layers, kk, n = qweight.shape
     g = group_size
     nb = k // (2 * g)
@@ -762,6 +839,7 @@ def quant_matmul_int4_mxu_stacked(
     # Mosaic needs the [bm, 4G] x-block lane dim 128-aligned.
     lane_ok = (4 * g) % 128 == 0
     if not ((_use_pallas() and lane_ok) or interpret):
+        x = apply_pre_op(x, pre_op, pre_w, eps)
         qw = jax.lax.dynamic_index_in_dim(qweight, layer_index,
                                           keepdims=False)[:k // 2]
         sz = jax.lax.dynamic_index_in_dim(sz_bands, layer_index,
@@ -791,7 +869,8 @@ def quant_matmul_int4_mxu_stacked(
     # dynamic lane slicing is not a Mosaic primitive), and the
     # lane-broadcast per-token scale.
     xq, sums_wide, sx_wide = quantize_activations_int8_fused(
-        x, g, k_pad, block_m, interpret=interpret)
+        x, g, k_pad, block_m, pre_op=pre_op, pre_w=pre_w, eps=eps,
+        interpret=interpret)
 
     layer_arr = jnp.asarray([layer_index], dtype=jnp.int32).reshape(1)
     out = pl.pallas_call(
