@@ -183,8 +183,41 @@ class MultihostSplitwiseExecutor(ExecutorBase):
             blocks_to_copy=blocks_to_copy,
             num_decode_steps=num_decode_steps)
 
-    def _remote_prefill(self, seqs, swap_in, swap_out, copy,
-                        blocks_to_nw) -> SamplerOutput:
+    def execute_dual(
+        self,
+        prompt_meta: List[SequenceGroupMetadata],
+        prompt_blocks_to_nw: Optional[Dict[int, List[int]]],
+        decode_meta: List[SequenceGroupMetadata],
+        decode_blocks_to_swap_in: Dict[int, int],
+        decode_blocks_to_swap_out: Dict[int, int],
+        decode_blocks_to_copy: Dict[int, List[int]],
+        decode_blocks_to_nw: Optional[Dict[int, List[int]]] = None,
+        num_decode_steps: int = 1,
+    ):
+        """Overlap the remote prefill with the local decode step: the
+        prefill request goes over the wire FIRST, the decode pool steps
+        while the prefill host computes, and only then is the prefill
+        reply (and its KV page transfer) collected.  No threads needed —
+        the RPC itself is the async boundary."""
+        prompt_out = None
+        decode_out = None
+        pages = self._send_prefill(prompt_meta,
+                                   prompt_blocks_to_nw or {}) \
+            if prompt_meta else None
+        if decode_meta or decode_blocks_to_swap_in or \
+                decode_blocks_to_swap_out or decode_blocks_to_copy:
+            decode_out = self.decode_worker.execute_model(
+                decode_meta,
+                blocks_to_swap_in=decode_blocks_to_swap_in,
+                blocks_to_swap_out=decode_blocks_to_swap_out,
+                blocks_to_copy=decode_blocks_to_copy,
+                num_decode_steps=num_decode_steps)
+        if pages is not None:
+            prompt_out = self._complete_prefill(pages)
+        return prompt_out, decode_out
+
+    def _send_prefill(self, seqs, blocks_to_nw, swap_in=None,
+                      swap_out=None, copy=None) -> List[int]:
         pages: List[int] = []
         seen = set()
         for block_ids in blocks_to_nw.values():
@@ -195,17 +228,19 @@ class MultihostSplitwiseExecutor(ExecutorBase):
         self.channel.send({
             "op": "prefill",
             "seqs": seqs,
-            "swap_in": swap_in,
-            "swap_out": swap_out,
-            "copy": copy,
+            "swap_in": swap_in or {},
+            "swap_out": swap_out or {},
+            "copy": copy or {},
             "pages": pages,
         })
+        return pages
+
+    def _complete_prefill(self, pages: List[int]) -> SamplerOutput:
         reply = self.channel.recv(timeout=600)
         if reply.get("op") == "error":
             raise RuntimeError(
                 f"prefill host failed: {reply.get('message')}")
         assert reply["op"] == "outputs", reply
-
         if pages:
             started = time.perf_counter()
             self._receive_pages(pages)
@@ -213,6 +248,12 @@ class MultihostSplitwiseExecutor(ExecutorBase):
             self.num_pages_moved += len(pages)
             self.last_migration_seconds = time.perf_counter() - started
         return reply["outputs"]
+
+    def _remote_prefill(self, seqs, swap_in, swap_out, copy,
+                        blocks_to_nw) -> SamplerOutput:
+        pages = self._send_prefill(seqs, blocks_to_nw, swap_in, swap_out,
+                                   copy)
+        return self._complete_prefill(pages)
 
     def _receive_pages(self, pages: List[int]) -> None:
         """Receiver side of the DCN page transfer, then cache scatter."""
