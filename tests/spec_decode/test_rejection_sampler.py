@@ -76,77 +76,3 @@ def test_output_distribution_matches_target():
     np.testing.assert_allclose(emp, t_row, atol=0.015)
 
 
-def test_spec_decode_worker_end_to_end():
-    """Draft == target model: every speculative token accepted, output
-    equals greedy decoding of the base model."""
-    import os
-    if "test" not in os.environ.get("PYTEST_CURRENT_TEST", "test"):
-        pytest.skip("env")
-    import jax.numpy as jnp2
-
-    from ..models.utils import (hf_model_and_weights, save_local_checkpoint,
-                                save_tiny_tokenizer, tiny_llama_config)
-    from vllm_splitwise_tpu.config import (CacheConfig, ModelConfig,
-                                           ParallelConfig, SchedulerConfig)
-    from vllm_splitwise_tpu.sampling_params import SamplingParams
-    from vllm_splitwise_tpu.sequence import (SequenceData,
-                                             SequenceGroupMetadata)
-    from vllm_splitwise_tpu.spec_decode.spec_decode_worker import \
-        SpecDecodeWorker
-    from vllm_splitwise_tpu.worker.worker import Worker
-    import tempfile
-    import torch
-
-    d = tempfile.mkdtemp()
-    config = tiny_llama_config()
-    hf, weights = hf_model_and_weights(config)
-    save_local_checkpoint(config, weights, d)
-    save_tiny_tokenizer(d, config.vocab_size)
-
-    model_config = ModelConfig(d, dtype="float32", max_model_len=256)
-    parallel_config = ParallelConfig()
-    sched_config = SchedulerConfig(max_num_batched_tokens=2048,
-                                   max_num_seqs=8, max_model_len=256)
-
-    def make_worker():
-        cache_config = CacheConfig(block_size=16, swap_space=0.1)
-        cache_config.num_device_blocks = 64
-        cache_config.num_host_blocks = 0
-        w = Worker(model_config, parallel_config, sched_config,
-                   cache_config)
-        w.load_model()
-        w.init_cache_engine(cache_config)
-        return w
-
-    draft = make_worker()
-    target = make_worker()
-
-    k = 3
-    sdw = SpecDecodeWorker(draft, target, num_spec_tokens=k)
-
-    rng = np.random.RandomState(0)
-    prompt = rng.randint(3, config.vocab_size, size=9).tolist()
-    sp = SamplingParams(temperature=0.0, max_tokens=k + 1, ignore_eos=True)
-    md = SequenceGroupMetadata(
-        request_id="r0", is_prompt=True,
-        seq_data={0: SequenceData(list(prompt))},
-        sampling_params=sp,
-        block_tables={0: list(range(8))})
-
-    # Prefill both pools once so the KV caches hold the prompt.
-    draft.execute_model([md])
-    import copy
-    target.execute_model([copy.deepcopy(md)])
-
-    md.is_prompt = False
-    tokens = sdw.step([md])
-
-    with torch.no_grad():
-        ref = hf.generate(torch.tensor([prompt]), max_new_tokens=k + 2,
-                          do_sample=False)[0, len(prompt):].tolist()
-    got = [t for t in tokens[0].tolist() if t >= 0]
-    # Greedy draft == greedy target: all k proposals accepted + bonus.
-    # (The draft's first proposal IS ref[0]: the prefill's sampled token
-    # was never committed to seq_data in this standalone harness.)
-    assert got == ref[:k + 1], (got, ref)
-    assert sdw.stats.acceptance_rate == 1.0

@@ -1,10 +1,21 @@
-"""/v1/chat/completions implementation (reference role:
-vllm/entrypoints/openai/serving_chat.py): jinja chat templates, streaming
-deltas, usage accounting."""
+"""/v1/chat/completions endpoint.
+
+Role parity with the reference's
+``vllm/entrypoints/openai/serving_chat.py``: jinja chat templates, a
+role-bearing first stream frame, optional echo of the trailing message,
+incremental content deltas, and usage accounting on the terminal frame.
+
+Structured like its sibling ``serving_completion.py`` rather than the
+reference: one local ``frame()`` emitter owns the SSE wire format, each
+choice's streaming state lives in a ``_Progress`` record (not parallel
+lists), and the echoed text rides the first content delta instead of a
+dedicated echo frame.
+"""
 from __future__ import annotations
 
 import codecs
 import time
+from dataclasses import dataclass
 from typing import AsyncGenerator, List, Optional, Union
 
 from vllm_splitwise_tpu.engine.async_llm_engine import AsyncLLMEngine
@@ -20,6 +31,21 @@ from vllm_splitwise_tpu.outputs import RequestOutput
 from vllm_splitwise_tpu.utils import random_uuid
 
 logger = init_logger(__name__)
+
+
+@dataclass
+class _Progress:
+    """Streaming progress of one chat choice."""
+    chars: int = 0
+    toks: int = 0
+    opened: bool = False  # role frame sent
+    closed: bool = False  # finish_reason sent
+
+
+def _usage(num_prompt: int, num_out: int) -> UsageInfo:
+    return UsageInfo(prompt_tokens=num_prompt,
+                     completion_tokens=num_out,
+                     total_tokens=num_prompt + num_out)
 
 
 class OpenAIServingChat(OpenAIServing):
@@ -38,37 +64,61 @@ class OpenAIServingChat(OpenAIServing):
 
     async def post_init(self):
         await super().post_init()
-        self._load_chat_template(self._chat_template)
+        self._install_chat_template(self._chat_template)
 
-    def _load_chat_template(self, chat_template: Optional[str]) -> None:
-        if chat_template is not None:
-            try:
-                with open(chat_template, "r") as f:
-                    self.tokenizer.chat_template = f.read()
-            except OSError:
-                # A literal jinja template string (possibly with escaped \n).
-                self.tokenizer.chat_template = codecs.decode(
-                    chat_template, "unicode_escape")
-            logger.info("Using supplied chat template")
-        elif getattr(self.tokenizer, "chat_template", None) is not None:
-            logger.info("Using default chat template")
-        else:
-            logger.warning(
-                "No chat template provided. Chat API will not work.")
+    def _install_chat_template(self, source: Optional[str]) -> None:
+        """Accepts a template file path or a literal jinja string (with
+        escaped newlines, as the CLI passes them)."""
+        if source is None:
+            if getattr(self.tokenizer, "chat_template", None) is None:
+                logger.warning("Tokenizer ships no chat template and none "
+                               "was supplied; /v1/chat/completions will "
+                               "reject requests.")
+            return
+        try:
+            with open(source) as f:
+                template = f.read()
+        except OSError:
+            template = codecs.decode(source, "unicode_escape")
+        self.tokenizer.chat_template = template
+        logger.info("Installed chat template (%d chars)", len(template))
+
+    # ---- request plumbing --------------------------------------------------
+
+    def _reply_role(self, request: ChatCompletionRequest) -> str:
+        """Role attributed to the generated message: the configured
+        response role normally; the trailing message's role when the
+        client asked to continue it (add_generation_prompt=False)."""
+        if request.add_generation_prompt:
+            return self.response_role
+        return request.messages[-1]["role"]
+
+    def _echo_text(self, request: ChatCompletionRequest) -> str:
+        """Text prepended when echo is on: the trailing message's content,
+        provided it is already attributed to the reply role (i.e. the
+        model is continuing that message)."""
+        if not request.echo or not request.messages:
+            return ""
+        tail = request.messages[-1]
+        if tail.get("role") == self._reply_role(request):
+            return tail.get("content") or ""
+        return ""
 
     async def create_chat_completion(self, request: ChatCompletionRequest,
                                      raw_request=None):
-        """Returns ChatCompletionResponse | ErrorResponse | SSE generator."""
-        error_check_ret = await self._check_model(request)
-        if error_check_ret is not None:
-            return error_check_ret
+        """Returns ChatCompletionResponse | ErrorResponse | an async
+        generator of SSE strings (when streaming)."""
+        error = await self._check_model(request)
+        if error is not None:
+            return error
+
         try:
             prompt = self.tokenizer.apply_chat_template(
                 conversation=request.messages,
                 tokenize=False,
                 add_generation_prompt=request.add_generation_prompt)
-        except Exception as e:  # noqa: BLE001
-            logger.error("Error in applying chat template: %s", e)
+        except Exception as e:  # noqa: BLE001 - template errors -> 400
+            logger.error("chat template failed: %s", e)
             return self.create_error_response(str(e))
 
         request_id = f"chatcmpl-{random_uuid()}"
@@ -79,168 +129,109 @@ class OpenAIServingChat(OpenAIServing):
             lora_request = self._maybe_get_lora(request)
             from vllm_splitwise_tpu.layers.guided_decoding import \
                 get_guided_decoding_logits_processor
-            guided_processor = await get_guided_decoding_logits_processor(
+            guided = await get_guided_decoding_logits_processor(
                 request, self.tokenizer)
-            if guided_processor is not None:
-                sampling_params.logits_processors.append(guided_processor)
+            if guided is not None:
+                sampling_params.logits_processors.append(guided)
         except ValueError as e:
             return self.create_error_response(str(e))
 
-        result_generator = self.engine.generate(prompt, sampling_params,
-                                                request_id, token_ids,
-                                                lora_request)
+        results = self.engine.generate(prompt, sampling_params, request_id,
+                                       token_ids, lora_request)
         if request.stream:
-            return self.chat_completion_stream_generator(
-                request, result_generator, request_id)
-        return await self.chat_completion_full_generator(
-            request, raw_request, result_generator, request_id)
+            return self._stream_response(request, results, request_id)
+        return await self._full_response(request, results, request_id,
+                                         raw_request)
 
-    def get_chat_request_role(self, request: ChatCompletionRequest) -> str:
-        if request.add_generation_prompt:
-            return self.response_role
-        return request.messages[-1]["role"]
+    # ---- streaming path ----------------------------------------------------
 
-    async def chat_completion_stream_generator(
+    async def _stream_response(
             self, request: ChatCompletionRequest,
-            result_generator: AsyncGenerator[RequestOutput, None],
+            results: AsyncGenerator[RequestOutput, None],
             request_id: str) -> AsyncGenerator[str, None]:
+        created = int(time.time())
         model_name = request.model
-        created_time = int(time.time())
-        chunk_object_type = "chat.completion.chunk"
+        role = self._reply_role(request)
+        echo_text = self._echo_text(request)
 
-        # First chunk: the role.
-        role = self.get_chat_request_role(request)
-        for i in range(request.n):
-            choice_data = ChatCompletionResponseStreamChoice(
-                index=i, delta=DeltaMessage(role=role), finish_reason=None)
-            chunk = ChatCompletionStreamResponse(id=request_id,
-                                                 object=chunk_object_type,
-                                                 created=created_time,
-                                                 choices=[choice_data],
-                                                 model=model_name)
-            yield f"data: {chunk.model_dump_json(exclude_unset=True)}\n\n"
+        def frame(index: int, delta: DeltaMessage,
+                  finish_reason: Optional[str] = None,
+                  usage: Optional[UsageInfo] = None) -> str:
+            payload = ChatCompletionStreamResponse(
+                id=request_id,
+                object="chat.completion.chunk",
+                created=created,
+                model=model_name,
+                choices=[
+                    ChatCompletionResponseStreamChoice(
+                        index=index, delta=delta,
+                        finish_reason=finish_reason)
+                ],
+                **({"usage": usage} if usage is not None else {}),
+            ).model_dump_json(exclude_unset=True, exclude_none=True)
+            return f"data: {payload}\n\n"
 
-        # Echo the last message if requested (extension parity).
-        if request.echo:
-            last_msg_content = ""
-            if (request.messages
-                    and request.messages[-1].get("content")
-                    and request.messages[-1].get("role") == role):
-                last_msg_content = request.messages[-1]["content"]
-            if last_msg_content:
-                for i in range(request.n):
-                    choice_data = ChatCompletionResponseStreamChoice(
-                        index=i,
-                        delta=DeltaMessage(content=last_msg_content),
-                        finish_reason=None)
-                    chunk = ChatCompletionStreamResponse(
-                        id=request_id,
-                        object=chunk_object_type,
-                        created=created_time,
-                        choices=[choice_data],
-                        model=model_name)
-                    yield (f"data: "
-                           f"{chunk.model_dump_json(exclude_unset=True)}\n\n")
+        progress = [_Progress() for _ in range(request.n)]
+        # Role frames lead, one per choice (OpenAI stream shape).
+        for i, cur in enumerate(progress):
+            cur.opened = True
+            yield frame(i, DeltaMessage(role=role))
 
-        previous_texts = [""] * request.n
-        previous_num_tokens = [0] * request.n
-        finish_reason_sent = [False] * request.n
         try:
-            async for res in result_generator:
+            async for res in results:
                 for output in res.outputs:
-                    i = output.index
-                    if finish_reason_sent[i]:
+                    cur = progress[output.index]
+                    if cur.closed:
                         continue
-                    delta_text = output.text[len(previous_texts[i]):]
-                    previous_texts[i] = output.text
-                    previous_num_tokens[i] = len(output.token_ids)
+                    delta_text = output.text[cur.chars:]
+                    if not cur.toks and echo_text:
+                        # Echo rides the first content delta.
+                        delta_text = echo_text + delta_text
+                    cur.chars = len(output.text)
+                    cur.toks = len(output.token_ids)
                     if output.finish_reason is None:
-                        choice_data = ChatCompletionResponseStreamChoice(
-                            index=i,
-                            delta=DeltaMessage(content=delta_text),
-                            finish_reason=None)
-                        chunk = ChatCompletionStreamResponse(
-                            id=request_id,
-                            object=chunk_object_type,
-                            created=created_time,
-                            choices=[choice_data],
-                            model=model_name)
-                        yield (f"data: "
-                               f"{chunk.model_dump_json(exclude_unset=True)}"
-                               "\n\n")
-                    else:
-                        prompt_tokens = len(res.prompt_token_ids)
-                        final_usage = UsageInfo(
-                            prompt_tokens=prompt_tokens,
-                            completion_tokens=previous_num_tokens[i],
-                            total_tokens=prompt_tokens +
-                            previous_num_tokens[i],
-                        )
-                        choice_data = ChatCompletionResponseStreamChoice(
-                            index=i,
-                            delta=DeltaMessage(content=delta_text),
-                            finish_reason=output.finish_reason)
-                        chunk = ChatCompletionStreamResponse(
-                            id=request_id,
-                            object=chunk_object_type,
-                            created=created_time,
-                            choices=[choice_data],
-                            model=model_name,
-                            usage=final_usage)
-                        yield (f"data: "
-                               f"{chunk.model_dump_json(exclude_unset=True,exclude_none=True)}"
-                               "\n\n")
-                        finish_reason_sent[i] = True
+                        yield frame(output.index,
+                                    DeltaMessage(content=delta_text))
+                        continue
+                    cur.closed = True
+                    yield frame(
+                        output.index, DeltaMessage(content=delta_text),
+                        finish_reason=output.finish_reason,
+                        usage=_usage(len(res.prompt_token_ids), cur.toks))
         except ValueError as e:
             data = self.create_error_response(str(e)).model_dump_json()
             yield f"data: {data}\n\n"
         yield "data: [DONE]\n\n"
 
-    async def chat_completion_full_generator(
-            self, request: ChatCompletionRequest, raw_request,
-            result_generator: AsyncGenerator[RequestOutput, None],
-            request_id: str
-    ) -> Union[ErrorResponse, ChatCompletionResponse]:
-        model_name = request.model
-        created_time = int(time.time())
-        final_res: Optional[RequestOutput] = None
+    # ---- buffered path -----------------------------------------------------
 
-        async for res in result_generator:
-            final_res = res
-        assert final_res is not None
+    async def _full_response(
+            self, request: ChatCompletionRequest,
+            results: AsyncGenerator[RequestOutput, None], request_id: str,
+            raw_request) -> Union[ErrorResponse, ChatCompletionResponse]:
+        final: Optional[RequestOutput] = None
+        async for res in results:
+            if (raw_request is not None
+                    and getattr(raw_request, "transport", True) is None):
+                await self.engine.abort(request_id)
+                return self.create_error_response("Client disconnected")
+            final = res
+        assert final is not None
 
-        choices = []
-        role = self.get_chat_request_role(request)
-        for output in final_res.outputs:
-            choice_data = ChatCompletionResponseChoice(
+        role = self._reply_role(request)
+        echo_text = self._echo_text(request)
+        choices = [
+            ChatCompletionResponseChoice(
                 index=output.index,
-                message=ChatMessage(role=role, content=output.text),
-                finish_reason=output.finish_reason,
-            )
-            choices.append(choice_data)
-
-        if request.echo:
-            last_msg_content = ""
-            if (request.messages
-                    and request.messages[-1].get("content")
-                    and request.messages[-1].get("role") == role):
-                last_msg_content = request.messages[-1]["content"]
-            for choice in choices:
-                choice.message.content = (last_msg_content +
-                                          (choice.message.content or ""))
-
-        num_prompt_tokens = len(final_res.prompt_token_ids)
-        num_generated_tokens = sum(
-            len(output.token_ids) for output in final_res.outputs)
-        usage = UsageInfo(
-            prompt_tokens=num_prompt_tokens,
-            completion_tokens=num_generated_tokens,
-            total_tokens=num_prompt_tokens + num_generated_tokens,
-        )
+                message=ChatMessage(role=role,
+                                    content=echo_text + (output.text or "")),
+                finish_reason=output.finish_reason)
+            for output in final.outputs
+        ]
+        num_out = sum(len(o.token_ids) for o in final.outputs)
         return ChatCompletionResponse(
             id=request_id,
-            created=created_time,
-            model=model_name,
+            created=int(time.time()),
+            model=request.model,
             choices=choices,
-            usage=usage,
-        )
+            usage=_usage(len(final.prompt_token_ids), num_out))

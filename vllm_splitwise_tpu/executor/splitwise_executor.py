@@ -86,6 +86,11 @@ class SplitwiseExecutor(ExecutorBase):
         self._init_cache()
         self.kv_migration = KVMigrationManager(self.prefill_worker,
                                                self.decode_worker)
+        # Long-lived dispatch pool for execute_dual: the two pool steps
+        # are dispatched from separate threads every engine step, so the
+        # pool must not be constructed on the hot path.
+        self._dual_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="splitwise-dual")
 
     def _init_cache(self) -> None:
         cfg = self.cache_config
@@ -191,10 +196,9 @@ class SplitwiseExecutor(ExecutorBase):
                 decode_blocks_to_swap_out or decode_blocks_to_copy:
             jobs.append(run_decode)
         if len(jobs) == 2:
-            with concurrent.futures.ThreadPoolExecutor(2) as pool:
-                futs = [pool.submit(j) for j in jobs]
-                for f in futs:
-                    f.result()
+            futs = [self._dual_pool.submit(j) for j in jobs]
+            for f in futs:
+                f.result()
         else:
             for j in jobs:
                 j()
