@@ -36,7 +36,7 @@ def _load(template):
     from vllm_splitwise_tpu.entrypoints.openai.serving_chat import \
         OpenAIServingChat
     serving = MockServingChat(MockTokenizer())
-    OpenAIServingChat._load_chat_template(serving, chat_template=template)
+    OpenAIServingChat._install_chat_template(serving, template)
     return serving.tokenizer.chat_template
 
 

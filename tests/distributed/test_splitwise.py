@@ -80,10 +80,12 @@ def test_splitwise_greedy_matches_hf(splitwise_llm, tiny_checkpoint):
                                  do_sample=False)
         assert out.outputs[0].token_ids == hf_out[0, len(ids):].tolist()
 
-    # Migration actually happened (pages moved prefill -> decode).
+    # Migration actually happened (pages moved prefill -> decode) and the
+    # layer-streamed path (not the bulk fallback) carried it.
     executor = splitwise_llm.llm_engine.executor
     assert executor.kv_migration.num_migrations >= 1
     assert executor.kv_migration.num_pages_moved > 0
+    assert executor.kv_migration.num_streamed >= 1
 
 
 def test_splitwise_continuous_stream(splitwise_llm, tiny_checkpoint):
@@ -243,6 +245,121 @@ def test_splitwise_fused_kv_migration(tiny_checkpoint):
             ref = hf.generate(torch.tensor([ids]), max_new_tokens=6,
                               do_sample=False)[0, len(ids):].tolist()
         assert out.outputs[0].token_ids == ref
+
+
+def test_layer_streamed_migration_segments(tiny_checkpoint):
+    """The prefill dispatches as layer-group segments, pushing each
+    group's pages mid-forward (the reference's per-layer put(),
+    flash_attn.py:82-86); output must equal a bulk-migration run
+    (--kv-stream-segments 1)."""
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    from vllm_splitwise_tpu.worker.kv_migration import MigrationStream
+    d, hf, config = tiny_checkpoint
+    rng = np.random.RandomState(7)
+    prompts = [rng.randint(3, config.vocab_size, size=n).tolist()
+               for n in (13, 21)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+    pushes = []
+    orig_push = MigrationStream.push
+
+    def counting_push(self, layer_start, num_layers, kv_caches):
+        pushes.append((layer_start, num_layers))
+        return orig_push(self, layer_start, num_layers, kv_caches)
+
+    MigrationStream.push = counting_push
+    try:
+        llm = LLM(model=d, dtype="float32", max_model_len=256,
+                  num_gpu_blocks_override=64, block_size=16,
+                  max_num_seqs=8, max_paddings=512, swap_space=0.1,
+                  sep_prompt_token=True)
+        streamed = [o.outputs[0].token_ids for o in llm.generate(
+            prompt_token_ids=prompts, sampling_params=sp, use_tqdm=False)]
+        km = llm.llm_engine.executor.kv_migration
+        assert km.num_streamed == km.num_migrations >= 1
+        # Every migration pushed one segment per layer group, covering
+        # all layers exactly once in order.
+        n_layers = config.num_hidden_layers
+        per_mig = len(pushes) // km.num_streamed
+        assert per_mig > 1, "prefill was not dispatched in segments"
+        covered = sorted(pushes[:per_mig])
+        assert sum(n for _, n in covered) == n_layers
+        del llm
+    finally:
+        MigrationStream.push = orig_push
+
+    bulk = LLM(model=d, dtype="float32", max_model_len=256,
+               num_gpu_blocks_override=64, block_size=16,
+               max_num_seqs=8, max_paddings=512, swap_space=0.1,
+               sep_prompt_token=True, kv_stream_segments=1)
+    bulk_out = [o.outputs[0].token_ids for o in bulk.generate(
+        prompt_token_ids=prompts, sampling_params=sp, use_tqdm=False)]
+    km = bulk.llm_engine.executor.kv_migration
+    assert km.num_streamed == 0 and km.num_migrations >= 1
+    assert streamed == bulk_out
+
+
+def test_splitwise_prompt_logprobs_and_echo(splitwise_llm, tiny_checkpoint):
+    """prompt_logprobs rides the segmented prefill's tail dispatch: the
+    chosen-token logprob at position i must score token i+1 exactly as
+    the non-disaggregated engine computes it."""
+    import torch
+
+    from vllm_splitwise_tpu import SamplingParams
+    _, hf, config = tiny_checkpoint
+    rng = np.random.RandomState(9)
+    ids = rng.randint(3, config.vocab_size, size=12).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True,
+                        prompt_logprobs=2)
+    out = splitwise_llm.generate(prompt_token_ids=[ids],
+                                 sampling_params=sp, use_tqdm=False)[0]
+    assert out.prompt_logprobs is not None
+    assert len(out.prompt_logprobs) == len(ids)
+    assert out.prompt_logprobs[0] is None
+    with torch.no_grad():
+        logits = hf(torch.tensor([ids])).logits[0].float()
+        ref_lp = torch.log_softmax(logits, dim=-1)
+    for pos in range(1, len(ids)):
+        chosen = out.prompt_logprobs[pos][ids[pos]].logprob
+        assert abs(chosen - ref_lp[pos - 1, ids[pos]].item()) < 5e-3
+
+
+def test_splitwise_with_lora(tmp_path_factory, tiny_checkpoint):
+    """Multi-LoRA under disaggregation: the adapter stack rides the
+    segmented prefill (sliced per layer group) and the decode pool's
+    steps; output must match the merged-weights HF oracle."""
+    import copy
+
+    import torch
+
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    from vllm_splitwise_tpu.lora.request import LoRARequest
+    from ..lora.test_lora import RANK, _make_adapter
+    d, hf, config = tiny_checkpoint
+
+    adapter_dir = str(tmp_path_factory.mktemp("sw_adapter"))
+    deltas = _make_adapter(adapter_dir, config, seed=11)
+    hf_merged = copy.deepcopy(hf)
+    state = hf_merged.state_dict()
+    for name, delta in deltas.items():
+        state[name] = state[name] + torch.tensor(delta)
+    hf_merged.load_state_dict(state)
+
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=64, block_size=16, max_num_seqs=8,
+              max_paddings=512, swap_space=0.1, sep_prompt_token=True,
+              enable_lora=True, max_loras=2, max_lora_rank=RANK)
+    rng = np.random.RandomState(10)
+    ids = rng.randint(3, config.vocab_size, size=14).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    out = llm.generate(prompt_token_ids=[ids], sampling_params=sp,
+                       lora_request=LoRARequest("a1", 1, adapter_dir),
+                       use_tqdm=False)[0]
+    with torch.no_grad():
+        ref = hf_merged.generate(torch.tensor([ids]), max_new_tokens=8,
+                                 do_sample=False)[0, len(ids):].tolist()
+    assert out.outputs[0].token_ids == ref
+    assert llm.llm_engine.executor.kv_migration.num_streamed >= 1
 
 
 def test_dual_step_runs_both_pools_concurrently(tiny_checkpoint):

@@ -280,6 +280,7 @@ class ParallelConfig:
         disable_custom_all_reduce: bool = True,
         ray_workers_use_nsight: bool = False,
         num_prefill_hosts: int = 1,
+        kv_stream_segments: int = 4,
     ) -> None:
         self.pipeline_parallel_size = pipeline_parallel_size
         self.tensor_parallel_size = tensor_parallel_size
@@ -288,6 +289,12 @@ class ParallelConfig:
         self.max_parallel_loading_workers = max_parallel_loading_workers
         self.disable_custom_all_reduce = disable_custom_all_reduce
         self.ray_workers_use_nsight = ray_workers_use_nsight
+        # Splitwise prefill runs as this many layer-group segments so each
+        # group's freshly written KV pages stream to the decode pool while
+        # the remaining groups compute (the reference's per-layer put(),
+        # flash_attn.py:82-86, at layer-group granularity).  <=1 disables
+        # streaming (one bulk migration after the prefill).
+        self.kv_stream_segments = kv_stream_segments
         # Multi-host disaggregation: processes [0, num_prefill_hosts)
         # of the jax.distributed cluster form the prefill pool
         # (executor/multihost_splitwise.py).  Only meaningful when the

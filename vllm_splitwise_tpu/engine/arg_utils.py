@@ -64,6 +64,7 @@ class EngineArgs:
     distributed_process_id: int = 0
     cross_host_transfer_address: 'Optional[str]' = None
     num_prefill_hosts: int = 1
+    kv_stream_segments: int = 4
     disable_custom_all_reduce: bool = True
     enable_lora: bool = False
     max_loras: int = 1
@@ -147,6 +148,12 @@ class EngineArgs:
                             default=EngineArgs.num_prefill_hosts,
                             help="processes [0,N) of the cluster form "
                             "the prefill pool under --sep-prompt-token")
+        parser.add_argument("--kv-stream-segments", type=int,
+                            default=EngineArgs.kv_stream_segments,
+                            help="layer-group segments the Splitwise "
+                            "prefill dispatches in, so each group's KV "
+                            "pages stream to the decode pool while the "
+                            "rest compute; <=1 = one bulk migration")
         parser.add_argument("--max-parallel-loading-workers", type=int,
                             default=None)
         parser.add_argument("--block-size", type=int,
@@ -255,7 +262,8 @@ class EngineArgs:
             self.sep_prompt_token, self.worker_use_ray,
             self.max_parallel_loading_workers,
             self.disable_custom_all_reduce,
-            num_prefill_hosts=self.num_prefill_hosts)
+            num_prefill_hosts=self.num_prefill_hosts,
+            kv_stream_segments=self.kv_stream_segments)
         speculative_config = None
         if self.speculative_model is not None:
             if self.num_decode_steps > 1:

@@ -74,11 +74,13 @@ class SplitwiseExecutor(ExecutorBase):
                                      scheduler_config, cache_config,
                                      mesh=prefill_mesh,
                                      worker_type=WorkerType.PREFILL,
+                                     lora_config=lora_config,
                                      speculative_config=speculative_config)
         self.decode_worker = Worker(model_config, parallel_config,
                                     scheduler_config, cache_config,
                                     mesh=decode_mesh,
                                     worker_type=WorkerType.DECODE,
+                                    lora_config=lora_config,
                                     speculative_config=speculative_config)
 
         self.prefill_worker.load_model()
@@ -127,15 +129,18 @@ class SplitwiseExecutor(ExecutorBase):
         is_prompt = bool(seq_group_metadata_list
                          and seq_group_metadata_list[0].is_prompt)
         if is_prompt:
+            # Layer-streamed migration: the runner pushes each layer
+            # group's fresh KV pages through the stream DURING the
+            # prefill forward; commit() lands the staged (already
+            # transferred) pages in the decode cache afterwards.
+            stream = self.kv_migration.begin(blocks_to_nw)
             output = self.prefill_worker.execute_model(
                 seq_group_metadata_list,
                 blocks_to_swap_in=blocks_to_swap_in,
                 blocks_to_swap_out=blocks_to_swap_out,
-                blocks_to_copy=blocks_to_copy)
-            # Push the freshly written pages to the decode pool; async —
-            # overlaps with the engine's detokenize/schedule work and the
-            # decode pool's in-flight steps.
-            self.kv_migration.migrate(blocks_to_nw)
+                blocks_to_copy=blocks_to_copy,
+                kv_stream=stream)
+            self.kv_migration.commit(stream)
             return output
 
         self.kv_migration.ensure_migrated(blocks_to_nw.keys())
@@ -165,21 +170,26 @@ class SplitwiseExecutor(ExecutorBase):
 
         The two meshes are disjoint devices, so the jitted steps overlap
         on hardware; each runs in its own dispatch thread because the
-        worker API is blocking (it fetches sampled tokens).  KV
-        migration of the freshly prefilled pages is dispatched only
-        AFTER the decode step joins: migration scatter produces a new
-        decode-pool cache value, and scattering into the pre-step cache
-        would drop the decode step's in-flight KV writes."""
+        worker API is blocking (it fetches sampled tokens).  The fresh
+        pages' TRANSFERS stream out during the prefill forward (layer-
+        group pushes; gathers and device_puts touch only the prefill
+        cache and fresh staging buffers, so they are safe against the
+        concurrent decode step) — but the commit scatter is deferred
+        until the decode step joins: it produces a new decode-pool cache
+        value, and scattering into the pre-step cache would drop the
+        decode step's in-flight KV writes."""
         self.kv_migration.ensure_migrated(
             (decode_blocks_to_nw or {}).keys())
 
+        stream = self.kv_migration.begin(prompt_blocks_to_nw) \
+            if prompt_meta else None
         prompt_out: List[Optional[SamplerOutput]] = [None]
         decode_out: List[Optional[SamplerOutput]] = [None]
 
         def run_prefill():
             prompt_out[0] = self.prefill_worker.execute_model(
                 prompt_meta, blocks_to_swap_in={}, blocks_to_swap_out={},
-                blocks_to_copy={})
+                blocks_to_copy={}, kv_stream=stream)
 
         def run_decode():
             decode_out[0] = self.decode_worker.execute_model(
@@ -203,11 +213,29 @@ class SplitwiseExecutor(ExecutorBase):
             for j in jobs:
                 j()
 
-        if prompt_meta and prompt_blocks_to_nw:
-            # Async device-side: returns once enqueued; the next decode
-            # step's data dependency does the waiting.
-            self.kv_migration.migrate(prompt_blocks_to_nw)
+        # Both pool steps have joined: land the streamed pages in the
+        # decode cache (async device-side; the next decode step's data
+        # dependency does the waiting).
+        self.kv_migration.commit(stream)
         return prompt_out[0], decode_out[0]
+
+    # ---- LoRA management: adapters serve on BOTH pools (the prefill
+    # pool applies them during context ingestion, the decode pool during
+    # generation; the reference broadcasts add_lora to all workers,
+    # executor_base.py/worker.py) ----
+
+    def add_lora(self, lora_request) -> bool:
+        ok_p = self.prefill_worker.add_lora(lora_request)
+        ok_d = self.decode_worker.add_lora(lora_request)
+        return ok_p and ok_d
+
+    def remove_lora(self, lora_id: int) -> bool:
+        ok_p = self.prefill_worker.remove_lora(lora_id)
+        ok_d = self.decode_worker.remove_lora(lora_id)
+        return ok_p and ok_d
+
+    def list_loras(self):
+        return self.decode_worker.list_loras()
 
     def check_health(self) -> None:
         """Probe both pools with a trivial device round-trip.

@@ -91,7 +91,6 @@ class TPUExecutor(ExecutorBase):
             blocks_to_swap_in=blocks_to_swap_in,
             blocks_to_swap_out=blocks_to_swap_out,
             blocks_to_copy=blocks_to_copy,
-            blocks_to_nw=blocks_to_nw,
             num_decode_steps=num_decode_steps,
         )
 

@@ -6,14 +6,16 @@ Role-parity with the reference's Attention facade + backends
 flash_attn.py): prefill -> dense causal attention (+ cache write);
 decode -> Pallas paged attention (XLA-reference fallback off-TPU).
 
-Splitwise hook: ``kv_push_fn`` is invoked after the cache write of every
-layer during prefill so freshly written pages can stream to the decode
-pool overlapping with the remaining layers' compute (analog of the
-reference's per-layer put(), flash_attn.py:82-86).
+Splitwise's per-layer KV put() (the reference hooks it right here,
+flash_attn.py:82-86) lives OUTSIDE this module in the TPU design: the
+model runner dispatches the prefill as layer-group segments and streams
+each group's freshly written pages between dispatches
+(model_runner._execute_prefill_segmented, worker/kv_migration.py) —
+a device-side callback inside jit would force a host sync per layer.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -94,10 +96,6 @@ class Attention:
         self.kv_scale = kv_scale
         self.alibi_slopes = None if alibi_slopes is None else \
             jnp.asarray(alibi_slopes, dtype=jnp.float32)
-        # Splitwise: set by the worker when phase-disaggregated
-        # (layer_id, k_pages, v_pages) -> None.
-        self.layer_id: Optional[int] = None
-        self.kv_push_fn: Optional[Callable] = None
 
     def __call__(
         self,
@@ -164,9 +162,6 @@ class Attention:
                 k_flat, v_flat, _expand0(k_pages), _expand0(v_pages),
                 md.slot_mapping, jnp.int32(0), kv_scale=self.kv_scale)
             k_pages, v_pages = _squeeze0(k5), _squeeze0(v5)
-
-        if self.kv_push_fn is not None:
-            self.kv_push_fn(self.layer_id, k_pages, v_pages)
 
         group = self.num_heads // self.num_kv_heads
         # VMEM bound: the multi-query kernel's q/m/l/acc buffers are each

@@ -9,8 +9,11 @@ TPU-native design notes:
 * q/k/v and gate/up projections stay separate weights (the reference
   fuses them to cut CUDA kernel launches — a GPU-ism with no TPU
   benefit), which keeps shardings clean and HF weight loading 1:1.
-* The layer loop is unrolled under jit so each layer's paged-KV write can
-  carry the Splitwise per-layer push hook.
+* ``forward_layers(layer_start, num_layers)`` exposes the stacked-layer
+  scan as static segments, so under Splitwise disaggregation the runner
+  dispatches the prefill in layer groups and streams each group's freshly
+  written KV pages to the decode pool while the remaining groups compute
+  (the reference's per-layer put(), flash_attn.py:82-86).
 """
 from __future__ import annotations
 
@@ -302,6 +305,19 @@ class LlamaForCausalLM:
 
     # ---- forward ----
 
+    def embed(self, params: Dict[str, Any],
+              input_ids: jax.Array) -> jax.Array:
+        hidden = jnp.take(params["embed_tokens"], input_ids, axis=0,
+                          mode="clip")
+        if self.embed_multiplier != 1.0:
+            hidden = hidden * jnp.asarray(self.embed_multiplier,
+                                          dtype=hidden.dtype)
+        return hidden
+
+    def finalize(self, params: Dict[str, Any],
+                 hidden: jax.Array) -> jax.Array:
+        return rms_norm(hidden, params["norm"], self.rms_eps)
+
     def __call__(
         self,
         params: Dict[str, Any],
@@ -311,11 +327,7 @@ class LlamaForCausalLM:
         metadata,
         lora=None,
     ) -> Tuple[jax.Array, List[KVCache]]:
-        hidden = jnp.take(params["embed_tokens"], input_ids, axis=0,
-                          mode="clip")
-        if self.embed_multiplier != 1.0:
-            hidden = hidden * jnp.asarray(self.embed_multiplier,
-                                          dtype=hidden.dtype)
+        hidden = self.embed(params, input_ids)
         from vllm_splitwise_tpu.ops.kv_cache import QuantPages
         if (isinstance(kv_caches, tuple) and len(kv_caches) == 2
                 and (not isinstance(kv_caches[0], tuple)
@@ -323,9 +335,9 @@ class LlamaForCausalLM:
                 and getattr(kv_caches[0], "ndim", 0) == 5):
             assert self._can_scan(params, lora), (
                 "stacked KV caches require stacked homogeneous layers")
-            hidden, caches = self._scan_layers(params, hidden, positions,
-                                               kv_caches, metadata, lora)
-            hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+            hidden, caches = self.forward_layers(params, hidden, positions,
+                                                 kv_caches, metadata, lora)
+            hidden = self.finalize(params, hidden)
             return hidden, caches
         new_caches: List[KVCache] = []
         for i in range(self.num_layers):
@@ -422,12 +434,27 @@ class LlamaForCausalLM:
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
         return hidden, new_caches
 
-    def _scan_layers(self, params, hidden, positions, kv_caches, metadata,
-                     lora=None):
-        """lax.scan over the stacked layer axis: xs = (layer params,
-        per-layer KV pages [+ per-layer LoRA stacks]); carry = hidden."""
+    def forward_layers(self, params, hidden, positions, kv_caches,
+                       metadata, lora=None, *, layer_start: int = 0,
+                       num_layers: Optional[int] = None):
+        """lax.scan over (a static segment of) the stacked layer axis:
+        xs = sliced layer params [+ per-layer LoRA stacks]; carry =
+        (hidden, stacked KV pages).
+
+        ``layer_start``/``num_layers`` carve out layers
+        ``[layer_start, layer_start + num_layers)`` so the runner can
+        dispatch the prefill in segments and stream each segment's
+        freshly written KV pages to the decode pool while the remaining
+        layers compute (the Splitwise per-layer put() of the reference,
+        flash_attn.py:82-86, at layer-group granularity).  Quantized
+        weights stay whole — the scan index ``li`` is ABSOLUTE, and the
+        quant kernels take it as ``layer_index``.
+        """
+        if num_layers is None:
+            num_layers = self.num_layers - layer_start
         attn = self.attn[0]
         layer_kv_heads = attn.num_kv_heads
+        seg = slice(layer_start, layer_start + num_layers)
 
         lora_xs = None
         lora_idx = None
@@ -436,7 +463,7 @@ class LlamaForCausalLM:
             lora_idx = lora["idx"]
             # Stacks are [S, L, ...]; scan consumes the L axis in front.
             lora_xs = {
-                k: jnp.moveaxis(v, 1, 0)
+                k: jnp.moveaxis(v, 1, 0)[seg]
                 for k, v in lora.items() if k != "idx"
             }
 
@@ -447,7 +474,7 @@ class LlamaForCausalLM:
         merged_gu = ("gate_up_proj" in layers_all)
         qd_m = self.num_heads * self.head_dim
         kvd_m = layer_kv_heads * self.head_dim
-        xs_layers = {k: v for k, v in layers_all.items()
+        xs_layers = {k: v[seg] for k, v in layers_all.items()
                      if not isinstance(v, dict)}
 
         def body(carry, xs):
@@ -546,7 +573,8 @@ class LlamaForCausalLM:
         k_all, v_all = kv_caches
         (hidden, k_all, v_all), _ = jax.lax.scan(
             body, (hidden, k_all, v_all),
-            (xs_layers, jnp.arange(self.num_layers), lora_xs))
+            (xs_layers,
+             jnp.arange(layer_start, layer_start + num_layers), lora_xs))
         return hidden, (k_all, v_all)
 
     def compute_logits(self, params: Dict[str, Any],

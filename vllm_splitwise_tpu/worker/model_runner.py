@@ -180,6 +180,10 @@ class ModelRunner:
         self._rng = np.random.RandomState(model_config.seed)
         self._prefill_fn = None
         self._decode_fn = None
+        # Splitwise prefill pool: dispatch prefills as layer-group
+        # segments so freshly written KV pages stream to the decode pool
+        # mid-forward (set by the Worker on PREFILL-typed workers).
+        self.segment_prefill = False
 
         # Speculative decoding (TPU extension): the runner owns the draft
         # model; its paged cache (same page count/block size as the
@@ -238,6 +242,50 @@ class ModelRunner:
         model = self.model
         vocab_size = self.model_config.get_vocab_size()
 
+        def prompt_logprobs_of(params, hidden, input_ids, max_logprobs):
+            """Per-position logprobs over the whole prompt (echo /
+            prompt_logprobs): position i scores token i+1.  Packed
+            [B, T, 1+2L] — one fetch."""
+            all_logits = model.compute_logits(params, hidden)
+            all_logits = all_logits[..., :vocab_size]
+            all_lp = jax.nn.log_softmax(all_logits.astype(jnp.float32),
+                                        axis=-1)
+            next_ids = jnp.roll(input_ids, -1, axis=1)
+            chosen_lp = jnp.take_along_axis(all_lp, next_ids[..., None],
+                                            axis=-1)[..., 0]
+            topk_lp, topk_ids = jax.lax.top_k(all_lp, max_logprobs)
+            return jnp.concatenate([
+                chosen_lp[..., None], topk_lp,
+                topk_ids.astype(jnp.float32)
+            ], axis=-1)
+
+        def parse_prefill(ibuf, batch, t_pad, prefix_pages):
+            """Decode the prefill half of the packed i32 metadata buffer
+            (layout mirrored in execute_model); returns the parse offset
+            so sampler fields can be read from the same buffer."""
+            off = 0
+
+            def take(n):
+                nonlocal off
+                part = ibuf[off:off + n]
+                off += n
+                return part
+
+            input_ids = take(batch * t_pad).reshape(batch, t_pad)
+            positions = take(batch * t_pad).reshape(batch, t_pad)
+            slot_mapping = take(batch * t_pad).reshape(batch, t_pad)
+            seq_lens = take(batch)
+            start_positions = take(batch)
+            bt = pl = None
+            if prefix_pages:
+                bt = take(batch * prefix_pages).reshape(batch, prefix_pages)
+                pl = take(batch)
+            metadata = PrefillMetadata(seq_lens=seq_lens,
+                                       slot_mapping=slot_mapping,
+                                       start_positions=start_positions,
+                                       block_tables=bt, prefix_lens=pl)
+            return input_ids, positions, metadata, off
+
         def step(params, kv_caches, ibuf, fbuf, lora=None, *,
                  needs_filtering, max_logprobs, is_prefill, batch, t_pad,
                  pages, prefix_pages, s_pad, lp, lo,
@@ -257,20 +305,8 @@ class ModelRunner:
                 return part
 
             if is_prefill:
-                input_ids = take(batch * t_pad).reshape(batch, t_pad)
-                positions = take(batch * t_pad).reshape(batch, t_pad)
-                slot_mapping = take(batch * t_pad).reshape(batch, t_pad)
-                seq_lens = take(batch)
-                start_positions = take(batch)
-                bt = pl = None
-                if prefix_pages:
-                    bt = take(batch * prefix_pages).reshape(
-                        batch, prefix_pages)
-                    pl = take(batch)
-                metadata = PrefillMetadata(seq_lens=seq_lens,
-                                           slot_mapping=slot_mapping,
-                                           start_positions=start_positions,
-                                           block_tables=bt, prefix_lens=pl)
+                input_ids, positions, metadata, off = parse_prefill(
+                    ibuf, batch, t_pad, prefix_pages)
             else:
                 input_ids = take(batch).reshape(batch, 1)
                 positions = take(batch).reshape(batch, 1)
@@ -301,21 +337,8 @@ class ModelRunner:
             prompt_lp = None
             if is_prefill:
                 if return_prompt_logprobs:
-                    # Per-position logprobs over the whole prompt (echo /
-                    # prompt_logprobs): position i scores token i+1.
-                    all_logits = model.compute_logits(params, hidden)
-                    all_logits = all_logits[..., :vocab_size]
-                    all_lp = jax.nn.log_softmax(
-                        all_logits.astype(jnp.float32), axis=-1)
-                    next_ids = jnp.roll(input_ids, -1, axis=1)
-                    chosen_lp = jnp.take_along_axis(
-                        all_lp, next_ids[..., None], axis=-1)[..., 0]
-                    topk_lp, topk_ids = jax.lax.top_k(all_lp, max_logprobs)
-                    # Packed [B, T, 1+2L] — one fetch.
-                    prompt_lp = jnp.concatenate([
-                        chosen_lp[..., None], topk_lp,
-                        topk_ids.astype(jnp.float32)
-                    ], axis=-1)
+                    prompt_lp = prompt_logprobs_of(params, hidden,
+                                                   input_ids, max_logprobs)
                 # Gather each sequence's last valid position.
                 last = jnp.maximum(metadata.seq_lens - 1, 0)
                 hidden = hidden[jnp.arange(batch), last]
@@ -349,18 +372,8 @@ class ModelRunner:
             if is_prefill:
                 batch = hidden.shape[0]
                 if return_prompt_logprobs:
-                    all_logits = model.compute_logits(params, hidden)
-                    all_logits = all_logits[..., :vocab_size]
-                    all_lp = jax.nn.log_softmax(
-                        all_logits.astype(jnp.float32), axis=-1)
-                    next_ids = jnp.roll(input_ids, -1, axis=1)
-                    chosen_lp = jnp.take_along_axis(
-                        all_lp, next_ids[..., None], axis=-1)[..., 0]
-                    topk_lp, topk_ids = jax.lax.top_k(all_lp, max_logprobs)
-                    prompt_lp = jnp.concatenate([
-                        chosen_lp[..., None], topk_lp,
-                        topk_ids.astype(jnp.float32)
-                    ], axis=-1)
+                    prompt_lp = prompt_logprobs_of(params, hidden,
+                                                   input_ids, max_logprobs)
                 last = jnp.maximum(metadata.seq_lens - 1, 0)
                 hidden = hidden[jnp.arange(batch), last]
             else:
@@ -393,6 +406,86 @@ class ModelRunner:
                              "prefix_pages", "s_pad", "lp", "lo",
                              "return_prompt_logprobs"),
             donate_argnums=(1, ),
+        )
+
+        # ---- segmented prefill (Splitwise layer-streamed KV push) ----
+        # The prefill splits into embed -> N layer-group dispatches ->
+        # tail so the runner can stream each group's freshly written KV
+        # pages to the decode pool while the remaining groups compute
+        # (the reference's per-layer put() inside the attention forward,
+        # flash_attn.py:82-86, at layer-group granularity).
+
+        def seg_embed(params, ibuf, *, batch, t_pad):
+            input_ids = ibuf[:batch * t_pad].reshape(batch, t_pad)
+            return model.embed(params, input_ids)
+
+        def seg_layers(params, kv_caches, hidden, ibuf, lora=None, *,
+                       layer_start, num_layers, batch, t_pad,
+                       prefix_pages):
+            _, positions, metadata, _ = parse_prefill(
+                ibuf, batch, t_pad, prefix_pages)
+            if lora is not None:
+                return model.forward_layers(params, hidden, positions,
+                                            kv_caches, metadata, lora,
+                                            layer_start=layer_start,
+                                            num_layers=num_layers)
+            return model.forward_layers(params, hidden, positions,
+                                        kv_caches, metadata,
+                                        layer_start=layer_start,
+                                        num_layers=num_layers)
+
+        def seg_tail(params, hidden, ibuf, fbuf, *, needs_filtering,
+                     max_logprobs, batch, t_pad, prefix_pages, s_pad, lp,
+                     lo, return_prompt_logprobs):
+            input_ids, _, metadata, off = parse_prefill(
+                ibuf, batch, t_pad, prefix_pages)
+
+            def take(n):
+                nonlocal off
+                part = ibuf[off:off + n]
+                off += n
+                return part
+
+            sample_indices = take(s_pad)
+            top_k = take(s_pad)
+            seeds = jax.lax.bitcast_convert_type(take(s_pad), jnp.uint32)
+            prompt_tokens = take(s_pad * lp).reshape(s_pad, lp)
+            output_tokens = take(s_pad * lo).reshape(s_pad, lo)
+            f = fbuf.reshape(7, s_pad)
+            sampling_tensors = SamplingTensors(
+                temperature=f[0], top_p=f[1], top_k=top_k, min_p=f[2],
+                greedy_mask=f[3] > 0.5, presence_penalty=f[4],
+                frequency_penalty=f[5], repetition_penalty=f[6],
+                prompt_tokens=prompt_tokens, output_tokens=output_tokens)
+
+            hidden = model.finalize(params, hidden)
+            prompt_lp = None
+            if return_prompt_logprobs:
+                prompt_lp = prompt_logprobs_of(params, hidden, input_ids,
+                                               max_logprobs)
+            last = jnp.maximum(metadata.seq_lens - 1, 0)
+            hidden = hidden[jnp.arange(batch), last]
+            logits = model.compute_logits(params, hidden)
+            logits = logits[..., :vocab_size]
+            logits = jnp.take(logits, sample_indices, axis=0, mode="clip")
+            out = sample(logits, sampling_tensors, seeds,
+                         max_logprobs=max_logprobs,
+                         needs_filtering=needs_filtering)
+            return _pack_sampler_output(out), prompt_lp
+
+        self._seg_embed_fn = jax.jit(seg_embed,
+                                     static_argnames=("batch", "t_pad"))
+        self._seg_layers_fn = jax.jit(
+            seg_layers,
+            static_argnames=("layer_start", "num_layers", "batch",
+                             "t_pad", "prefix_pages"),
+            donate_argnums=(1, 2),
+        )
+        self._seg_tail_fn = jax.jit(
+            seg_tail,
+            static_argnames=("needs_filtering", "max_logprobs", "batch",
+                             "t_pad", "prefix_pages", "s_pad", "lp", "lo",
+                             "return_prompt_logprobs"),
         )
 
         block_size = self.block_size
@@ -1071,6 +1164,7 @@ class ModelRunner:
         seq_group_metadata_list: List[SequenceGroupMetadata],
         kv_caches,
         num_decode_steps: int = 1,
+        kv_stream=None,
     ) -> Tuple[Optional[SamplerOutput], Any]:
         if not seq_group_metadata_list:
             return [], kv_caches
@@ -1161,14 +1255,27 @@ class ModelRunner:
                                     prefix_pages, pages)
             return sampler_output, kv_caches
 
-        out, prompt_lp, kv_caches = self._step_fn(
-            self.params, kv_caches, ibuf_dev, jnp.asarray(fbuf),
-            lora, needs_filtering=needs_filtering,
-            max_logprobs=max_logprobs, is_prefill=is_prompt, batch=batch,
-            t_pad=t_pad, pages=pages, prefix_pages=prefix_pages,
-            s_pad=s_pad, lp=tensors.prompt_tokens.shape[1],
-            lo=tensors.output_tokens.shape[1],
-            return_prompt_logprobs=want_prompt_lp)
+        seg_plan = self._prefill_segment_plan(kv_caches, lora) \
+            if (is_prompt and self.segment_prefill) else None
+        if seg_plan is not None:
+            out, prompt_lp, kv_caches = self._execute_prefill_segmented(
+                kv_caches, ibuf_dev, jnp.asarray(fbuf), lora, kv_stream,
+                plan=seg_plan, batch=batch, t_pad=t_pad,
+                prefix_pages=prefix_pages, s_pad=s_pad,
+                lp=tensors.prompt_tokens.shape[1],
+                lo=tensors.output_tokens.shape[1],
+                needs_filtering=needs_filtering,
+                max_logprobs=max_logprobs, want_prompt_lp=want_prompt_lp)
+        else:
+            out, prompt_lp, kv_caches = self._step_fn(
+                self.params, kv_caches, ibuf_dev, jnp.asarray(fbuf),
+                lora, needs_filtering=needs_filtering,
+                max_logprobs=max_logprobs, is_prefill=is_prompt,
+                batch=batch, t_pad=t_pad, pages=pages,
+                prefix_pages=prefix_pages, s_pad=s_pad,
+                lp=tensors.prompt_tokens.shape[1],
+                lo=tensors.output_tokens.shape[1],
+                return_prompt_logprobs=want_prompt_lp)
 
         self._sync_draft_caches(ibuf_dev, is_prompt, batch, t_pad,
                                  prefix_pages, pages)
@@ -1180,6 +1287,66 @@ class ModelRunner:
                                          max_logprobs, plan,
                                          seq_group_metadata_list)
         return sampler_output, kv_caches
+
+    def _prefill_segment_plan(self, kv_caches, lora):
+        """Layer-group plan [(layer_start, num_layers)] for the streamed
+        prefill, or None when the model / cache layout / config can't
+        segment (those prefills run the monolithic step fn and the
+        migration manager bulk-migrates at commit)."""
+        segs = self.parallel_config.kv_stream_segments
+        model = self.model
+        if segs <= 1 or not all(
+                hasattr(model, a)
+                for a in ("embed", "forward_layers", "finalize")):
+            return None
+        # Same stacked-cache shape test as the model's __call__ routing.
+        if not (isinstance(kv_caches, tuple) and len(kv_caches) == 2
+                and not isinstance(kv_caches[0], tuple)
+                and getattr(kv_caches[0], "ndim", 0) == 5):
+            return None
+        can_scan = getattr(model, "_can_scan", None)
+        if can_scan is None or not can_scan(self.params, lora):
+            return None
+        n_layers = model.num_layers
+        size = cdiv(n_layers, min(segs, n_layers))
+        plan = []
+        start = 0
+        while start < n_layers:
+            n = min(size, n_layers - start)
+            plan.append((start, n))
+            start += n
+        return plan
+
+    def _execute_prefill_segmented(self, kv_caches, ibuf_dev, fbuf_dev,
+                                   lora, kv_stream, *, plan, batch, t_pad,
+                                   prefix_pages, s_pad, lp, lo,
+                                   needs_filtering, max_logprobs,
+                                   want_prompt_lp):
+        """Splitwise layer-streamed prefill: embed, then one dispatch per
+        layer group with a KV-page push to the decode pool right after
+        each group's dispatch, then the sampling tail.  All dispatches
+        are async, so each push's gather + cross-mesh device_put rides
+        the DMA engines while the NEXT groups' compute occupies the
+        cores; per-device program order keeps the gather ahead of the
+        following group's donated-buffer reuse.  Analog of the
+        reference's per-layer put() inside the attention forward
+        (flash_attn.py:82-86, worker.py:318-331)."""
+        hidden = self._seg_embed_fn(self.params, ibuf_dev, batch=batch,
+                                    t_pad=t_pad)
+        for layer_start, num_layers in plan:
+            hidden, kv_caches = self._seg_layers_fn(
+                self.params, kv_caches, hidden, ibuf_dev, lora,
+                layer_start=layer_start, num_layers=num_layers,
+                batch=batch, t_pad=t_pad, prefix_pages=prefix_pages)
+            if kv_stream is not None:
+                kv_stream.push(layer_start, num_layers, kv_caches)
+        out, prompt_lp = self._seg_tail_fn(
+            self.params, hidden, ibuf_dev, fbuf_dev,
+            needs_filtering=needs_filtering, max_logprobs=max_logprobs,
+            batch=batch, t_pad=t_pad, prefix_pages=prefix_pages,
+            s_pad=s_pad, lp=lp, lo=lo,
+            return_prompt_logprobs=want_prompt_lp)
+        return out, prompt_lp, kv_caches
 
     def _sync_draft_caches(self, ibuf_dev, is_prompt, batch, t_pad,
                            prefix_pages, pages) -> None:

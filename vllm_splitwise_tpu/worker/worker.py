@@ -54,11 +54,15 @@ class Worker:
                                         scheduler_config, cache_config,
                                         mesh=mesh, lora_config=lora_config,
                                         speculative_config=speculative_config)
+        # Splitwise prefill pool: run prefills as layer-group segments so
+        # the freshly written KV pages stream to the decode pool while
+        # the remaining layers compute (worker/kv_migration.py).
+        self.model_runner.segment_prefill = (
+            worker_type == WorkerType.PREFILL
+            and parallel_config.kv_stream_segments > 1)
         self.cache_engine: Optional[CacheEngine] = None
         self.draft_cache_engine: Optional[CacheEngine] = None
         self.kv_caches = None
-        # Splitwise: set by the executor when phase-disaggregated.
-        self.kv_comm = None
 
     @property
     def device(self) -> jax.Device:
@@ -273,36 +277,27 @@ class Worker:
         blocks_to_swap_in: Optional[Dict[int, int]] = None,
         blocks_to_swap_out: Optional[Dict[int, int]] = None,
         blocks_to_copy: Optional[Dict[int, List[int]]] = None,
-        blocks_to_nw: Optional[Dict[int, List[int]]] = None,
         num_decode_steps: int = 1,
+        kv_stream=None,
     ) -> SamplerOutput:
+        """Run one step.  ``kv_stream`` (Splitwise prefill pool only) is
+        a worker/kv_migration.MigrationStream: the runner pushes each
+        layer group's freshly written KV pages through it mid-forward."""
         self.cache_swap(blocks_to_swap_in or {}, blocks_to_swap_out or {},
                         blocks_to_copy or {})
 
         if not seq_group_metadata_list:
             return []
 
-        # Splitwise decode side: wait for this step's migrating sequences'
-        # KV pages to land before attending over them.
-        if (self.kv_comm is not None
-                and self.worker_type == WorkerType.DECODE and blocks_to_nw):
-            self.kv_comm.wait_all(blocks_to_nw.keys())
-
         output, self.kv_caches = self.model_runner.execute_model(
             seq_group_metadata_list, self.kv_caches,
-            num_decode_steps=num_decode_steps)
+            num_decode_steps=num_decode_steps, kv_stream=kv_stream)
         if self.cache_engine is not None:
             self.cache_engine.device_cache = self.kv_caches
         if self.draft_cache_engine is not None:
             # The runner advances draft caches in place (donation).
             self.draft_cache_engine.device_cache = \
                 self.model_runner.draft_caches
-
-        # Splitwise prefill side: push freshly written KV pages to the
-        # decode pool and signal completion.
-        if (self.kv_comm is not None
-                and self.worker_type == WorkerType.PREFILL and blocks_to_nw):
-            self.kv_comm.push_all(blocks_to_nw, self.kv_caches)
         return output
 
 
