@@ -15,15 +15,28 @@ the JAX way:
   freshly written KV pages device-to-device via
   :class:`CrossHostKVMover` (DCN socket transfer — never staged through
   host memory as pickled bytes).
+* **Layer-streamed over DCN** (the fork's signature latency hider,
+  flash_attn.py:82-86): the prefill host's runner dispatches the forward
+  as layer-group segments and a :class:`_DCNMigrationStream` ships each
+  group's fresh pages through the mover mid-forward, so the DCN transfer
+  rides under the remaining groups' compute.  The segment plan is fixed
+  at handshake time (the "ready" message) so the decode host can post
+  its matching receives right after sending the prefill RPC — before its
+  own decode step — and the transfers flow while both pools compute.
 * The decode host's :class:`MultihostSplitwiseExecutor` routes prompt
   steps to the remote prefill host and decode steps to its local worker,
   scattering migrated pages into the local cache before the first decode
   read — the same dataflow ordering the single-host SplitwiseExecutor
   relies on.
+* LoRA: both pools carry the adapter manager; requests' adapters load
+  lazily from ``lora_local_path`` on each host (shared filesystem, the
+  reference's model-path assumption), and explicit add/remove fan out
+  over the channel.  Speculative decoding: the prefill host runs the
+  draft prefill too, and the draft model's pages ride one extra
+  transfer after the target segments.
 
 Current scope: one prefill host + one decode host, tp*dp within each
-host's local devices; LoRA and speculative decoding are single-host
-features for now.
+host's local devices.
 """
 from __future__ import annotations
 
@@ -47,6 +60,7 @@ from vllm_splitwise_tpu.sequence import SamplerOutput, SequenceGroupMetadata
 from vllm_splitwise_tpu.utils import WorkerType
 from vllm_splitwise_tpu.worker.cross_host_migration import CrossHostKVMover
 from vllm_splitwise_tpu.worker.kv_migration import (gather_pages_tree,
+                                                    gather_segment_pages,
                                                     migration_leaf_spec,
                                                     scatter_index_for,
                                                     scatter_pages_tree)
@@ -55,6 +69,47 @@ from vllm_splitwise_tpu.worker.worker import Worker
 logger = init_logger(__name__)
 
 _CHANNEL = "prefill-pool"
+
+
+class _DCNMigrationStream:
+    """Sender side of the layer-streamed DCN migration: the prefill
+    host's runner calls :meth:`push` right after dispatching each layer
+    group, gathering that group's migrating pages and shipping them
+    through the mover while the remaining groups compute.
+    :meth:`finish` covers any segments the runner didn't stream (e.g.
+    the host-logits-processor fallback path) so the decode host's
+    pre-posted receives always pair up 1:1 in order."""
+
+    def __init__(self, mover: CrossHostKVMover, pages: List[int],
+                 plan) -> None:
+        self.mover = mover
+        self._idx = jnp.asarray(pages, dtype=jnp.int32)
+        self.plan = [tuple(seg) for seg in plan]
+        self.pushed = 0
+        self._scatter_idx = None
+        self._spec_for = migration_leaf_spec(kv_cache_spec())
+        # Overlap evidence: seconds from stream open to each push's
+        # DCN-transfer enqueue (reported back in the outputs reply).
+        self.opened_at = time.perf_counter()
+        self.push_rel_s: List[float] = []
+
+    def push(self, layer_start: int, num_layers: int, kv_caches) -> None:
+        assert (layer_start, num_layers) == self.plan[self.pushed], (
+            f"segment push ({layer_start}, {num_layers}) deviates from "
+            f"the handshake plan {self.plan} at index {self.pushed}")
+        if self._scatter_idx is None:
+            self._scatter_idx = scatter_index_for(kv_caches, self._idx)
+        seg = gather_segment_pages(kv_caches, self._scatter_idx,
+                                   layer_start, num_layers)
+        stacked = isinstance(kv_caches, tuple)
+        self.mover.transfer(seg,
+                            lambda leaf: self._spec_for(leaf, stacked))
+        self.pushed += 1
+        self.push_rel_s.append(time.perf_counter() - self.opened_at)
+
+    def finish(self, kv_caches) -> None:
+        for layer_start, num_layers in self.plan[self.pushed:]:
+            self.push(layer_start, num_layers, kv_caches)
 
 
 def _prefill_process_ids(parallel_config: ParallelConfig) -> List[int]:
@@ -92,10 +147,6 @@ class MultihostSplitwiseExecutor(ExecutorBase):
         speculative_config=None,
     ) -> None:
         assert parallel_config.sep_prompt_token
-        if speculative_config is not None or lora_config is not None:
-            raise NotImplementedError(
-                "speculative decoding / LoRA are single-host features "
-                "for now")
         self.model_config = model_config
         self.cache_config = cache_config
         self.parallel_config = parallel_config
@@ -111,7 +162,9 @@ class MultihostSplitwiseExecutor(ExecutorBase):
         self.decode_worker = Worker(model_config, parallel_config,
                                     scheduler_config, cache_config,
                                     mesh=state.mesh,
-                                    worker_type=WorkerType.DECODE)
+                                    worker_type=WorkerType.DECODE,
+                                    lora_config=lora_config,
+                                    speculative_config=speculative_config)
         self.decode_worker.load_model()
 
         # The prefill host has been waiting for us since it loaded.
@@ -123,8 +176,10 @@ class MultihostSplitwiseExecutor(ExecutorBase):
                                   self.decode_worker.mesh)
         # Migration bookkeeping (same role as KVMigrationManager's).
         self.num_migrations = 0
+        self.num_streamed = 0
         self.num_pages_moved = 0
         self.last_migration_seconds = 0.0
+        self.last_stream_timeline: Optional[Dict] = None
 
     # KVMigrationManager duck-type for engine metrics.
     @property
@@ -156,6 +211,10 @@ class MultihostSplitwiseExecutor(ExecutorBase):
         self.decode_worker.init_cache_engine(cfg)
         ready = self.channel.recv(timeout=600)
         assert ready["op"] == "ready", ready
+        # Fixed at handshake time so receives can be posted before the
+        # prefill host starts sending (see module docstring).
+        self.segment_plan = ready.get("segment_plan")
+        self.remote_has_draft = bool(ready.get("has_draft"))
 
     # ---- step routing --------------------------------------------------
 
@@ -172,10 +231,10 @@ class MultihostSplitwiseExecutor(ExecutorBase):
         is_prompt = bool(seq_group_metadata_list
                          and seq_group_metadata_list[0].is_prompt)
         if is_prompt:
-            return self._remote_prefill(seq_group_metadata_list,
-                                        blocks_to_swap_in,
-                                        blocks_to_swap_out, blocks_to_copy,
-                                        blocks_to_nw)
+            pending = self._send_prefill(seq_group_metadata_list,
+                                         blocks_to_nw, blocks_to_swap_in,
+                                         blocks_to_swap_out, blocks_to_copy)
+            return self._complete_prefill(pending)
         return self.decode_worker.execute_model(
             seq_group_metadata_list,
             blocks_to_swap_in=blocks_to_swap_in,
@@ -195,14 +254,17 @@ class MultihostSplitwiseExecutor(ExecutorBase):
         num_decode_steps: int = 1,
     ):
         """Overlap the remote prefill with the local decode step: the
-        prefill request goes over the wire FIRST, the decode pool steps
-        while the prefill host computes, and only then is the prefill
-        reply (and its KV page transfer) collected.  No threads needed —
-        the RPC itself is the async boundary."""
+        prefill request goes over the wire FIRST (and, when the segment
+        plan is known, the per-layer-group DCN receives are posted right
+        behind it), the decode pool steps while the prefill host computes
+        and its transfers flow, and only then is the prefill reply
+        collected and the staged pages scattered into the local cache.
+        No threads needed — the RPC and the posted transfers are the
+        async boundaries."""
         prompt_out = None
         decode_out = None
-        pages = self._send_prefill(prompt_meta,
-                                   prompt_blocks_to_nw or {}) \
+        pending = self._send_prefill(prompt_meta,
+                                     prompt_blocks_to_nw or {}) \
             if prompt_meta else None
         if decode_meta or decode_blocks_to_swap_in or \
                 decode_blocks_to_swap_out or decode_blocks_to_copy:
@@ -212,12 +274,16 @@ class MultihostSplitwiseExecutor(ExecutorBase):
                 blocks_to_swap_out=decode_blocks_to_swap_out,
                 blocks_to_copy=decode_blocks_to_copy,
                 num_decode_steps=num_decode_steps)
-        if pages is not None:
-            prompt_out = self._complete_prefill(pages)
+        if pending is not None:
+            prompt_out = self._complete_prefill(pending)
         return prompt_out, decode_out
 
     def _send_prefill(self, seqs, blocks_to_nw, swap_in=None,
-                      swap_out=None, copy=None) -> List[int]:
+                      swap_out=None, copy=None) -> Dict:
+        """Ship the prefill job; post the matching DCN receives for the
+        handshake's segment plan (and the draft cache, under spec decode)
+        immediately, so the transfers can flow while the local decode
+        step runs.  Returns the pending-completion record."""
         pages: List[int] = []
         seen = set()
         for block_ids in blocks_to_nw.values():
@@ -233,30 +299,118 @@ class MultihostSplitwiseExecutor(ExecutorBase):
             "copy": copy or {},
             "pages": pages,
         })
-        return pages
+        pending = {"pages": pages, "staged": None, "draft": None}
+        if pages and self.segment_plan:
+            pending["staged"] = self._post_segment_receives(pages)
+            if self.remote_has_draft:
+                pending["draft"] = self._post_draft_receive(pages)
+        return pending
 
-    def _complete_prefill(self, pages: List[int]) -> SamplerOutput:
+    def _complete_prefill(self, pending: Dict) -> SamplerOutput:
         reply = self.channel.recv(timeout=600)
         if reply.get("op") == "error":
             raise RuntimeError(
                 f"prefill host failed: {reply.get('message')}")
         assert reply["op"] == "outputs", reply
+        if reply.get("push_rel_s"):
+            self.last_stream_timeline = {
+                "prefill_exec_s": reply.get("prefill_exec_s"),
+                "push_rel_s": reply["push_rel_s"],
+            }
+        pages = pending["pages"]
         if pages:
             started = time.perf_counter()
-            self._receive_pages(pages)
+            if pending["staged"] is not None:
+                self._scatter_staged(pending["staged"])
+                self.num_streamed += 1
+            else:
+                self._receive_pages(pages)
+            if self.remote_has_draft:
+                draft = pending["draft"] or self._post_draft_receive(pages)
+                self._scatter_draft(draft)
             self.num_migrations += 1
             self.num_pages_moved += len(pages)
             self.last_migration_seconds = time.perf_counter() - started
         return reply["outputs"]
 
-    def _remote_prefill(self, seqs, swap_in, swap_out, copy,
-                        blocks_to_nw) -> SamplerOutput:
-        pages = self._send_prefill(seqs, blocks_to_nw, swap_in, swap_out,
-                                   copy)
-        return self._complete_prefill(pages)
+    def _post_segment_receives(self, pages: List[int]):
+        """Post one DCN receive per layer-group segment (matching the
+        prefill host's push order); returns (scatter_idx, [segment
+        pytrees]) of landing arrays."""
+        cache = self.decode_worker.kv_caches
+        idx = jnp.asarray(pages, dtype=jnp.int32)
+        scatter_idx = scatter_index_for(cache, idx)
+        stacked = isinstance(cache, tuple)
+        spec_for = migration_leaf_spec(kv_cache_spec())
+        templates = self._segment_templates(len(pages))
+        segs = [self.mover.transfer(t,
+                                    lambda leaf: spec_for(leaf, stacked))
+                for t in templates]
+        return scatter_idx, segs
+
+    def _segment_templates(self, num_pages: int):
+        """Per-segment receive templates (ShapeDtypeStructs), cached by
+        migrating-page count — tracing them per prefill would put an
+        eval_shape on the TTFT path."""
+        if not hasattr(self, "_template_cache"):
+            self._template_cache = {}
+        hit = self._template_cache.get(num_pages)
+        if hit is not None:
+            return hit
+        cache = self.decode_worker.kv_caches
+        dummy_idx = jnp.zeros((num_pages, ), dtype=jnp.int32)
+        scatter_idx = scatter_index_for(cache, dummy_idx)
+        templates = [
+            jax.eval_shape(
+                lambda c, ls=ls, n=n: gather_segment_pages(
+                    c, scatter_idx, ls, n), cache)
+            for ls, n in self.segment_plan
+        ]
+        self._template_cache[num_pages] = templates
+        return templates
+
+    def _scatter_staged(self, staged) -> None:
+        scatter_idx, segs = staged
+        cache = self.decode_worker.kv_caches
+        if isinstance(cache, tuple):
+            received = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *segs)
+        else:
+            received = [kv for seg in segs for kv in seg]
+        self.decode_worker.kv_caches = scatter_pages_tree(
+            cache, scatter_idx, received)
+        if self.decode_worker.cache_engine is not None:
+            self.decode_worker.cache_engine.device_cache = \
+                self.decode_worker.kv_caches
+
+    def _post_draft_receive(self, pages: List[int]):
+        """Post the draft (speculative) cache's page receive; one bulk
+        transfer after the target segments (the draft model is small)."""
+        draft = self.decode_worker.model_runner.draft_caches
+        assert draft is not None, \
+            "prefill host runs a draft model but this host has none"
+        idx = jnp.asarray(pages, dtype=jnp.int32)
+        scatter_idx = scatter_index_for(draft, idx)
+        stacked = isinstance(draft, tuple)
+        spec_for = migration_leaf_spec(kv_cache_spec())
+        template = jax.eval_shape(
+            lambda c: gather_pages_tree(c, idx)[0], draft)
+        recv = self.mover.transfer(template,
+                                   lambda leaf: spec_for(leaf, stacked))
+        return scatter_idx, recv
+
+    def _scatter_draft(self, posted) -> None:
+        scatter_idx, recv = posted
+        runner = self.decode_worker.model_runner
+        runner.draft_caches = scatter_pages_tree(runner.draft_caches,
+                                                 scatter_idx, recv)
+        if self.decode_worker.draft_cache_engine is not None:
+            self.decode_worker.draft_cache_engine.device_cache = \
+                runner.draft_caches
 
     def _receive_pages(self, pages: List[int]) -> None:
-        """Receiver side of the DCN page transfer, then cache scatter."""
+        """Bulk receiver (no segment plan): one DCN page transfer, then
+        the cache scatter."""
         idx = jnp.asarray(pages, dtype=jnp.int32)
         cache = self.decode_worker.kv_caches
         stacked = isinstance(cache, tuple)
@@ -271,6 +425,30 @@ class MultihostSplitwiseExecutor(ExecutorBase):
         if self.decode_worker.cache_engine is not None:
             self.decode_worker.cache_engine.device_cache = \
                 self.decode_worker.kv_caches
+
+    # ---- LoRA management (both pools serve the adapters; the engine's
+    # serialized stepping keeps the channel request/reply pairing safe) --
+
+    def add_lora(self, lora_request) -> bool:
+        ok = self.decode_worker.add_lora(lora_request)
+        self.channel.send({"op": "add_lora", "request": lora_request})
+        reply = self.channel.recv(timeout=120)
+        if reply.get("op") == "error":
+            raise RuntimeError(f"prefill host add_lora failed: "
+                               f"{reply.get('message')}")
+        return ok and bool(reply.get("ok"))
+
+    def remove_lora(self, lora_id: int) -> bool:
+        ok = self.decode_worker.remove_lora(lora_id)
+        self.channel.send({"op": "remove_lora", "lora_id": lora_id})
+        reply = self.channel.recv(timeout=120)
+        if reply.get("op") == "error":
+            raise RuntimeError(f"prefill host remove_lora failed: "
+                               f"{reply.get('message')}")
+        return ok and bool(reply.get("ok"))
+
+    def list_loras(self):
+        return self.decode_worker.list_loras()
 
     def ensure_migrated(self, slots) -> None:
         # Ordering holds by construction: _remote_prefill returns only
@@ -318,6 +496,7 @@ class PrefillHostServer:
         assert parallel_config.sep_prompt_token
         self.cache_config = cache_config
         self.parallel_config = parallel_config
+        self.has_draft = speculative_config is not None
         state = build_parallel_state(
             tensor_parallel_size=parallel_config.tensor_parallel_size,
             sep_prompt_token=False,
@@ -326,7 +505,9 @@ class PrefillHostServer:
         self.worker = Worker(model_config, parallel_config,
                              scheduler_config, cache_config,
                              mesh=state.mesh,
-                             worker_type=WorkerType.PREFILL)
+                             worker_type=WorkerType.PREFILL,
+                             lora_config=lora_config,
+                             speculative_config=speculative_config)
         self.worker.load_model()
 
         profiled: Optional[int] = None
@@ -343,9 +524,18 @@ class PrefillHostServer:
         cache_config.num_host_blocks = init["num_host_blocks"]
         self.worker.init_cache_engine(cache_config)
         self.mover = _build_mover(parallel_config, self.worker.mesh)
-        self.channel.send({"op": "ready"})
-        logger.info("prefill host ready (%d device pages)",
-                    cache_config.num_device_blocks)
+        # The segment plan is a function of the model + cache layout +
+        # --kv-stream-segments only, so it can be fixed at handshake time
+        # and the decode host can pre-post its matching receives.
+        self.segment_plan = self.worker.model_runner._prefill_segment_plan(
+            self.worker.kv_caches, None)
+        self.channel.send({"op": "ready",
+                           "segment_plan": self.segment_plan,
+                           "has_draft": self.has_draft})
+        logger.info("prefill host ready (%d device pages, %s)",
+                    cache_config.num_device_blocks,
+                    f"{len(self.segment_plan)} stream segments"
+                    if self.segment_plan else "bulk migration")
 
     def serve_forever(self) -> None:
         while True:
@@ -357,29 +547,73 @@ class PrefillHostServer:
             if op == "ping":
                 self.channel.send({"op": "pong"})
                 continue
+            if op in ("add_lora", "remove_lora"):
+                try:
+                    if op == "add_lora":
+                        ok = self.worker.add_lora(msg["request"])
+                    else:
+                        ok = self.worker.remove_lora(msg["lora_id"])
+                    self.channel.send({"op": "lora", "ok": ok})
+                except Exception as exc:  # noqa: BLE001
+                    logger.exception("%s failed", op)
+                    self.channel.send({"op": "error",
+                                       "message": repr(exc)})
+                continue
             if op != "prefill":
                 self.channel.send({"op": "error",
                                    "message": f"unknown op {op!r}"})
                 continue
             try:
+                stream = None
+                if msg["pages"] and self.segment_plan:
+                    stream = _DCNMigrationStream(self.mover, msg["pages"],
+                                                 self.segment_plan)
+                t0 = time.perf_counter()
                 outputs = self.worker.execute_model(
                     msg["seqs"],
                     blocks_to_swap_in=msg["swap_in"],
                     blocks_to_swap_out=msg["swap_out"],
-                    blocks_to_copy=msg["copy"])
+                    blocks_to_copy=msg["copy"],
+                    kv_stream=stream)
+                exec_s = time.perf_counter() - t0
             except Exception as exc:  # noqa: BLE001 - reported to master
                 logger.exception("prefill job failed")
                 self.channel.send({"op": "error", "message": repr(exc)})
                 continue
-            self.channel.send({"op": "outputs", "outputs": outputs})
+            self.channel.send({
+                "op": "outputs",
+                "outputs": outputs,
+                # Overlap evidence: pushes enqueued at these offsets into
+                # a prefill forward that took prefill_exec_s in total.
+                "prefill_exec_s": exec_s,
+                "push_rel_s": stream.push_rel_s if stream else [],
+            })
             if msg["pages"]:
-                self._send_pages(msg["pages"])
+                if stream is not None:
+                    # Ship any segments the runner didn't stream (host-
+                    # processor fallback) so the decode host's pre-posted
+                    # receives always pair up.
+                    stream.finish(self.worker.kv_caches)
+                else:
+                    self._send_pages(msg["pages"])
+                if self.has_draft:
+                    self._send_draft(msg["pages"])
 
     def _send_pages(self, pages: List[int]) -> None:
         idx = jnp.asarray(pages, dtype=jnp.int32)
         cache = self.worker.kv_caches
         stacked = isinstance(cache, tuple)
         gathered, _ = gather_pages_tree(cache, idx)
+        spec_for = migration_leaf_spec(kv_cache_spec())
+        self.mover.transfer(gathered, lambda leaf: spec_for(leaf, stacked))
+
+    def _send_draft(self, pages: List[int]) -> None:
+        """The draft (speculative) model's prompt KV rides one bulk
+        transfer after the target segments (same page indices)."""
+        idx = jnp.asarray(pages, dtype=jnp.int32)
+        draft = self.worker.model_runner.draft_caches
+        gathered, _ = gather_pages_tree(draft, idx)
+        stacked = isinstance(draft, tuple)
         spec_for = migration_leaf_spec(kv_cache_spec())
         self.mover.transfer(gathered, lambda leaf: spec_for(leaf, stacked))
 

@@ -118,6 +118,22 @@ def _num_cache_layers(cache) -> int:
     return len(cache)
 
 
+def gather_segment_pages(kv_caches, scatter_idx, layer_start: int,
+                         num_layers: int):
+    """Pull one layer group's worth of the migrating pages out of a cache
+    pytree.  ``scatter_idx`` must already be the physical page indices
+    (:func:`scatter_index_for`); stacked leaves keep their leading layer
+    axis (sliced to the segment)."""
+    if isinstance(kv_caches, tuple):
+        return jax.tree.map(
+            lambda a: jnp.take(
+                jax.lax.slice_in_dim(a, layer_start,
+                                     layer_start + num_layers, axis=0),
+                scatter_idx, axis=1, mode="clip"), kv_caches)
+    return [(gather_pages(k, scatter_idx), gather_pages(v, scatter_idx))
+            for k, v in kv_caches[layer_start:layer_start + num_layers]]
+
+
 class MigrationStream:
     """One prefill step's layer-streamed migration (module docstring).
 
@@ -136,6 +152,11 @@ class MigrationStream:
         # [(layer_start, num_layers, shipped pages pytree)]
         self.segments: List[tuple] = []
         self.layers_pushed = 0
+        # Dispatch timeline (overlap evidence): seconds from stream open
+        # to each push's ENQUEUE — pushes landing well before the prefill
+        # completes are transfers riding under the remaining compute.
+        self.opened_at = time.perf_counter()
+        self.push_rel_s: List[float] = []
 
     def push(self, layer_start: int, num_layers: int, kv_caches) -> None:
         """Gather layers ``[layer_start, layer_start + num_layers)`` of
@@ -147,20 +168,12 @@ class MigrationStream:
             return
         if self._scatter_idx is None:
             self._scatter_idx = scatter_index_for(kv_caches, self._idx)
-        idx = self._scatter_idx
-        stacked = isinstance(kv_caches, tuple)
-        if stacked:
-            seg = jax.tree.map(
-                lambda a: jnp.take(
-                    jax.lax.slice_in_dim(a, layer_start,
-                                         layer_start + num_layers, axis=0),
-                    idx, axis=1, mode="clip"), kv_caches)
-        else:
-            seg = [(gather_pages(k, idx), gather_pages(v, idx)) for k, v in
-                   kv_caches[layer_start:layer_start + num_layers]]
-        seg = self.manager._ship(seg, stacked=stacked)
+        seg = gather_segment_pages(kv_caches, self._scatter_idx,
+                                   layer_start, num_layers)
+        seg = self.manager._ship(seg, stacked=isinstance(kv_caches, tuple))
         self.segments.append((layer_start, num_layers, seg))
         self.layers_pushed += num_layers
+        self.push_rel_s.append(time.perf_counter() - self.opened_at)
 
 
 class KVMigrationManager:
@@ -177,6 +190,7 @@ class KVMigrationManager:
         self.num_streamed = 0
         self.num_pages_moved = 0
         self.last_migration_seconds = 0.0
+        self.last_push_timeline: List[float] = []
 
     # ---- layer-streamed path ----
 
@@ -228,6 +242,7 @@ class KVMigrationManager:
         self.num_streamed += 1
         self.num_pages_moved += len(stream.pages)
         self.last_migration_seconds = time.perf_counter() - start
+        self.last_push_timeline = list(stream.push_rel_s)
 
     def _dst_sharding(self):
         mesh = self.decode_worker.mesh
