@@ -43,12 +43,25 @@ async def send_request(session, api_url, model, prompt_ids, output_len,
     result.record_event(LifetimeEvent.DecodingEnd, result.end_time)
 
 
-async def run_one_rate(args, rate: float):
+def _workload(args):
+    """(prompt_ids, output_len) pairs: either fixed-shape synthetic
+    requests, or — with --replay-workload — the EXACT per-request
+    (prompt_len, output_len) mix of a reference .exp dump (e.g. the
+    fork's committed ShareGPT-derived llama3-100-*.exp), for a
+    like-for-like p50 against its recorded numbers."""
     random.seed(args.seed)
-    requests = [
-        ([random.randint(10, 10000) for _ in range(args.input_len)],
-         args.output_len) for _ in range(args.num_prompts)
-    ]
+    if args.replay_workload:
+        with open(args.replay_workload) as f:
+            recs = json.load(f)[:args.num_prompts]
+        return [([random.randint(10, 10000)
+                  for _ in range(r["prompt_len"])], r["output_len"])
+                for r in recs]
+    return [([random.randint(10, 10000) for _ in range(args.input_len)],
+             args.output_len) for _ in range(args.num_prompts)]
+
+
+async def run_one_rate(args, rate: float):
+    requests = _workload(args)
     arrivals = sample_arrivals(args.num_prompts, rate,
                                args.arrival_distribution, args.seed,
                                args.cv)
@@ -108,4 +121,7 @@ if __name__ == "__main__":
                         help="TPOT SLO seconds")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--exp-prefix", type=str, default=None)
+    parser.add_argument("--replay-workload", type=str, default=None,
+                        help="replay the (prompt_len, output_len) mix of "
+                        "a reference .exp dump instead of fixed shapes")
     asyncio.run(main(parser.parse_args()))
