@@ -424,25 +424,23 @@ def main():
     speedup = None
     cmp_cfg = None
     leg_failures = []
+    single_stream_speedup = None
     if args.quant != "bf16" and not args.no_compare:
-        # 7B bf16 (13.5 GB weights) does not fit on a 16 GB v5e chip
-        # even at b1 ctx128 (measured: ResourceExhausted) — int4 is what
-        # ENABLES 7B-on-one-chip at all.  Attempt a same-size ratio
-        # anyway (meaningful for sizes whose bf16 fits, e.g. --size 1b),
-        # else fall back to the single-stream TPOT proxy and record the
-        # bf16 OOM in the metric name.
-        # Single-stream (b1) decode is the canonical weight-only-quant
-        # speedup config (weights dominate the step, as in the
-        # reference's AWQ/GPTQ speedup claims); batched ratios are also
-        # attempted and recorded.  Full-depth 7B bf16 never fits a 16 GB
-        # chip, so the ladder drops to 7b_half (identical per-layer
-        # shapes, 16 layers, bf16 = 6.9 GB) and then 1B.
-        ladder = [(size, 1, 128), (size, args.batch, 128)]
+        # Full-depth 7B bf16 (13.5 GB weights) can NEVER fit a 16 GB v5e
+        # chip (measured RESOURCE_EXHAUSTED at b1 ctx128 in round 2) —
+        # int4 is what enables 7B-on-one-chip at all — so the ladder goes
+        # straight to the largest size whose bf16 build fits: 7b_half
+        # (identical per-layer shapes/tiles, 16 layers, bf16 = 6.9 GB),
+        # then 1B.  The AT-BATCH ratio leads (that is the configuration
+        # the tokens/s/chip headline implies); the single-stream (b1)
+        # ratio — the canonical weight-only-quant config, where weights
+        # dominate the step — is also measured and recorded.
+        cmp_size = size
         if size == "7b":
-            ladder += [("7b_half", 1, 128),
-                       ("7b_half", args.batch, 128)]
-        if size != "1b":
-            ladder += [("1b", 1, 128), ("1b", args.batch, args.context)]
+            cmp_size = "7b_half"
+        ladder = [(cmp_size, args.batch, 128), (cmp_size, 16, 128)]
+        if cmp_size != "1b":
+            ladder += [("1b", args.batch, args.context)]
         seen = set()
         for cs, cb, cc in ladder:
             if (cs, cb, cc) in seen:
@@ -462,6 +460,14 @@ def main():
             speedup = toks_q / toks_b
             cmp_cfg = (cs, cb, cc)
             break
+        if cmp_cfg is not None:
+            # Secondary: the single-stream ratio at the same size.
+            toks_b1 = _run_leg("bf16", cmp_cfg[0], 1, 128, args,
+                               leg_failures)
+            toks_q1 = _run_leg(args.quant, cmp_cfg[0], 1, 128, args,
+                               leg_failures)
+            if toks_b1 and toks_q1:
+                single_stream_speedup = toks_q1 / toks_b1
 
     if speedup is not None:
         vs_baseline = round(speedup / _TARGET_SPEEDUP, 3)
@@ -484,6 +490,9 @@ def main():
         record["speedup_vs_bf16"] = round(speedup, 3)
         record["speedup_config"] = (f"{cmp_cfg[0]}_b{cmp_cfg[1]}"
                                     f"_ctx{cmp_cfg[2]}")
+    if single_stream_speedup is not None:
+        record["speedup_vs_bf16_single_stream"] = round(
+            single_stream_speedup, 3)
     if leg_failures:
         record["failed_legs"] = leg_failures
     print(json.dumps(record))

@@ -35,12 +35,22 @@ class WorkerLoRAManager:
             "up_proj": (hidden, inter),
             "down_proj": (inter, hidden),
         }
+        # Embedding / LM-head adapters + extra vocab (reference
+        # models/llama.py:292-304 wires these whenever LoRA is enabled).
+        embedding_config = None
+        if hasattr(model, "vocab_size"):
+            embedding_config = {
+                "base_vocab": model.vocab_size,
+                "extra": lora_config.lora_extra_vocab_size,
+                "hidden": hidden,
+            }
         self.manager = LoRAModelManager(
             num_layers=model.num_layers,
             max_loras=lora_config.max_loras,
             max_rank=lora_config.max_lora_rank,
             module_shapes=module_shapes,
             dtype=model_config.dtype,
+            embedding_config=embedding_config,
         )
         self._loaded_paths: Dict[int, str] = {}
 

@@ -305,10 +305,17 @@ class LlamaForCausalLM:
 
     # ---- forward ----
 
-    def embed(self, params: Dict[str, Any],
-              input_ids: jax.Array) -> jax.Array:
-        hidden = jnp.take(params["embed_tokens"], input_ids, axis=0,
-                          mode="clip")
+    def embed(self, params: Dict[str, Any], input_ids: jax.Array,
+              lora=None) -> jax.Array:
+        if lora is not None and "embed_A" in lora:
+            from vllm_splitwise_tpu.lora.layers import lora_embedding
+            hidden = lora_embedding(input_ids, params["embed_tokens"],
+                                    lora["embed_A"], lora["embed_B"],
+                                    lora["extra_in"], lora["idx"],
+                                    self.vocab_size)
+        else:
+            hidden = jnp.take(params["embed_tokens"], input_ids, axis=0,
+                              mode="clip")
         if self.embed_multiplier != 1.0:
             hidden = hidden * jnp.asarray(self.embed_multiplier,
                                           dtype=hidden.dtype)
@@ -327,7 +334,7 @@ class LlamaForCausalLM:
         metadata,
         lora=None,
     ) -> Tuple[jax.Array, List[KVCache]]:
-        hidden = self.embed(params, input_ids)
+        hidden = self.embed(params, input_ids, lora)
         from vllm_splitwise_tpu.ops.kv_cache import QuantPages
         if (isinstance(kv_caches, tuple) and len(kv_caches) == 2
                 and (not isinstance(kv_caches[0], tuple)
@@ -459,12 +466,16 @@ class LlamaForCausalLM:
         lora_xs = None
         lora_idx = None
         if lora is not None:
-            from vllm_splitwise_tpu.lora.layers import lora_apply
+            from vllm_splitwise_tpu.lora.layers import (GLOBAL_STACK_KEYS,
+                                                        lora_apply)
             lora_idx = lora["idx"]
-            # Stacks are [S, L, ...]; scan consumes the L axis in front.
+            # Per-layer stacks are [S, L, ...]; scan consumes the L axis
+            # in front.  Global (embedding/LM-head) stacks stay out of
+            # the scan — embed()/compute_logits() consume them.
             lora_xs = {
                 k: jnp.moveaxis(v, 1, 0)[seg]
-                for k, v in lora.items() if k != "idx"
+                for k, v in lora.items()
+                if k != "idx" and k not in GLOBAL_STACK_KEYS
             }
 
         layers_all = params["layers"]
@@ -577,13 +588,22 @@ class LlamaForCausalLM:
              jnp.arange(layer_start, layer_start + num_layers), lora_xs))
         return hidden, (k_all, v_all)
 
-    def compute_logits(self, params: Dict[str, Any],
-                       hidden: jax.Array) -> jax.Array:
+    def compute_logits(self, params: Dict[str, Any], hidden: jax.Array,
+                       lora=None) -> jax.Array:
         if self.tie_word_embeddings:
             lm_head = params["embed_tokens"].T
         else:
             lm_head = params["lm_head"]
         logits = jnp.dot(hidden, lm_head, preferred_element_type=jnp.float32)
+        if lora is not None and "lm_head_A" in lora:
+            # [rows, vocab + extra]: adapter-added ids score via the
+            # adapter's output-embedding rows (-inf outside the row's
+            # adapter); lm_head low-rank delta on top.
+            from vllm_splitwise_tpu.lora.layers import lora_logits
+            return lora_logits(hidden, logits, lora["lm_head_A"],
+                               lora["lm_head_B"], lora["extra_out"],
+                               lora["extra_count"], lora["idx"],
+                               self.vocab_size)
         return logits[..., :self.vocab_size]
 
     # ---- HF checkpoint loading ----

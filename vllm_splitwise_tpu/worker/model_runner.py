@@ -241,13 +241,44 @@ class ModelRunner:
     def _build_step_fns(self) -> None:
         model = self.model
         vocab_size = self.model_config.get_vocab_size()
+        if self.lora_config is not None:
+            # Adapter-added token ids live past the base vocab (reference
+            # models/llama.py:292-304 unpadded_vocab_size expansion).
+            vocab_size += self.lora_config.lora_extra_vocab_size
 
-        def prompt_logprobs_of(params, hidden, input_ids, max_logprobs):
+        def finalize_logits(logits):
+            """Normalize head output to the sampler's vocab width: pad
+            with -inf when the head produced base-vocab-only logits but
+            LoRA extra vocab widened the sample space (a batch with no
+            adapters must never sample an added id)."""
+            width = logits.shape[-1]
+            if width < vocab_size:
+                pad = jnp.full(logits.shape[:-1] + (vocab_size - width, ),
+                               jnp.finfo(jnp.float32).min, logits.dtype)
+                return jnp.concatenate([logits, pad], axis=-1)
+            return logits[..., :vocab_size]
+
+        def head_logits(params, hidden, lora):
+            if lora is not None:
+                return finalize_logits(
+                    model.compute_logits(params, hidden, lora))
+            return finalize_logits(model.compute_logits(params, hidden))
+
+        def prompt_logprobs_of(params, hidden, input_ids, max_logprobs,
+                               lora=None):
             """Per-position logprobs over the whole prompt (echo /
             prompt_logprobs): position i scores token i+1.  Packed
             [B, T, 1+2L] — one fetch."""
-            all_logits = model.compute_logits(params, hidden)
-            all_logits = all_logits[..., :vocab_size]
+            if lora is not None and "lm_head_A" in lora:
+                b, t, h = hidden.shape
+                flat_lora = dict(lora)
+                flat_lora["idx"] = jnp.repeat(lora["idx"][:b], t)
+                all_logits = model.compute_logits(
+                    params, hidden.reshape(b * t, h),
+                    flat_lora).reshape(b, t, -1)
+            else:
+                all_logits = model.compute_logits(params, hidden)
+            all_logits = finalize_logits(all_logits)
             all_lp = jax.nn.log_softmax(all_logits.astype(jnp.float32),
                                         axis=-1)
             next_ids = jnp.roll(input_ids, -1, axis=1)
@@ -338,14 +369,14 @@ class ModelRunner:
             if is_prefill:
                 if return_prompt_logprobs:
                     prompt_lp = prompt_logprobs_of(params, hidden,
-                                                   input_ids, max_logprobs)
+                                                   input_ids, max_logprobs,
+                                                   lora)
                 # Gather each sequence's last valid position.
                 last = jnp.maximum(metadata.seq_lens - 1, 0)
                 hidden = hidden[jnp.arange(batch), last]
             else:
                 hidden = hidden[:, 0]
-            logits = model.compute_logits(params, hidden)
-            logits = logits[..., :vocab_size]
+            logits = head_logits(params, hidden, lora)
             # Expand model rows to sample rows (prompt best_of>1 draws
             # several tokens from one row's distribution).
             logits = jnp.take(logits, sample_indices, axis=0, mode="clip")
@@ -373,13 +404,13 @@ class ModelRunner:
                 batch = hidden.shape[0]
                 if return_prompt_logprobs:
                     prompt_lp = prompt_logprobs_of(params, hidden,
-                                                   input_ids, max_logprobs)
+                                                   input_ids, max_logprobs,
+                                                   lora)
                 last = jnp.maximum(metadata.seq_lens - 1, 0)
                 hidden = hidden[jnp.arange(batch), last]
             else:
                 hidden = hidden[:, 0]
-            logits = model.compute_logits(params, hidden)
-            logits = logits[..., :vocab_size].astype(jnp.float32)
+            logits = head_logits(params, hidden, lora).astype(jnp.float32)
             return jnp.take(logits, sample_indices, axis=0,
                             mode="clip"), prompt_lp, new_caches
 
@@ -415,9 +446,9 @@ class ModelRunner:
         # (the reference's per-layer put() inside the attention forward,
         # flash_attn.py:82-86, at layer-group granularity).
 
-        def seg_embed(params, ibuf, *, batch, t_pad):
+        def seg_embed(params, ibuf, lora=None, *, batch, t_pad):
             input_ids = ibuf[:batch * t_pad].reshape(batch, t_pad)
-            return model.embed(params, input_ids)
+            return model.embed(params, input_ids, lora)
 
         def seg_layers(params, kv_caches, hidden, ibuf, lora=None, *,
                        layer_start, num_layers, batch, t_pad,
@@ -434,9 +465,9 @@ class ModelRunner:
                                         layer_start=layer_start,
                                         num_layers=num_layers)
 
-        def seg_tail(params, hidden, ibuf, fbuf, *, needs_filtering,
-                     max_logprobs, batch, t_pad, prefix_pages, s_pad, lp,
-                     lo, return_prompt_logprobs):
+        def seg_tail(params, hidden, ibuf, fbuf, lora=None, *,
+                     needs_filtering, max_logprobs, batch, t_pad,
+                     prefix_pages, s_pad, lp, lo, return_prompt_logprobs):
             input_ids, _, metadata, off = parse_prefill(
                 ibuf, batch, t_pad, prefix_pages)
 
@@ -462,11 +493,10 @@ class ModelRunner:
             prompt_lp = None
             if return_prompt_logprobs:
                 prompt_lp = prompt_logprobs_of(params, hidden, input_ids,
-                                               max_logprobs)
+                                               max_logprobs, lora)
             last = jnp.maximum(metadata.seq_lens - 1, 0)
             hidden = hidden[jnp.arange(batch), last]
-            logits = model.compute_logits(params, hidden)
-            logits = logits[..., :vocab_size]
+            logits = head_logits(params, hidden, lora)
             logits = jnp.take(logits, sample_indices, axis=0, mode="clip")
             out = sample(logits, sampling_tensors, seeds,
                          max_logprobs=max_logprobs,
@@ -1331,8 +1361,8 @@ class ModelRunner:
         following group's donated-buffer reuse.  Analog of the
         reference's per-layer put() inside the attention forward
         (flash_attn.py:82-86, worker.py:318-331)."""
-        hidden = self._seg_embed_fn(self.params, ibuf_dev, batch=batch,
-                                    t_pad=t_pad)
+        hidden = self._seg_embed_fn(self.params, ibuf_dev, lora,
+                                    batch=batch, t_pad=t_pad)
         for layer_start, num_layers in plan:
             hidden, kv_caches = self._seg_layers_fn(
                 self.params, kv_caches, hidden, ibuf_dev, lora,
@@ -1341,7 +1371,7 @@ class ModelRunner:
             if kv_stream is not None:
                 kv_stream.push(layer_start, num_layers, kv_caches)
         out, prompt_lp = self._seg_tail_fn(
-            self.params, hidden, ibuf_dev, fbuf_dev,
+            self.params, hidden, ibuf_dev, fbuf_dev, lora,
             needs_filtering=needs_filtering, max_logprobs=max_logprobs,
             batch=batch, t_pad=t_pad, prefix_pages=prefix_pages,
             s_pad=s_pad, lp=lp, lo=lo,
