@@ -44,13 +44,24 @@ def _squeeze0(pages):
     return jax.tree.map(lambda a: a[0], pages)
 
 
-def _pages_per_chunk() -> int:
+def _pages_per_chunk(kv_pages=None) -> int:
     """Decode-kernel DMA batch: pages per double-buffered chunk.  Bigger
-    chunks amortize per-grid-step overhead against VMEM (2 slots x 2
+    chunks amortize per-grid-step overhead against VMEM (slots x 2
     arrays x kvh x chunk_tokens x head_dim must stay well under the
-    ~16 MB scoped budget).  Tunable for A/B runs via VST_PAGES_PER_CHUNK."""
+    ~16 MB scoped budget), so 1-byte KV caches (int8/fp8/int4) take 16
+    pages per chunk (measured +2.8% decode tok/s at 7B b23 vs 8) while
+    2-byte caches stay at 8.  Tunable for A/B runs via
+    VST_PAGES_PER_CHUNK."""
     import os
-    return int(os.environ.get("VST_PAGES_PER_CHUNK", "8"))
+    env = os.environ.get("VST_PAGES_PER_CHUNK")
+    if env is not None:
+        return int(env)
+    if kv_pages is not None:
+        leaf = kv_pages.data if isinstance(kv_pages, QuantPages) \
+            else kv_pages
+        if leaf.dtype.itemsize == 1:
+            return 16
+    return 8
 
 
 def _use_pallas() -> bool:
@@ -187,7 +198,7 @@ class Attention:
                                   kv_scale=self.kv_scale,
                                   alibi_slopes=self.alibi_slopes,
                                   layer_index=layer_index,
-                                  pages_per_chunk=_pages_per_chunk())
+                                  pages_per_chunk=_pages_per_chunk(k_pages))
             return out.reshape(batch, seq_len, -1), (k_pages, v_pages)
 
         prefix_kv = None
@@ -362,7 +373,7 @@ class Attention:
                                   kv_scale=self.kv_scale,
                                   alibi_slopes=self.alibi_slopes,
                                   layer_index=layer_index,
-                                  pages_per_chunk=_pages_per_chunk())
+                                  pages_per_chunk=_pages_per_chunk(k_pages))
         else:
             out = paged_attention_reference(q_arg, k_view, v_view,
                                             md.block_tables, md.context_lens,

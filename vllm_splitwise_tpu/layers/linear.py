@@ -89,7 +89,8 @@ def linear(x: jax.Array,
 def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
           layer_index=None, pre_op: str = "none",
           pre_w: Optional[jax.Array] = None,
-          pre_eps: float = 1e-6) -> jax.Array:
+          pre_eps: float = 1e-6,
+          residual: Optional[jax.Array] = None) -> jax.Array:
     """The universal projection: y = x @ W (+ b) where W is either a plain
     [in, out] array or a quantized param dict (pack2G int4 / int8 /
     dense-fallback — see ops/quant_matmul.py).  Models call this instead
@@ -100,7 +101,10 @@ def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
     ("rmsnorm" with its weight, or "silu_mul" on a merged gate_up
     output) into the W4A8 kernel's quantize prologue — one fused launch
     instead of separate elementwise fusions; every other weight kind
-    applies the same math in XLA first (identical numerics)."""
+    applies the same math in XLA first (identical numerics).
+    ``residual`` folds the transformer skip-add (y += residual) into the
+    W4A8 kernel's epilogue; other paths add it in XLA (commutative —
+    identical numerics either way)."""
     if isinstance(w, dict):
         from vllm_splitwise_tpu.ops.quant_matmul import (
             quant_matmul_int4, quant_matmul_int4_stacked, quant_matmul_int8,
@@ -163,10 +167,15 @@ def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
                         and (4 * group_size) % 128 == 0):
                     from vllm_splitwise_tpu.ops.quant_matmul import \
                         quant_matmul_int4_mxu_stacked
+                    res2 = None
+                    if residual is not None:
+                        res2 = residual.reshape(-1, residual.shape[-1])
                     y = quant_matmul_int4_mxu_stacked(
                         x2, w["qweight"], w["sz_bands"], layer_index,
                         group_size=group_size, block_n=_block_n(),
-                        pre_op=pre_op, pre_w=pre_w, eps=pre_eps)
+                        pre_op=pre_op, pre_w=pre_w, eps=pre_eps,
+                        residual=res2)
+                    residual = None  # folded in-kernel
                 else:
                     x2 = apply_pre_op(x2, pre_op, pre_w, pre_eps)
                     x2, _ = pad_phantom(x2, k_eff)
@@ -201,4 +210,6 @@ def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
         y = jnp.dot(x, w)
     if bias is not None:
         y = y + bias
+    if residual is not None:
+        y = y + residual
     return y

@@ -544,18 +544,20 @@ class LlamaForCausalLM:
             attn_out, (k_pages, v_pages) = attn(q, k, v,
                                                 (k_pages, v_pages),
                                                 metadata, layer_index=li)
-            o = proj(attn_out, "o_proj")
+            # The skip-add rides the projection (W4A8 epilogue fuses it;
+            # plain weights add in XLA — identical numerics).
+            h = proj(attn_out, "o_proj", residual=residual)
             if ll is not None:
-                o = o + lora_apply(attn_out, ll["o_proj_A"],
+                h = h + lora_apply(attn_out, ll["o_proj_A"],
                                    ll["o_proj_B"], lora_idx)
-            h = residual + o
             residual = h
             if merged_gu and ll is None and self.hidden_act == "silu":
                 # Post-attn norm and silu*up ride the fused prologues.
                 gate_up = proj(h, "gate_up_proj", pre_op="rmsnorm",
                                pre_w=lp["post_attention_layernorm"],
                                pre_eps=self.rms_eps)
-                down = proj(gate_up, "down_proj", pre_op="silu_mul")
+                h = proj(gate_up, "down_proj", pre_op="silu_mul",
+                         residual=residual)
             else:
                 x = rms_norm(h, lp["post_attention_layernorm"],
                              self.rms_eps)
@@ -571,11 +573,10 @@ class LlamaForCausalLM:
                     up = up + lora_apply(x, ll["up_proj_A"],
                                          ll["up_proj_B"], lora_idx)
                 inner = self.act_fn(gate) * up
-                down = proj(inner, "down_proj")
+                h = proj(inner, "down_proj", residual=residual)
                 if ll is not None:
-                    down = down + lora_apply(inner, ll["down_proj_A"],
-                                             ll["down_proj_B"], lora_idx)
-            h = residual + down
+                    h = h + lora_apply(inner, ll["down_proj_A"],
+                                       ll["down_proj_B"], lora_idx)
             return (h, k_pages, v_pages), None
 
         # The stacked caches ride the CARRY (in-place scatter/DMA per

@@ -34,8 +34,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # KV chunk VMEM slots: DMA lookahead depth is NUM_SLOTS - 1 (the global
-# grid pipeline keeps that many chunk transfers in flight).
-NUM_SLOTS = 3
+# grid pipeline keeps that many chunk transfers in flight).  Tunable for
+# A/B runs via VST_KV_SLOTS; deeper lookahead trades VMEM for issue-rate
+# cover at small-chunk decode shapes.
+import os as _os
+
+NUM_SLOTS = int(_os.environ.get("VST_KV_SLOTS", "3"))
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 

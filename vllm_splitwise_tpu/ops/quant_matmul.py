@@ -729,16 +729,22 @@ def _int4_mxu_kernel_stacked(
     q_ref,        # [1, 2G, bn] int8 pack2G (both k-blocks of the band)
     sz_ref,       # [1, 8, bn] f32 (one pack_sz_bands band)
     sx_ref,       # [bm, 128] f32 (per-token act scale, lane-broadcast)
-    o_ref,        # [bm, bn] out dtype (sx folded in the epilogue)
-    acc_ref,      # [bm, bn] f32
-    *,
+    *rest,        # [res_ref,] o_ref, acc_ref
     group_size: int,
+    has_residual: bool = False,
 ):
     """Superblock grid step: each step consumes ONE full metadata band =
     two pack2G k-blocks = 4 quant groups (4G k-rows).  Half the grid
     steps of the classic one-k-block step, double the DMA size (better
     pipeline utilization at decode shapes), and the band's (s, z) rows
-    sit at STATIC offsets — no even/odd parity selects."""
+    sit at STATIC offsets — no even/odd parity selects.  An optional
+    residual block rides the epilogue (saves one XLA elementwise kernel
+    per projection at decode shapes)."""
+    if has_residual:
+        res_ref, o_ref, acc_ref = rest
+    else:
+        res_ref = None
+        o_ref, acc_ref = rest
     g = group_size
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
@@ -786,8 +792,10 @@ def _int4_mxu_kernel_stacked(
         # Per-token activation scale folded here: the output leaves the
         # kernel in the model dtype (an f32 out + XLA epilogue multiply
         # measured ~0.4 ms/step of extra HBM traffic at 7B decode).
-        o_ref[...] = (acc_ref[...] *
-                      sx_ref[:, 0:1]).astype(o_ref.dtype)
+        out = acc_ref[...] * sx_ref[:, 0:1]
+        if has_residual:
+            out = out + res_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
 
 
 def apply_pre_op(x: jax.Array, pre_op: str, pre_w, eps: float):
@@ -819,6 +827,7 @@ def quant_matmul_int4_mxu_stacked(
     pre_op: str = "none",
     pre_w: "jax.Array" = None,
     eps: float = 1e-6,
+    residual: "jax.Array" = None,
     interpret: bool = False,
 ) -> jax.Array:
     """W4A8 path: y ~= x @ dequant(qweight) with int8-MXU group matmuls.
@@ -827,7 +836,8 @@ def quant_matmul_int4_mxu_stacked(
     weight quantization (per-token symmetric int8).  ``pre_op`` folds
     the op feeding the matmul into the quantize prologue launch:
     "rmsnorm" (x = raw hidden, pre_w = norm weight) or "silu_mul"
-    (x = merged gate_up output [M, 2K])."""
+    (x = merged gate_up output [M, 2K]).  ``residual`` ([M, N]) rides
+    the epilogue: y += residual in one kernel."""
     m, k_in = x.shape
     k = k_in // 2 if pre_op == "silu_mul" else k_in
     num_layers, kk, n = qweight.shape
@@ -847,7 +857,8 @@ def quant_matmul_int4_mxu_stacked(
         s, z = unpack_sz_bands(sz, k, g)
         xq, sx, _ = quantize_activations_int8(x, g)
         xd = xq.astype(jnp.float32) * sx
-        return quant_matmul_int4_reference(xd.astype(x.dtype), qw, s, z, g)
+        y = quant_matmul_int4_reference(xd.astype(x.dtype), qw, s, z, g)
+        return y if residual is None else y + residual
 
     # Odd k-block counts (e.g. K=11008 at g128 -> 43) ride the phantom
     # zero block pad_qweight_even appended at stack time: its band
@@ -873,23 +884,32 @@ def quant_matmul_int4_mxu_stacked(
         interpret=interpret)
 
     layer_arr = jnp.asarray([layer_index], dtype=jnp.int32).reshape(1)
+    in_specs = [
+        pl.BlockSpec((block_m, 4 * g),
+                     lambda i, j, kb, L: (i, kb)),
+        pl.BlockSpec((block_m, 256),
+                     lambda i, j, kb, L: (i, kb)),
+        pl.BlockSpec((1, 2 * g, block_n),
+                     lambda i, j, kb, L: (L[0], kb, j)),
+        pl.BlockSpec((1, 8, block_n),
+                     lambda i, j, kb, L: (L[0], kb, j)),
+        pl.BlockSpec((block_m, 128),
+                     lambda i, j, kb, L: (i, 0)),
+    ]
+    operands = [layer_arr, xq, sums_wide, qweight, sz_bands, sx_wide]
+    if residual is not None:
+        if m_pad:
+            residual = jnp.pad(residual, ((0, m_pad), (0, 0)))
+        in_specs.append(
+            pl.BlockSpec((block_m, block_n), lambda i, j, kb, L: (i, j)))
+        operands.append(residual)
     out = pl.pallas_call(
-        functools.partial(_int4_mxu_kernel_stacked, group_size=g),
+        functools.partial(_int4_mxu_kernel_stacked, group_size=g,
+                          has_residual=residual is not None),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((block_m, 4 * g),
-                             lambda i, j, kb, L: (i, kb)),
-                pl.BlockSpec((block_m, 256),
-                             lambda i, j, kb, L: (i, kb)),
-                pl.BlockSpec((1, 2 * g, block_n),
-                             lambda i, j, kb, L: (L[0], kb, j)),
-                pl.BlockSpec((1, 8, block_n),
-                             lambda i, j, kb, L: (L[0], kb, j)),
-                pl.BlockSpec((block_m, 128),
-                             lambda i, j, kb, L: (i, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((block_m, block_n),
                                    lambda i, j, kb, L: (i, j)),
             scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
@@ -898,7 +918,7 @@ def quant_matmul_int4_mxu_stacked(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(layer_arr, xq, sums_wide, qweight, sz_bands, sx_wide)
+    )(*operands)
     return out[:m] if m_pad else out
 
 
