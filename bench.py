@@ -101,11 +101,17 @@ def build(size: str, quant: str, seed: int = 0):
         }
 
     key, k1, k2 = jax.random.split(key, 3)
+    # The quantized serving config also carries the int8 W8A16 LM head
+    # (--quantize-lm-head int8; ~lossless, halves the head's HBM bytes).
+    lm_head = {
+        "qweight": jax.random.randint(k2, (h, model.padded_vocab), -127,
+                                      128, dtype=jnp.int8),
+        "scales": jnp.full((1, model.padded_vocab), 2e-4, jnp.float32),
+    }
     params = {
         "embed_tokens": (jax.random.normal(
             k1, (model.padded_vocab, h), dtype=jnp.bfloat16) * 0.02),
-        "lm_head": (jax.random.normal(
-            k2, (h, model.padded_vocab), dtype=jnp.bfloat16) * 0.02),
+        "lm_head": lm_head,
         "norm": jnp.ones((h, ), jnp.bfloat16),
         "layers": {
             "input_layernorm": jnp.ones((num_l, h), jnp.bfloat16),
@@ -393,10 +399,12 @@ def main():
                         default="split",
                         help="fused = interleaved K/V pages, one "
                         "attention DMA per logical page")
-    # 8 = the engine's documented serving mode (--num-decode-steps 8):
-    # one dispatch per 8-step lax.scan window with device-side token
-    # feedback; 0/1 = one dispatch per token.
-    parser.add_argument("--fused-steps", type=int, default=8)
+    # >1 = the engine's serving mode (--num-decode-steps K): one
+    # dispatch per K-step lax.scan window with device-side token
+    # feedback.  Default 1 (one dispatch per token): the fused window
+    # measured ~equal for int4 and slightly SLOWER for bf16 on-chip, so
+    # defaulting to it would flatter the int4-vs-bf16 ratio.
+    parser.add_argument("--fused-steps", type=int, default=1)
     parser.add_argument("--size", choices=list(_SHAPES), default=None)
     parser.add_argument("--quant", choices=["int4", "int8", "bf16"],
                         default="int4")

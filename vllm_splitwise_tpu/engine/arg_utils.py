@@ -56,6 +56,7 @@ class EngineArgs:
     code_revision: Optional[str] = None
     tokenizer_revision: Optional[str] = None
     quantization: Optional[str] = None
+    quantize_lm_head: Optional[str] = None
     enforce_eager: bool = False
     max_context_len_to_capture: int = 8192
     # Multi-host (jax.distributed) cluster membership.
@@ -198,6 +199,11 @@ class EngineArgs:
                             choices=["awq", "gptq", "squeezellm", "marlin",
                                      "int8", None],
                             default=EngineArgs.quantization)
+        parser.add_argument("--quantize-lm-head", type=str,
+                            choices=["int8", None], default=None,
+                            help="weight-only LM-head quantization "
+                            "(per-channel W8A16, f32 out); halves the "
+                            "head's HBM bytes at decode")
         parser.add_argument("--enforce-eager", action="store_true")
         parser.add_argument("--max-context-len-to-capture", type=int,
                             default=EngineArgs.max_context_len_to_capture)
@@ -245,7 +251,8 @@ class EngineArgs:
             self.dtype, self.seed, self.revision, self.code_revision,
             self.tokenizer_revision, self.max_model_len, self.quantization,
             self.enforce_eager, self.max_context_len_to_capture,
-            self.max_logprobs)
+            self.max_logprobs,
+            quantize_lm_head=self.quantize_lm_head)
         cache_config = CacheConfig(
             block_size=self.block_size,
             hbm_utilization=self.gpu_memory_utilization,

@@ -284,6 +284,27 @@ class Attention:
         k = k.reshape(batch * q_len, self.num_kv_heads, self.head_dim)
         v = v.reshape(batch * q_len, self.num_kv_heads, self.head_dim)
 
+        import os
+        if (q_len == 1 and _use_pallas() and self.head_dim % 128 == 0
+                and not isinstance(k_pages, QuantPages)
+                and cache_heads == self.num_kv_heads
+                and os.environ.get("VST_FUSED_WRITE", "1") == "1"):
+            # FUSED WRITE+ATTEND: the kernel merges the fresh K/V row
+            # into the chunk in VMEM and writes the touched page back to
+            # the aliased cache — no separate page read-modify-write
+            # kernels on the decode hot path.
+            from vllm_splitwise_tpu.ops.kv_cache import quantize_for_cache
+            dt = k_pages.dtype
+            k_q = quantize_for_cache(k, dt, self.kv_scale)
+            v_q = quantize_for_cache(v, dt, self.kv_scale)
+            out, (k_pages, v_pages) = paged_attention(
+                q[:, 0], k_pages, v_pages, md.block_tables,
+                md.context_lens, scale=self.scale, kv_scale=self.kv_scale,
+                alibi_slopes=self.alibi_slopes, layer_index=layer_index,
+                new_kv=(k_q, v_q, md.slot_mapping),
+                pages_per_chunk=_pages_per_chunk(k_pages))
+            return out.reshape(batch, q_len, -1), (k_pages, v_pages)
+
         if fused:
             assert cache_heads == self.num_kv_heads, (
                 "fused KV caches require homogeneous KV heads")

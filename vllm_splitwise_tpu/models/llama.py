@@ -595,7 +595,20 @@ class LlamaForCausalLM:
             lm_head = params["embed_tokens"].T
         else:
             lm_head = params["lm_head"]
-        logits = jnp.dot(hidden, lm_head, preferred_element_type=jnp.float32)
+        if isinstance(lm_head, dict):
+            # Quantized LM head (--quantize-lm-head int8): W8A16 kernel
+            # with per-channel scales, f32 accumulate/out — halves the
+            # head's HBM bytes, which at 7B decode is ~3% of the step.
+            from vllm_splitwise_tpu.ops.quant_matmul import \
+                quant_matmul_int8
+            lead = hidden.shape[:-1]
+            logits = quant_matmul_int8(
+                hidden.reshape(-1, hidden.shape[-1]), lm_head["qweight"],
+                lm_head["scales"],
+                out_dtype=jnp.float32).reshape(*lead, -1)
+        else:
+            logits = jnp.dot(hidden, lm_head,
+                             preferred_element_type=jnp.float32)
         if lora is not None and "lm_head_A" in lora:
             # [rows, vocab + extra]: adapter-added ids score via the
             # adapter's output-embedding rows (-inf outside the row's

@@ -166,4 +166,20 @@ def get_model(model_config: ModelConfig) -> Tuple[Any, Dict[str, Any]]:
         if quant_config is not None:
             weights = quant_grouping_iterator(weights, quant_config)
         params = model.load_weights(weights)
+    if (getattr(model_config, "quantize_lm_head", None) == "int8"
+            and isinstance(params, dict) and "lm_head" in params
+            and not isinstance(params["lm_head"], dict)):
+        params["lm_head"] = _quantize_lm_head_int8(params["lm_head"])
+        logger.info("LM head quantized to int8 (per-channel W8A16)")
     return model, params
+
+
+def _quantize_lm_head_int8(w) -> Dict[str, Any]:
+    """Per-output-channel symmetric int8 (consumed by
+    ops/quant_matmul.quant_matmul_int8 with f32 out)."""
+    import numpy as np
+    wf = np.asarray(w, dtype=np.float32)          # [H, Vp]
+    s = np.max(np.abs(wf), axis=0, keepdims=True) / 127.0
+    s = np.maximum(s, 1e-8)
+    q = np.clip(np.round(wf / s), -127, 127).astype(np.int8)
+    return {"qweight": q, "scales": s.astype(np.float32)}

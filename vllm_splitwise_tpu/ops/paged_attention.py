@@ -50,9 +50,10 @@ def _paged_attention_kernel(
     context_lens_ref,  # [B] int32
     layer_ref,         # [1] int32
     # inputs
-    q_ref,             # [1, kvh, group_padded, head_dim] VMEM block
-    *rest,             # k_pages_hbm, v_pages_hbm (or one fused kv_pages),
-                       # [scales...], [slopes], out_ref, scratch...
+    *rest,             # [slots (prefetch, write_kv)], q,
+                       # k_pages_hbm, v_pages_hbm (or one fused kv_pages),
+                       # [scales...], [slopes], [k_new, v_new],
+                       # out_ref(s), scratch...
     pages_per_seq: int,
     pages_per_chunk: int,
     page_size: int,
@@ -66,7 +67,20 @@ def _paged_attention_kernel(
     int4_kv: bool = False,
     fused_kv: bool = False,
     q_len: int = 1,
+    write_kv: bool = False,
 ):
+    if write_kv:
+        # Fused write+attend (decode): the fresh token's K/V row merges
+        # into the VMEM chunk before scoring and the touched page writes
+        # back to the ALIASED cache output — replacing the separate
+        # page read-modify-write kernels (their page re-read was ~6% of
+        # a 7B decode step).
+        slots_ref = rest[0]  # [B] int32 (scalar prefetch), -1 = pad row
+        rest = rest[1:]
+    else:
+        slots_ref = None
+    q_ref = rest[0]        # [1, kvh, group_padded, head_dim] VMEM block
+    rest = rest[1:]
     if fused_kv:
         # Interleaved fused layout: ONE page array [(L,) 2P, KVH, PS, HD]
         # where logical block b stores its K half at page 2b and its V
@@ -101,22 +115,35 @@ def _paged_attention_kernel(
         rest = rest[1:]
     else:
         slopes_ref = None
+    k_new_ref = v_new_ref = None
+    kv_out_hbm = k_out_hbm = v_out_hbm = wb_sems = None
+    if write_kv:
+        k_new_ref, v_new_ref = rest[0], rest[1]  # [1, kvh, hd] blocks
+        rest = rest[2:]
     if fused_kv:
-        (out_ref,      # [1, kvh, group_padded, head_dim]
-         kv_vmem,      # [NS, 2, kvh, chunk_tokens(//2 if int4), head_dim]
-         sems,         # DMA sems [NS]
-         m_ref,        # [kvh, group_padded, 128] f32
-         l_ref,
-         acc_ref) = rest
+        if write_kv:
+            (out_ref, kv_out_hbm, kv_vmem, sems, wb_sems, m_ref, l_ref,
+             acc_ref) = rest
+        else:
+            (out_ref,      # [1, kvh, group_padded, head_dim]
+             kv_vmem,      # [NS, 2, kvh, chunk_tokens(//2 int4), head_dim]
+             sems,         # DMA sems [NS]
+             m_ref,        # [kvh, group_padded, 128] f32
+             l_ref,
+             acc_ref) = rest
         k_vmem = v_vmem = None
     else:
-        (out_ref,      # [1, kvh, group_padded, head_dim]
-         k_vmem,       # [NS, kvh, chunk_tokens(//2 if int4), head_dim]
-         v_vmem,
-         sems,         # DMA sems [NS, 2]
-         m_ref,        # [kvh, group_padded, 128] f32
-         l_ref,
-         acc_ref) = rest  # [kvh, group_padded, head_dim] f32
+        if write_kv:
+            (out_ref, k_out_hbm, v_out_hbm, k_vmem, v_vmem, sems, wb_sems,
+             m_ref, l_ref, acc_ref) = rest
+        else:
+            (out_ref,      # [1, kvh, group_padded, head_dim]
+             k_vmem,       # [NS, kvh, chunk_tokens(//2 if int4), head_dim]
+             v_vmem,
+             sems,         # DMA sems [NS, 2]
+             m_ref,        # [kvh, group_padded, 128] f32
+             l_ref,
+             acc_ref) = rest  # [kvh, group_padded, head_dim] f32
         kv_vmem = None
     layer = layer_ref[0]
 
@@ -230,6 +257,77 @@ def _paged_attention_kernel(
     @pl.when(chunk_needed(i))
     def _():
         wait_chunk(b, i, slot)
+
+        if write_kv:
+            # Merge the fresh token's K/V row into this chunk's VMEM
+            # copy (the HBM page is one step stale), then write the
+            # touched page back to the aliased cache output.  Correct
+            # because each decode sequence owns its pages exclusively
+            # (block-manager invariant), so no other grid cell reads the
+            # page being rewritten.  The new token always sits at
+            # sequence position ctx-1 (decode semantics); slots_ref only
+            # flags pad rows (-1 = skip).
+            tok_slot = slots_ref[b]
+            lpos = jnp.maximum(ctx_len - 1, 0)
+            tok_page = lpos // page_size         # logical page in seq
+            off = lpos - tok_page * page_size
+            tok_chunk = tok_page // pages_per_chunk
+            p_in_chunk = tok_page - tok_chunk * pages_per_chunk
+            row = p_in_chunk * page_size + off
+
+            is_merge = jnp.logical_and(tok_slot >= 0, i == tok_chunk)
+
+            # Mosaic can't address a dynamic sublane offset (store or
+            # DMA), so the page position unrolls statically (exactly one
+            # branch fires): merge the fresh row into that page's VMEM
+            # region via a row-iota select (a 128 KB rewrite), then DMA
+            # the page back to the aliased cache output.
+            for p in range(pages_per_chunk):
+                @pl.when(jnp.logical_and(is_merge, p_in_chunk == p))
+                def _(p=p):
+                    page_idx = block_tables_ref[b * pages_per_seq +
+                                                tok_page]
+                    ps_ds = pl.ds(p * page_size, page_size)
+                    page_row = row - p * page_size
+
+                    def merge(buf_ref, new_ref):
+                        cur = buf_ref[...]      # [kvh, page_size, hd]
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, cur.shape, 1)
+                        buf_ref[...] = jnp.where(rows == page_row,
+                                                 new_ref[0][:, None, :],
+                                                 cur)
+
+                    if fused_kv:
+                        merge(kv_vmem.at[slot, 0, :, ps_ds, :], k_new_ref)
+                        merge(kv_vmem.at[slot, 1, :, ps_ds, :], v_new_ref)
+                    else:
+                        merge(k_vmem.at[slot, :, ps_ds, :], k_new_ref)
+                        merge(v_vmem.at[slot, :, ps_ds, :], v_new_ref)
+                    if fused_kv:
+                        dst = (kv_out_hbm.at[layer, pl.ds(2 * page_idx, 2)]
+                               if stacked else
+                               kv_out_hbm.at[pl.ds(2 * page_idx, 2)])
+                        wb = pltpu.make_async_copy(
+                            kv_vmem.at[slot, :, :, ps_ds, :], dst,
+                            wb_sems.at[0])
+                        wb.start()
+                        wb.wait()
+                    else:
+                        kdst = (k_out_hbm.at[layer, page_idx] if stacked
+                                else k_out_hbm.at[page_idx])
+                        vdst = (v_out_hbm.at[layer, page_idx] if stacked
+                                else v_out_hbm.at[page_idx])
+                        wb_k = pltpu.make_async_copy(
+                            k_vmem.at[slot, :, ps_ds, :], kdst,
+                            wb_sems.at[0])
+                        wb_v = pltpu.make_async_copy(
+                            v_vmem.at[slot, :, ps_ds, :], vdst,
+                            wb_sems.at[1])
+                        wb_k.start()
+                        wb_v.start()
+                        wb_k.wait()
+                        wb_v.wait()
 
         # Feed the MXU bf16 operands with f32 ACCUMULATION — explicit
         # f32 casts of the 2 MB K/V chunks are pure VPU overhead.
@@ -386,9 +484,19 @@ def paged_attention(
     kv_scale: float = 1.0,
     alibi_slopes: Optional[jax.Array] = None,  # [num_q_heads] f32
     layer_index: Optional[jax.Array] = None,   # scalar i32 (stacked cache)
+    new_kv=None,  # (k_new [B, kvh, hd], v_new, slot_mapping [B] i32)
     interpret: bool = False,
 ) -> jax.Array:
     """Flash-style decode attention over a page-major paged KV cache.
+
+    FUSED WRITE+ATTEND: ``new_kv = (k_new, v_new, slot_mapping)`` (rows
+    already quantized to the cache dtype; slot -1 = pad row) makes the
+    kernel merge each sequence's fresh K/V row into its VMEM chunk
+    before scoring and write the touched page back to the cache via
+    input/output aliasing — replacing the separate page
+    read-modify-write kernels.  Returns ``(out, new_cache)`` where
+    new_cache is ``(k_pages, v_pages)`` (or ``(kv_pages, None)`` for the
+    fused layout).  Decode-only (q_len == 1, not int4).
 
     Returns [B, num_q_heads, head_dim] in q's dtype.  ``block_tables``
     entries past a sequence's context length may be garbage but must be
@@ -475,6 +583,10 @@ def paged_attention(
         qscale_wide = jnp.broadcast_to(qs, (batch, num_kv_heads,
                                             group_padded, 128))
 
+    write_kv = new_kv is not None
+    if write_kv:
+        assert q_len == 1 and not int4_kv, \
+            "fused write+attend is decode-only and excludes int4 caches"
     has_alibi = alibi_slopes is not None
     kernel = functools.partial(
         _paged_attention_kernel,
@@ -491,6 +603,7 @@ def paged_attention(
         int4_kv=int4_kv,
         fused_kv=fused_kv,
         q_len=q_len,
+        write_kv=write_kv,
     )
 
     in_specs = [
@@ -504,8 +617,12 @@ def paged_attention(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
     layer_arr = (jnp.asarray([layer_index], dtype=jnp.int32).reshape(1)
                  if stacked else jnp.zeros((1, ), dtype=jnp.int32))
-    inputs = [block_tables.reshape(-1), context_lens, layer_arr, q_view,
-              k_data] + ([] if fused_kv else [v_data])
+    num_scalar_prefetch = 3
+    prefix = [block_tables.reshape(-1), context_lens, layer_arr]
+    if write_kv:
+        num_scalar_prefetch = 4
+        prefix.append(new_kv[2].astype(jnp.int32))
+    inputs = prefix + [q_view, k_data] + ([] if fused_kv else [v_data])
     if int4_kv:
         # Gather the per-token scales for every scheduled page into dense
         # [B, kvh, tokens] arrays (one fused XLA gather — ~1.5% of the
@@ -580,16 +697,49 @@ def paged_attention(
                          lambda b, i, *_: (0, 0)))
         inputs.append(slopes2d)
 
-    out = pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct(
+        (batch, num_kv_heads, group_padded, head_dim), q.dtype)]
+    input_output_aliases = {}
+    if write_kv:
+        # Fresh rows as per-sequence VMEM blocks; the cache arrays
+        # double as ALIASED outputs the kernel writes touched pages to.
+        k_new, v_new = new_kv[0], new_kv[1]
+        in_specs += [
+            pl.BlockSpec((1, num_kv_heads, head_dim),
+                         lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, head_dim),
+                         lambda b, i, *_: (b, 0, 0)),
+        ]
+        inputs += [k_new.astype(k_data.dtype), v_new.astype(k_data.dtype)]
+        k_in_idx = len(prefix) + 1
+        out_shapes.append(
+            jax.ShapeDtypeStruct(k_data.shape, k_data.dtype))
+        input_output_aliases[k_in_idx] = 1
+        if not fused_kv:
+            out_shapes.append(
+                jax.ShapeDtypeStruct(v_data.shape, v_data.dtype))
+            input_output_aliases[k_in_idx + 1] = 2
+        out_specs = [pl.BlockSpec(
+            (1, num_kv_heads, group_padded, head_dim),
+            lambda b, i, *_: (b, 0, 0, 0),
+        )] + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] * (
+            len(out_shapes) - 1)
+        wb_scratch = [pltpu.SemaphoreType.DMA((2, ))]
+    else:
+        out_specs = pl.BlockSpec(
+            (1, num_kv_heads, group_padded, head_dim),
+            lambda b, i, *_: (b, 0, 0, 0),
+        )
+        out_shapes = out_shapes[0]
+        wb_scratch = []
+
+    result = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=num_scalar_prefetch,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (1, num_kv_heads, group_padded, head_dim),
-                lambda b, i, *_: (b, 0, 0, 0),
-            ),
+            out_specs=out_specs,
             scratch_shapes=([
                 pltpu.VMEM((NUM_SLOTS, 2, num_kv_heads,
                             chunk_tokens // 2 if int4_kv else chunk_tokens,
@@ -603,15 +753,15 @@ def paged_attention(
                             chunk_tokens // 2 if int4_kv else chunk_tokens,
                             head_dim), v_data.dtype),
                 pltpu.SemaphoreType.DMA((NUM_SLOTS, 2)),
-            ]) + [
+            ]) + wb_scratch + [
                 pltpu.VMEM((num_kv_heads, group_padded, 128), jnp.float32),
                 pltpu.VMEM((num_kv_heads, group_padded, 128), jnp.float32),
                 pltpu.VMEM((num_kv_heads, group_padded, head_dim),
                            jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_kv_heads, group_padded, head_dim), q.dtype),
+        out_shape=out_shapes,
+        input_output_aliases=input_output_aliases,
         compiler_params=pltpu.CompilerParams(
             # Sequential b traversal: the global DMA pipeline prefetches
             # the NEXT sequence's chunks, so b may not be reordered.
@@ -619,12 +769,21 @@ def paged_attention(
         interpret=interpret,
     )(*inputs)
 
+    if write_kv:
+        out = result[0]
+        new_cache = (result[1], None) if fused_kv else (result[1],
+                                                        result[2])
+    else:
+        out = result
+        new_cache = None
+
     out = out[:, :, :rows, :]
     if multiquery:
         out = out.reshape(batch, num_kv_heads, q_len, group, head_dim)
         out = out.transpose(0, 2, 1, 3, 4)
         return out.reshape(batch, q_len, num_q_heads, head_dim)
-    return out.reshape(batch, num_q_heads, head_dim)
+    out = out.reshape(batch, num_q_heads, head_dim)
+    return (out, new_cache) if write_kv else out
 
 
 def paged_attention_reference(

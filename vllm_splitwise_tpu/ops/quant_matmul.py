@@ -250,7 +250,8 @@ def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, out_dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret"))
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "out_dtype",
+                              "interpret"))
 def quant_matmul_int8(
     x: jax.Array,        # [M, K]
     qweight: jax.Array,  # [K, N] int8 (symmetric)
@@ -259,13 +260,15 @@ def quant_matmul_int8(
     block_m: int = 0,
     block_n: int = 512,
     block_k: int = 512,
+    out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
     m, k = x.shape
     _, n = qweight.shape
+    out_dtype = x.dtype if out_dtype is None else out_dtype
     if not (_use_pallas() or interpret):
         w = qweight.astype(jnp.float32) * scales.astype(jnp.float32)
-        return jnp.dot(x.astype(jnp.float32), w).astype(x.dtype)
+        return jnp.dot(x.astype(jnp.float32), w).astype(out_dtype)
 
     if block_m == 0:
         block_m = 128 if m >= 128 else max(8, _round_up(m, 8))
@@ -278,7 +281,7 @@ def quant_matmul_int8(
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_int8_matmul_kernel, out_dtype=x.dtype),
+        functools.partial(_int8_matmul_kernel, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, kb: (i, kb)),
@@ -286,7 +289,7 @@ def quant_matmul_int8(
             pl.BlockSpec((1, block_n), lambda i, j, kb: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kb: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m + m_pad, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((m + m_pad, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -871,7 +874,21 @@ def quant_matmul_int4_mxu_stacked(
 
     if block_m == 0:
         block_m = 128 if m >= 128 else max(8, _round_up(m, 8))
-    block_n = _pick_block(n, block_n)
+    # VMEM ceiling: the pipelined qweight/sz/out(/residual) blocks plus
+    # the f32 accumulator must fit the ~16 MB scoped limit.  Full-width
+    # N tiles win at decode rows and fit up to bm=24 (bm=32 only without
+    # the residual block); a 64-row tile at N=12288 demands ~19 MB and
+    # kills the compile (hit by short-prompt serving, 2026-08-20).
+    # Limits below are measured-on-chip safe points at N=12288.
+    if block_m <= 24 or (block_m <= 32 and residual is None):
+        n_limit = 16384
+    elif block_m <= 32:
+        n_limit = 6144
+    elif block_m <= 64:
+        n_limit = 4096
+    else:
+        n_limit = 2048
+    block_n = _pick_block(n, min(block_n, n_limit), cap=n_limit)
     grid = (_cdiv(m, block_m), n // block_n, num_bands)
     m_pad = _round_up(m, block_m) - m
 
