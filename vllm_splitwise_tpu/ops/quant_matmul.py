@@ -208,19 +208,79 @@ def quant_matmul_int4(
     return out[:m] if m_pad else out
 
 
-def _pick_block(n: int, preferred: int, cap: int = 5632) -> int:
+def _pick_block(n: int, preferred: int, cap: int = 5632,
+                strict: bool = False) -> int:
     """Largest lane-aligned (multiple of 128) divisor of n that is <= cap.
 
     Bigger N tiles mean fewer grid steps: the kernels are grid-step-
     overhead-bound at decode batch sizes (~350 ns/step measured), so e.g.
     N=11008 runs 5x faster tiled (1, 2, 16) than (1, 43, 16).
+
+    When no aligned divisor fits the cap: non-strict mode returns n
+    itself only when n is already within the cap (small / odd shapes run
+    single-tile); ``strict=True`` returns 0 so VMEM-guard callers can
+    shrink another axis instead of silently blowing the limit.
     """
     cap = max(cap, preferred)
     best = 0
     for d in range(128, min(n, cap) + 1, 128):
         if n % d == 0:
             best = d
-    return best if best else n
+    if best:
+        return best
+    if n <= cap:
+        return n
+    return 0 if strict else n
+
+
+def _int8_scoped_vmem(bm: int, bn: int, bk: int, out_bytes: int) -> int:
+    """Scoped-VMEM estimate for the int8 matmul kernels, matching the
+    compiler's accounting measured on-chip 2026-08-20 (probe_int8_head):
+    double-buffered pipelined blocks + the f32 accumulator.  Observed:
+    (bn=3200, bk=4096, bm=24, f32 out) -> 25.8 MB reported; model 26.8."""
+    return (2 * bn * bk           # qweight int8 x2 buffers
+            + 2 * bm * bk * 2     # x bf16
+            + 2 * 8 * bn * 4      # scales (sublane-padded)
+            + 2 * bm * bn * out_bytes
+            + bm * bn * 4)        # accumulator scratch
+
+
+_INT8_VMEM_LIMIT = 14 * 1024 * 1024  # 16 MB scoped limit minus margin
+
+
+def _fit_int8_blocks(m_blk: int, n: int, k: int, bn: int, bk: int,
+                     out_bytes: int) -> Tuple[int, int]:
+    """Shrink (block_n, block_k) until the kernel fits scoped VMEM.
+
+    Shrinks the larger axis first (fewer grid steps for the same
+    footprint); measured flat perf across fitting tiles at the LM-head
+    shape (362-377 us for everything >= 1280x512), so fitting cheaply
+    beats tiling aggressively."""
+    while _int8_scoped_vmem(m_blk, bn, bk, out_bytes) > _INT8_VMEM_LIMIT:
+        if bk >= bn and bk > 128:
+            smaller = _pick_block(k, 128, cap=bk - 128, strict=True)
+        elif bn > 128:
+            smaller = _pick_block(n, 128, cap=bn - 128, strict=True)
+            if smaller:
+                bn = smaller
+                continue
+            smaller = 0
+        else:
+            smaller = 0
+        if smaller:
+            bk = smaller
+            continue
+        # Neither axis has a smaller aligned divisor: shrink whichever
+        # still can, else give up and let the compiler report precisely.
+        nk = _pick_block(k, 128, cap=bk - 128, strict=True) if bk > 128 else 0
+        nn = _pick_block(n, 128, cap=bn - 128, strict=True) if bn > 128 else 0
+        if nk:
+            bk = nk
+        elif nn:
+            bn = nn
+        else:
+            break
+    return bn, bk
 
 
 # ---------------------------------------------------------------------------
@@ -274,6 +334,11 @@ def quant_matmul_int8(
         block_m = 128 if m >= 128 else max(8, _round_up(m, 8))
     block_n = _pick_block(n, block_n)
     block_k = _pick_block(k, block_k)
+    # VMEM guard (r3 regression: at the vocab-width LM head shape
+    # N=32000/K=4096 the unguarded picks bn=3200/bk=4096 demand 25.8 MB
+    # scoped and kill the compile on-chip — BENCH_r03.json rc=1).
+    block_n, block_k = _fit_int8_blocks(
+        block_m, n, k, block_n, block_k, jnp.dtype(out_dtype).itemsize)
 
     grid = (_cdiv(m, block_m), n // block_n, k // block_k)
     m_pad = _round_up(m, block_m) - m
@@ -557,6 +622,8 @@ def quant_matmul_int8_stacked(
         block_m = 128 if m >= 128 else max(8, _round_up(m, 8))
     block_n = _pick_block(n, block_n)
     block_k = _pick_block(k, block_k)
+    block_n, block_k = _fit_int8_blocks(
+        block_m, n, k, block_n, block_k, jnp.dtype(x.dtype).itemsize)
     grid = (_cdiv(m, block_m), n // block_n, k // block_k)
     m_pad = _round_up(m, block_m) - m
     if m_pad:
@@ -880,15 +947,30 @@ def quant_matmul_int4_mxu_stacked(
     # the residual block); a 64-row tile at N=12288 demands ~19 MB and
     # kills the compile (hit by short-prompt serving, 2026-08-20).
     # Limits below are measured-on-chip safe points at N=12288.
-    if block_m <= 24 or (block_m <= 32 and residual is None):
-        n_limit = 16384
-    elif block_m <= 32:
-        n_limit = 6144
-    elif block_m <= 64:
-        n_limit = 4096
-    else:
-        n_limit = 2048
-    block_n = _pick_block(n, min(block_n, n_limit), cap=n_limit)
+    def _n_limit(bm):
+        if bm <= 24 or (bm <= 32 and residual is None):
+            return 16384
+        if bm <= 32:
+            return 6144
+        if bm <= 64:
+            return 4096
+        return 2048
+
+    # Strict pick: when N has no lane-aligned divisor under the limit,
+    # shrink block_m (raising the limit tier) rather than silently
+    # running a full-width tile past the VMEM ceiling.
+    picked = 0
+    while True:
+        n_limit = _n_limit(block_m)
+        picked = _pick_block(n, min(block_n, n_limit), cap=n_limit,
+                             strict=True)
+        if picked or block_m <= 8:
+            break
+        block_m = max(8, block_m // 2)
+    assert picked, (
+        f"no lane-aligned tile of N={n} fits the scoped-VMEM limit "
+        f"(block_m={block_m}, n_limit={n_limit})")
+    block_n = picked
     grid = (_cdiv(m, block_m), n // block_n, num_bands)
     m_pad = _round_up(m, block_m) - m
 
@@ -1034,6 +1116,8 @@ def quant_matmul_int8_grouped(
 
     block_n = _pick_block(n, block_n)
     block_k = _pick_block(k, block_k)
+    block_n, block_k = _fit_int8_blocks(
+        128, n, k, block_n, block_k, jnp.dtype(x_sorted.dtype).itemsize)
     grid = (m // 128, n // block_n, k // block_k)
     out = pl.pallas_call(
         functools.partial(_int8_matmul_kernel_stacked,
