@@ -168,3 +168,56 @@ def test_fused_write_attend_fused_layout():
     np.testing.assert_array_equal(np.asarray(kv_new), kv_ref)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_sliding_window_decode_writes_via_slot_mapping():
+    """Sliding-window gating regression: _prepare_decode clamps
+    context_lens to the window and trims block_tables while slot_mapping
+    stays ABSOLUTE, so the fused write+attend kernel (which derives the
+    write position from context_lens-1 inside the trimmed table) must
+    not run for sliding-window layers — past the window it would scatter
+    the fresh K/V row to the wrong page and corrupt the cache.  The
+    layer facade must route to the split path and land the row at the
+    absolute slot."""
+    import os
+
+    from vllm_splitwise_tpu.layers.attention import Attention
+    from vllm_splitwise_tpu.models.input_metadata import DecodeMetadata
+
+    assert os.environ.get("VST_FUSED_WRITE", "1") == "1"
+    window, page_size = 32, 16
+    kvh, heads, head_dim = 2, 2, 128
+    # One sequence at seq_len 40 > window: pages 0,1,2 allocated; the
+    # runner-trimmed view covers the last ceil(32/16)=2 pages [1, 2];
+    # absolute slot of token 39 = page 2, offset 7.
+    seq_len = 40
+    num_pages = 4
+    rng = np.random.RandomState(0)
+    kp = jnp.asarray(rng.randn(num_pages, kvh, page_size, head_dim),
+                     jnp.float32)
+    vp = jnp.asarray(rng.randn(num_pages, kvh, page_size, head_dim),
+                     jnp.float32)
+    attn = Attention(heads, head_dim, scale=1.0, num_kv_heads=kvh,
+                     sliding_window=window)
+    q = jnp.asarray(rng.randn(1, 1, heads * head_dim), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 1, kvh * head_dim), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 1, kvh * head_dim), jnp.float32)
+    md = DecodeMetadata(
+        block_tables=jnp.asarray([[1, 2]], jnp.int32),  # trimmed
+        context_lens=jnp.asarray([window], jnp.int32),  # clamped
+        slot_mapping=jnp.asarray([2 * page_size + (seq_len - 1)
+                                  % page_size], jnp.int32),  # absolute
+    )
+    _, (kp2, vp2) = attn(q, k, v, (kp, vp), md)
+    off = (seq_len - 1) % page_size
+    np.testing.assert_allclose(
+        np.asarray(kp2)[2, :, off],
+        np.asarray(k).reshape(kvh, head_dim), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(vp2)[2, :, off],
+        np.asarray(v).reshape(kvh, head_dim), rtol=1e-5, atol=1e-5)
+    # Every other row of page 2 and all of pages 0/1/3 unchanged.
+    mask = np.ones((num_pages, kvh, page_size, head_dim), bool)
+    mask[2, :, off] = False
+    np.testing.assert_array_equal(np.asarray(kp2)[mask],
+                                  np.asarray(kp)[mask])

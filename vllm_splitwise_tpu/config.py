@@ -344,6 +344,7 @@ class SchedulerConfig:
         max_model_len: int = 2048,
         max_paddings: int = 256,
         num_decode_steps: int = 1,
+        warmup_mode: str = "diagonal",
     ) -> None:
         if max_num_batched_tokens is not None:
             self.max_num_batched_tokens = max_num_batched_tokens
@@ -362,6 +363,15 @@ class SchedulerConfig:
         # return only top-1 logprobs, so logprobs-bearing requests must
         # degrade the window.
         self.spec_decode = False
+        # Startup compile coverage (TPU): "diagonal" pre-compiles the
+        # decode batch buckets plus one prefill length per prefill batch
+        # bucket; "full" pre-compiles EVERY feasible (prefill batch,
+        # padded length) bucket combo under the token budget — required
+        # for latency-SLO serving, where a single uncovered bucket
+        # compiling mid-traffic stalls the engine loop for minutes on
+        # remote-compile transports (measured: the r3 serving collapse,
+        # p50 TTFT 79 s).  "off" skips warmup entirely.
+        self.warmup_mode = warmup_mode
         self._verify_args()
 
     def _verify_args(self) -> None:

@@ -48,6 +48,7 @@ class EngineArgs:
     max_num_seqs: int = 256
     max_paddings: int = 256
     num_decode_steps: int = 1
+    warmup_mode: str = "diagonal"
     speculative_model: Optional[str] = None
     num_speculative_tokens: int = 4
     speculative_model_quantization: Optional[str] = None
@@ -194,6 +195,15 @@ class EngineArgs:
                             help="decode steps fused into one device "
                             "dispatch (TPU multi-step decode; amortizes "
                             "host<->device sync latency)")
+        parser.add_argument("--warmup-mode", type=str,
+                            choices=["diagonal", "full", "off"],
+                            default=EngineArgs.warmup_mode,
+                            help="startup compile coverage: 'full' "
+                            "pre-compiles every feasible prefill "
+                            "(batch, length) bucket so no shape "
+                            "compiles mid-traffic (use for serving); "
+                            "'diagonal' covers decode buckets + one "
+                            "length per prefill batch bucket")
         parser.add_argument("--disable-log-stats", action="store_true")
         parser.add_argument("--quantization", "-q", type=str,
                             choices=["awq", "gptq", "squeezellm", "marlin",
@@ -300,7 +310,8 @@ class EngineArgs:
                                            self.max_num_seqs,
                                            model_config.max_model_len,
                                            self.max_paddings,
-                                           num_decode_steps)
+                                           num_decode_steps,
+                                           self.warmup_mode)
         scheduler_config.spec_decode = speculative_config is not None
         lora_config = LoRAConfig(
             max_lora_rank=self.max_lora_rank,

@@ -579,6 +579,22 @@ class PrefillHostServer:
             except Exception as exc:  # noqa: BLE001 - reported to master
                 logger.exception("prefill job failed")
                 self.channel.send({"op": "error", "message": repr(exc)})
+                # The decode host pre-posted one DCN receive per segment
+                # (plus the draft) the moment it sent this job; if they
+                # stay queued they would mis-pair with the NEXT prefill's
+                # transfers should the caller survive the RuntimeError.
+                # Finish the plan with whatever the cache holds — the
+                # caller raises and never scatters these pages.
+                if msg["pages"]:
+                    try:
+                        if stream is not None:
+                            stream.finish(self.worker.kv_caches)
+                        else:
+                            self._send_pages(msg["pages"])
+                        if self.has_draft:
+                            self._send_draft(msg["pages"])
+                    except Exception:  # noqa: BLE001
+                        logger.exception("post-error segment drain failed")
                 continue
             self.channel.send({
                 "op": "outputs",

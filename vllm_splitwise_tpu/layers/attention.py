@@ -285,9 +285,17 @@ class Attention:
         v = v.reshape(batch * q_len, self.num_kv_heads, self.head_dim)
 
         import os
+        # Sliding-window models are excluded: _prepare_decode clamps
+        # context_lens to the window and trims block_tables while
+        # slot_mapping stays absolute, and the fused kernel derives the
+        # fresh token's page/offset from context_lens-1 — past the
+        # window that would scatter the new K/V row to the wrong page
+        # offset and permanently corrupt the cache.  The split path
+        # below writes via slot_mapping and stays correct.
         if (q_len == 1 and _use_pallas() and self.head_dim % 128 == 0
                 and not isinstance(k_pages, QuantPages)
                 and cache_heads == self.num_kv_heads
+                and self.sliding_window is None
                 and os.environ.get("VST_FUSED_WRITE", "1") == "1"):
             # FUSED WRITE+ATTEND: the kernel merges the fresh K/V row
             # into the chunk in VMEM and writes the touched page back to

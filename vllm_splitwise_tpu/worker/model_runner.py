@@ -15,6 +15,8 @@ tensors); sampled token ids — not logits — cross back.
 """
 from __future__ import annotations
 
+import collections
+import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -178,6 +180,10 @@ class ModelRunner:
         self.model = None
         self.params = None
         self._rng = np.random.RandomState(model_config.seed)
+        # Dispatch/compile observability (see execute_model wrapper).
+        self._seen_programs: Dict[tuple, float] = {}
+        self.dispatch_stats = collections.Counter()
+        self._in_warmup = False
         self._prefill_fn = None
         self._decode_fn = None
         # Splitwise prefill pool: dispatch prefills as layer-group
@@ -1196,8 +1202,60 @@ class ModelRunner:
         num_decode_steps: int = 1,
         kv_stream=None,
     ) -> Tuple[Optional[SamplerOutput], Any]:
+        """Timed wrapper: tracks per-program-shape dispatch times so
+        compile stalls are visible in serving logs (a first-seen bucket
+        combo on a remote-compile transport can block the engine loop
+        for minutes — the exact failure mode behind the r3 serving
+        collapse).  Stats land in ``self.dispatch_stats``."""
         if not seq_group_metadata_list:
             return [], kv_caches
+        sig = self._program_signature(seq_group_metadata_list,
+                                      num_decode_steps)
+        first = sig not in self._seen_programs
+        t0 = time.perf_counter()
+        result = self._execute_model_impl(seq_group_metadata_list,
+                                          kv_caches, num_decode_steps,
+                                          kv_stream)
+        dt = time.perf_counter() - t0
+        st = self.dispatch_stats
+        st["dispatches"] += 1
+        st["dispatch_s"] += dt
+        st["prefill_s" if sig[0] == "P" else "decode_s"] += dt
+        if first:
+            self._seen_programs[sig] = dt
+            if dt > 1.0 and not self._in_warmup:
+                st["compile_stalls"] += 1
+                st["compile_stall_s"] += dt
+                logger.warning(
+                    "first dispatch of program shape %s took %.1fs "
+                    "(compile stall; pre-compile it with "
+                    "--warmup-mode full)", sig, dt)
+        return result
+
+    def _program_signature(self, seq_group_metadata_list,
+                           num_decode_steps: int):
+        """Coarse static-shape key of this dispatch: enough to identify
+        which compiled program the batch lands on (greedy serving —
+        penalty/logprob dims add further axes not tracked here)."""
+        if seq_group_metadata_list[0].is_prompt:
+            lens = [md.seq_data[sid].num_tokens
+                    for md in seq_group_metadata_list
+                    for sid in md.seq_data]
+            return ("P",
+                    _bucket(len(seq_group_metadata_list),
+                            self.PREFILL_BATCH_BUCKETS),
+                    _bucket(max(lens), self.PREFILL_LEN_BUCKETS))
+        rows = sum(len(md.seq_data) for md in seq_group_metadata_list)
+        return ("D", _bucket(rows, self.DECODE_BATCH_BUCKETS),
+                num_decode_steps)
+
+    def _execute_model_impl(
+        self,
+        seq_group_metadata_list: List[SequenceGroupMetadata],
+        kv_caches,
+        num_decode_steps: int = 1,
+        kv_stream=None,
+    ) -> Tuple[Optional[SamplerOutput], Any]:
         is_prompt = seq_group_metadata_list[0].is_prompt
 
         if not is_prompt and num_decode_steps > 1:
@@ -1621,10 +1679,18 @@ class ModelRunner:
         tokens write garbage into low-numbered KV pages, which is fine
         before any real traffic.  Returns the (donated-through) caches.
         """
-        import time
-
         from vllm_splitwise_tpu.sequence import SequenceData
 
+        if getattr(self.scheduler_config, "warmup_mode",
+                   "diagonal") == "off":
+            return kv_caches
+        self._in_warmup = True
+        try:
+            return self._warm_up(kv_caches, SequenceData)
+        finally:
+            self._in_warmup = False
+
+    def _warm_up(self, kv_caches, SequenceData):
         sp = SamplingParams(temperature=0.0)
         max_seqs = self.scheduler_config.max_num_seqs
         budget = self.scheduler_config.max_num_batched_tokens
@@ -1660,15 +1726,11 @@ class ModelRunner:
                     "(%.1fs)", b, num_steps, time.time() - t0)
 
         seen = set()
-        for b in self.PREFILL_BATCH_BUCKETS:
-            if b > max_seqs:
-                break
-            t = _bucket(min(self.max_model_len, max(budget // b, 16)),
-                        self.PREFILL_LEN_BUCKETS)
-            plen = min(t, self.max_model_len)
-            if (b, _bucket(plen, self.PREFILL_LEN_BUCKETS)) in seen:
+        for b, plen in self._warmup_prefill_grid(max_seqs, budget):
+            key = (b, _bucket(plen, self.PREFILL_LEN_BUCKETS))
+            if key in seen:
                 continue
-            seen.add((b, _bucket(plen, self.PREFILL_LEN_BUCKETS)))
+            seen.add(key)
             num_pages = self._num_device_pages(kv_caches)
             pages = [p % num_pages
                      for p in range(cdiv(plen, self.block_size))]
@@ -1686,6 +1748,36 @@ class ModelRunner:
             logger.info("warmup: prefill bucket b=%d t=%d ready (%.1fs)",
                         b, plen, time.time() - t0)
         return kv_caches
+
+    def _warmup_prefill_grid(self, max_seqs: int, budget: int):
+        """(batch, prompt_len) combos to pre-compile.
+
+        "diagonal" (default): one length per batch bucket — the largest
+        that fits the token budget.  "full": every (batch bucket, length
+        bucket) the scheduler can legally produce (a batch of b prompts
+        with max raw length L costs b*L <= budget; the padded bucket is
+        feasible iff some L in its range fits) — serving traffic hits
+        arbitrary combos, and one uncovered combo compiling mid-traffic
+        stalls the engine for minutes on remote-compile transports (the
+        r3 serving collapse: p50 TTFT 79 s at 0.25 req/s)."""
+        mode = getattr(self.scheduler_config, "warmup_mode", "diagonal")
+        if mode == "off":
+            return
+        for b in self.PREFILL_BATCH_BUCKETS:
+            if b > max_seqs:
+                break
+            if mode == "full":
+                for t in self.PREFILL_LEN_BUCKETS:
+                    if t > self.max_model_len:
+                        break
+                    prev = ([x for x in self.PREFILL_LEN_BUCKETS
+                             if x < t] or [0])[-1]
+                    if b * (prev + 1) <= budget:
+                        yield b, min(t, self.max_model_len)
+            else:
+                t = _bucket(min(self.max_model_len, max(budget // b, 16)),
+                            self.PREFILL_LEN_BUCKETS)
+                yield b, min(t, self.max_model_len)
 
     def profile_run(self, kv_caches):
         """Run a max-shape dummy prefill to bound live compute memory
