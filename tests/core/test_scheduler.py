@@ -464,3 +464,21 @@ def test_lora_budget_enforced_on_swap_in():
     assert [g.request_id for g in out.scheduled_seq_groups] == ["2"]
     assert len(scheduler.swapped) == 1
     assert out.blocks_to_swap_in == {}
+
+
+def test_scheduler_max_num_prompt_seqs_cap():
+    """--max-num-prompt-seqs bounds the PROMPT batch even when the token
+    budget would admit more (TPU compile hygiene: every prompt batch
+    bucket is a separate compiled program)."""
+    scheduler = make_scheduler(num_device_blocks=64)
+    scheduler.scheduler_config.max_num_prompt_seqs = 2
+    for i in range(5):
+        _, group = create_dummy_prompt(str(i), prompt_length=4,
+                                       block_size=4)
+        scheduler.add_seq_group(group)
+    _, out = scheduler.schedule()
+    assert out.prompt_run
+    assert len(out.scheduled_seq_groups) == 2
+    # The rest arrive in later prompt runs, order preserved (FCFS).
+    _, out = scheduler.schedule()
+    assert [g.request_id for g in out.scheduled_seq_groups] == ["2", "3"]

@@ -345,6 +345,7 @@ class SchedulerConfig:
         max_paddings: int = 256,
         num_decode_steps: int = 1,
         warmup_mode: str = "diagonal",
+        max_num_prompt_seqs: int = 0,
     ) -> None:
         if max_num_batched_tokens is not None:
             self.max_num_batched_tokens = max_num_batched_tokens
@@ -372,6 +373,13 @@ class SchedulerConfig:
         # remote-compile transports (measured: the r3 serving collapse,
         # p50 TTFT 79 s).  "off" skips warmup entirely.
         self.warmup_mode = warmup_mode
+        # Cap on sequences per PROMPT batch (0 = bounded only by the
+        # token budget).  Every (prompt batch bucket, padded length
+        # bucket) combo is a separate compiled program on TPU, so
+        # capping this multiplicatively shrinks both the compile space
+        # and "full" warmup time; prefill at these lengths is compute-
+        # bound, so large prompt batches add little throughput.
+        self.max_num_prompt_seqs = max_num_prompt_seqs
         self._verify_args()
 
     def _verify_args(self) -> None:

@@ -248,6 +248,13 @@ class Scheduler:
                     > self.scheduler_config.max_num_seqs):
                 break
 
+            # Prompt-batch cap (TPU compile hygiene: each prompt batch
+            # bucket is a separate compiled program).
+            limit = getattr(self.scheduler_config,
+                            "max_num_prompt_seqs", 0)
+            if limit and len(scheduled) >= limit:
+                break
+
             if curr_loras is not None:
                 lora_id = seq_group.lora_int_id
                 if (lora_id > 0 and lora_id not in curr_loras

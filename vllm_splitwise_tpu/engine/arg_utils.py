@@ -49,6 +49,7 @@ class EngineArgs:
     max_paddings: int = 256
     num_decode_steps: int = 1
     warmup_mode: str = "diagonal"
+    max_num_prompt_seqs: int = 0
     speculative_model: Optional[str] = None
     num_speculative_tokens: int = 4
     speculative_model_quantization: Optional[str] = None
@@ -195,6 +196,11 @@ class EngineArgs:
                             help="decode steps fused into one device "
                             "dispatch (TPU multi-step decode; amortizes "
                             "host<->device sync latency)")
+        parser.add_argument("--max-num-prompt-seqs", type=int,
+                            default=EngineArgs.max_num_prompt_seqs,
+                            help="cap on sequences per prompt batch "
+                            "(0 = token-budget bound); smaller caps "
+                            "shrink the prefill compile space on TPU")
         parser.add_argument("--warmup-mode", type=str,
                             choices=["diagonal", "full", "off"],
                             default=EngineArgs.warmup_mode,
@@ -311,7 +317,8 @@ class EngineArgs:
                                            model_config.max_model_len,
                                            self.max_paddings,
                                            num_decode_steps,
-                                           self.warmup_mode)
+                                           self.warmup_mode,
+                                           self.max_num_prompt_seqs)
         scheduler_config.spec_decode = speculative_config is not None
         lora_config = LoRAConfig(
             max_lora_rank=self.max_lora_rank,

@@ -1763,8 +1763,11 @@ class ModelRunner:
         mode = getattr(self.scheduler_config, "warmup_mode", "diagonal")
         if mode == "off":
             return
+        prompt_cap = getattr(self.scheduler_config,
+                             "max_num_prompt_seqs", 0) or max_seqs
         for b in self.PREFILL_BATCH_BUCKETS:
-            if b > max_seqs:
+            if b > min(max_seqs, _bucket(prompt_cap,
+                                         self.PREFILL_BATCH_BUCKETS)):
                 break
             if mode == "full":
                 for t in self.PREFILL_LEN_BUCKETS:
