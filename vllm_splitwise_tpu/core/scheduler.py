@@ -442,6 +442,14 @@ class Scheduler:
         window = min(window, max_remaining)
         if window <= 1:
             return 1
+        # Quantize to a power of two: every distinct window length is a
+        # separately compiled program on TPU ('D', batch, k), and the
+        # max_tokens/max_len clamps above otherwise produce arbitrary k
+        # values that compile mid-traffic (observed 5-10 s stalls per
+        # first-seen k during serving).  warm_up pre-compiles exactly
+        # this ladder {2, 4, ..., num_decode_steps}.
+        if window < self.scheduler_config.num_decode_steps:
+            window = 1 << (window.bit_length() - 1)
         # ONE batch-wide reservation check BEFORE touching the pool:
         # reserving group-by-group and failing on a late group would
         # strand the earlier groups' pages this step.

@@ -1718,12 +1718,18 @@ class ModelRunner:
                 pages = [0] * cdiv(num_steps + 1, self.block_size)
                 for md in mds:
                     md.block_tables = {0: pages}
-                t0 = time.time()
-                _, kv_caches = self.execute_model(
-                    mds, kv_caches, num_decode_steps=num_steps)
-                logger.info(
-                    "warmup: multi-step decode bucket b=%d k=%d ready "
-                    "(%.1fs)", b, num_steps, time.time() - t0)
+                # The scheduler quantizes shrunk windows (max_tokens /
+                # context-end clamps) to powers of two — warm that exact
+                # ladder so no window length compiles mid-traffic.
+                ladder = [k for k in (2, 4, 8, 16, 32, 64)
+                          if k < num_steps] + [num_steps]
+                for k in ladder:
+                    t0 = time.time()
+                    _, kv_caches = self.execute_model(
+                        mds, kv_caches, num_decode_steps=k)
+                    logger.info(
+                        "warmup: multi-step decode bucket b=%d k=%d "
+                        "ready (%.1fs)", b, k, time.time() - t0)
 
         seen = set()
         for b, plen in self._warmup_prefill_grid(max_seqs, budget):
