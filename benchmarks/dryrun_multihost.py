@@ -121,7 +121,7 @@ def child(leg: str, process_id: int, model_dir: str,
 
 
 def _migration_stats(executor) -> dict:
-    return {
+    stats = {
         "num_migrations": executor.num_migrations,
         "num_streamed": executor.num_streamed,
         "num_pages_moved": executor.num_pages_moved,
@@ -129,6 +129,11 @@ def _migration_stats(executor) -> dict:
         "bytes_moved": executor.mover.bytes_moved,
         "num_transfers": executor.mover.num_transfers,
     }
+    if getattr(executor, "phase_seconds", None):
+        stats["phase_seconds"] = {
+            k: round(v, 4) for k, v in executor.phase_seconds.items()}
+        stats["phase_counts"] = dict(executor.phase_counts)
+    return stats
 
 
 def _ttfts(outs):
@@ -367,8 +372,23 @@ def _run_scaling_probe(llm, config, startup_s: float,
         **stats,
     }
     if baseline:
-        result["throughput_ratio_2pool_over_1pool"] = (
-            (dis_tokens / dis_s) / baseline["tokens_per_s"])
+        ratio = (dis_tokens / dis_s) / baseline["tokens_per_s"]
+        result["throughput_ratio_2pool_over_1pool"] = ratio
+        # North-star: >=85% scaling efficiency on real 2-host hardware
+        # (BASELINE.md).  The CPU-mesh number is NOT that measurement —
+        # virtual-device compute is serialized on host cores — but the
+        # phase breakdown shows WHERE 2-pool time goes: decode_execute
+        # (device), send_prefill (serialize+ship, control plane),
+        # collect_prefill (exposed remote-prefill latency the concurrent
+        # decode did not hide), scatter (page landing).
+        result["scaling_efficiency_target"] = 0.85
+        ph = result.get("phase_seconds", {})
+        # scatter is a sub-phase of collect_prefill — exclude it from
+        # the denominator.
+        total = sum(v for k, v in ph.items() if k != "scatter") or None
+        if total:
+            result["phase_fraction"] = {
+                k: round(v / total, 3) for k, v in ph.items()}
     return result
 
 

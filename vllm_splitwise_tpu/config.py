@@ -346,6 +346,7 @@ class SchedulerConfig:
         num_decode_steps: int = 1,
         warmup_mode: str = "diagonal",
         max_num_prompt_seqs: int = 0,
+        chunked_prefill_tokens: int = 0,
     ) -> None:
         if max_num_batched_tokens is not None:
             self.max_num_batched_tokens = max_num_batched_tokens
@@ -380,6 +381,14 @@ class SchedulerConfig:
         # and "full" warmup time; prefill at these lengths is compute-
         # bound, so large prompt batches add little throughput.
         self.max_num_prompt_seqs = max_num_prompt_seqs
+        # Chunked prefill (TPU extension, 0 = off): long prompts prefill
+        # in fixed-size chunks via the prefix-attention path, so (a) a
+        # long prompt can never stall the decode batch longer than one
+        # chunk, and (b) prefill dispatches collapse onto one padded
+        # length bucket.  Incompatible with sep_prompt_token (the
+        # disaggregated prefill pool makes chunking moot — migration
+        # streams layer groups instead).
+        self.chunked_prefill_tokens = chunked_prefill_tokens
         self._verify_args()
 
     def _verify_args(self) -> None:
@@ -398,6 +407,9 @@ class SchedulerConfig:
             raise ValueError(
                 f"max_num_batched_tokens ({self.max_num_batched_tokens}) must "
                 f"be >= max_num_seqs ({self.max_num_seqs}).")
+        if self.chunked_prefill_tokens < 0:
+            raise ValueError("chunked_prefill_tokens must be >= 0 "
+                             f"(got {self.chunked_prefill_tokens}).")
 
 
 class SpeculativeConfig:

@@ -53,6 +53,7 @@ class SchedulerOutputs:
         blocks_to_nw: Dict[int, List[int]],
         ignored_seq_groups: List[SequenceGroup],
         num_decode_steps: int = 1,
+        prefill_chunks: Optional[Dict[str, Tuple[int, int]]] = None,
     ) -> None:
         self.scheduled_seq_groups = scheduled_seq_groups
         self.prompt_run = prompt_run
@@ -67,6 +68,9 @@ class SchedulerOutputs:
         # Decode steps fused into one device dispatch for this batch
         # (TPU multi-step decode; 1 = classic single-step semantics).
         self.num_decode_steps = num_decode_steps
+        # request_id -> (start, end) prompt positions computed this step
+        # (chunked prefill); end < prompt_len means no token is sampled.
+        self.prefill_chunks = prefill_chunks or {}
         # Swap in and swap out should never happen in the same step.
         assert not (blocks_to_swap_in and blocks_to_swap_out)
 
@@ -109,6 +113,11 @@ class Scheduler:
         self.waiting: Deque[SequenceGroup] = deque()
         self.running: Deque[SequenceGroup] = deque()
         self.swapped: Deque[SequenceGroup] = deque()
+        # Chunked prefill: groups whose pages are allocated and whose
+        # prompt is PARTIALLY computed.  They re-enter the prompt phase
+        # until the final chunk runs, then move to `running`; the decode
+        # phase never sees them (their pages are pinned meanwhile).
+        self.prefilling: Deque[SequenceGroup] = deque()
         # Cumulative swap-preemption count (observability; lets tests
         # assert the swap path actually ran).
         self.num_swapped_total = 0
@@ -133,7 +142,8 @@ class Scheduler:
     def abort_seq_group(self, request_id: Union[str, Iterable[str]]) -> None:
         targets = ({request_id} if isinstance(request_id, str)
                    else set(request_id))
-        for queue in (self.waiting, self.running, self.swapped):
+        for queue in (self.waiting, self.running, self.swapped,
+                      self.prefilling):
             if not targets:
                 break
             kept: List[SequenceGroup] = []
@@ -151,10 +161,12 @@ class Scheduler:
                 queue.extend(kept)
 
     def has_unfinished_seqs(self) -> bool:
-        return bool(self.waiting or self.running or self.swapped)
+        return bool(self.waiting or self.running or self.swapped
+                    or self.prefilling)
 
     def get_num_unfinished_seq_groups(self) -> int:
-        return len(self.waiting) + len(self.running) + len(self.swapped)
+        return (len(self.waiting) + len(self.running) +
+                len(self.swapped) + len(self.prefilling))
 
     # ---- the scheduling algorithm ----
 
@@ -196,12 +208,44 @@ class Scheduler:
         ignored_seq_groups: List[SequenceGroup] = []
         scheduled: List[SequenceGroup] = []
         seq_lens: List[int] = []
+        prefill_chunks: Dict[str, Tuple[int, int]] = {}
+        chunk_budget = getattr(self.scheduler_config,
+                               "chunked_prefill_tokens", 0)
         num_curr_seqs = sum(
             sg.max_parallel_seqs for sg in self.running)
         curr_loras = set(
             sg.lora_int_id for sg in self.running
             if getattr(sg, "lora_request", None)) if \
             self.lora_enabled else None
+
+        # Chunk continuations first: their pages are already allocated,
+        # and letting fresh prompts starve them would strand pinned KV.
+        still_prefilling: List[SequenceGroup] = []
+        while self.prefilling:
+            seq_group = self.prefilling[0]
+            seq = seq_group.get_seqs(status=SequenceStatus.RUNNING)[0]
+            done = getattr(seq_group, "prefill_progress", 0)
+            this = min(chunk_budget or seq.num_tokens,
+                       seq.num_tokens - done)
+            new_seq_lens = seq_lens + [this]
+            if (len(new_seq_lens) * max(new_seq_lens)
+                    > self.scheduler_config.max_num_batched_tokens):
+                break
+            limit = getattr(self.scheduler_config,
+                            "max_num_prompt_seqs", 0)
+            if limit and len(scheduled) >= limit:
+                break
+            self.prefilling.popleft()
+            seq_lens = new_seq_lens
+            prefill_chunks[seq_group.request_id] = (done, done + this)
+            seq_group.prefill_progress = done + this
+            scheduled.append(seq_group)
+            if done + this < seq.num_tokens:
+                seq_group.prefill_in_progress = True
+                still_prefilling.append(seq_group)
+            else:
+                seq_group.prefill_in_progress = False
+                self.running.append(seq_group)
 
         leftover_waiting: Deque[SequenceGroup] = deque()
         while self.waiting:
@@ -236,8 +280,11 @@ class Scheduler:
                 continue
 
             # Token budget: batches pad to the longest prompt, so the
-            # cost of the batch is num_seqs * max_len.
-            new_seq_lens = seq_lens + [num_prompt_tokens]
+            # cost of the batch is num_seqs * max_len.  Chunked prefill
+            # costs only the first chunk this step.
+            eff_len = min(chunk_budget, num_prompt_tokens) \
+                if chunk_budget else num_prompt_tokens
+            new_seq_lens = seq_lens + [eff_len]
             num_batched_tokens = len(new_seq_lens) * max(new_seq_lens)
             if (num_batched_tokens
                     > self.scheduler_config.max_num_batched_tokens):
@@ -277,12 +324,23 @@ class Scheduler:
             seq_lens = new_seq_lens
             self.waiting.popleft()
             self._allocate(seq_group)
-            self.running.append(seq_group)
             num_curr_seqs += num_new_seqs
             scheduled.append(seq_group)
             seq_group.maybe_set_first_scheduled_time(time.time())
+            if eff_len < num_prompt_tokens:
+                # First chunk of a chunked prefill: pages for the whole
+                # prompt are allocated, but the group keeps prefilling
+                # in later prompt phases before it may decode.
+                prefill_chunks[seq_group.request_id] = (0, eff_len)
+                seq_group.prefill_progress = eff_len
+                seq_group.prefill_in_progress = True
+                still_prefilling.append(seq_group)
+            else:
+                seq_group.prefill_in_progress = False
+                self.running.append(seq_group)
 
         self.waiting.extendleft(leftover_waiting)
+        self.prefilling.extend(still_prefilling)
 
         if scheduled or ignored_seq_groups:
             for seq_group in scheduled:
@@ -298,6 +356,7 @@ class Scheduler:
                 blocks_to_copy={},
                 blocks_to_nw=blocks_to_nw,
                 ignored_seq_groups=ignored_seq_groups,
+                prefill_chunks=prefill_chunks,
             )
         return None
 
@@ -519,7 +578,16 @@ class Scheduler:
                 self.block_manager.access_all_blocks_in_seq(seq, now)
 
             prefix_len = 0
-            if scheduler_outputs.prompt_run:
+            prefill_end = None
+            chunk = scheduler_outputs.prefill_chunks.get(
+                seq_group.request_id) if scheduler_outputs.prompt_run \
+                else None
+            if chunk is not None:
+                # Chunked prefill: compute exactly [start, end).  The
+                # chunk start plays the prefix role (earlier positions'
+                # KV is already in the cache from prior chunks).
+                prefix_len, prefill_end = chunk
+            elif scheduler_outputs.prompt_run:
                 computed = self.block_manager.get_common_computed_block_ids(
                     seq_group)
                 prefix_len = len(computed) * self.cache_config.block_size
@@ -540,6 +608,7 @@ class Scheduler:
                     block_tables=block_tables,
                     prefix_len=prefix_len,
                     lora_request=getattr(seq_group, "lora_request", None),
+                    prefill_end=prefill_end,
                 ))
         # Blocks scheduled this step will have been written by the end of
         # the step: mark them computed for prefix caching.
@@ -609,6 +678,10 @@ class Scheduler:
         for seq in seqs:
             seq.status = SequenceStatus.WAITING
             self.free_seq(seq)
+        # A recomputed prompt re-prefills from scratch (its pages were
+        # freed) — any chunk progress is void.
+        seq_group.prefill_progress = 0
+        seq_group.prefill_in_progress = False
         self.waiting.appendleft(seq_group)
 
     def _preempt_by_swap(

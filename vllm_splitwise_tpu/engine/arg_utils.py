@@ -50,6 +50,7 @@ class EngineArgs:
     num_decode_steps: int = 1
     warmup_mode: str = "diagonal"
     max_num_prompt_seqs: int = 0
+    chunked_prefill_tokens: int = 0
     speculative_model: Optional[str] = None
     num_speculative_tokens: int = 4
     speculative_model_quantization: Optional[str] = None
@@ -201,6 +202,12 @@ class EngineArgs:
                             help="cap on sequences per prompt batch "
                             "(0 = token-budget bound); smaller caps "
                             "shrink the prefill compile space on TPU")
+        parser.add_argument("--chunked-prefill-tokens", type=int,
+                            default=EngineArgs.chunked_prefill_tokens,
+                            help="prefill long prompts in chunks of this "
+                            "many tokens (0 = whole-prompt prefill); "
+                            "bounds how long a prompt can stall the "
+                            "decode batch")
         parser.add_argument("--warmup-mode", type=str,
                             choices=["diagonal", "full", "off"],
                             default=EngineArgs.warmup_mode,
@@ -318,7 +325,25 @@ class EngineArgs:
                                            self.max_paddings,
                                            num_decode_steps,
                                            self.warmup_mode,
-                                           self.max_num_prompt_seqs)
+                                           self.max_num_prompt_seqs,
+                                           self.chunked_prefill_tokens)
+        if self.chunked_prefill_tokens and self.sep_prompt_token:
+            raise ValueError(
+                "--chunked-prefill-tokens is incompatible with "
+                "--sep-prompt-token: the disaggregated prefill pool "
+                "already keeps prompts off the decode mesh.")
+        if self.chunked_prefill_tokens and self.enable_prefix_caching:
+            raise ValueError(
+                "--chunked-prefill-tokens is incompatible with "
+                "--enable-prefix-caching: computed-block promotion "
+                "assumes whole-prompt prefills.")
+        if self.chunked_prefill_tokens % self.block_size != 0:
+            raise ValueError(
+                f"--chunked-prefill-tokens ({self.chunked_prefill_tokens}) "
+                f"must be a multiple of --block-size ({self.block_size}): "
+                "chunk boundaries must land on page boundaries so each "
+                "chunk's KV fills whole pages for the next chunk's "
+                "prefix attention.")
         scheduler_config.spec_decode = speculative_config is not None
         lora_config = LoRAConfig(
             max_lora_rank=self.max_lora_rank,

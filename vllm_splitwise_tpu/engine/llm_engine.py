@@ -264,6 +264,10 @@ class LLMEngine:
             scheduler_outputs: SchedulerOutputs) -> List[RequestOutput]:
         scheduled_seq_groups = scheduler_outputs.scheduled_seq_groups
         for seq_group, outputs in zip(scheduled_seq_groups, output):
+            if getattr(seq_group, "prefill_in_progress", False):
+                # Non-final chunk of a chunked prefill: the sampled
+                # "token" came from a mid-prompt position — discard.
+                continue
             self._process_sequence_group_outputs(seq_group, outputs)
         return self._finalize_step(scheduler_outputs)
 
@@ -299,6 +303,10 @@ class LLMEngine:
         request_outputs: List[RequestOutput] = []
         now = time.time()
         for seq_group in scheduled_seq_groups:
+            if getattr(seq_group, "prefill_in_progress", False):
+                # Mid-prefill (chunked): no token was produced — don't
+                # stamp TTFT or emit an output this step.
+                continue
             seq_group.maybe_set_first_token_time(now)
             request_outputs.append(RequestOutput.from_seq_group(seq_group))
         for seq_group in scheduler_outputs.ignored_seq_groups:
@@ -574,6 +582,8 @@ class LLMEngine:
                     scheduler_outputs.num_decode_steps)
             wall = time.time()
             for seq_group in scheduler_outputs.scheduled_seq_groups:
+                if getattr(seq_group, "prefill_in_progress", False):
+                    continue  # mid-chunk: no token emitted this step
                 latency = seq_group.get_last_latency(wall)
                 if prompt_run:
                     time_to_first_tokens.append(latency)

@@ -180,6 +180,16 @@ class MultihostSplitwiseExecutor(ExecutorBase):
         self.num_pages_moved = 0
         self.last_migration_seconds = 0.0
         self.last_stream_timeline: Optional[Dict] = None
+        # Per-phase wall-time accumulators for the dual step (the
+        # scaling probe's breakdown of where 2-pool time goes):
+        # send = serialize+ship the prefill job; decode = the local
+        # decode window; collect = wait for the prefill reply AFTER the
+        # decode step returns (pure exposed remote latency — the
+        # overlapped part is hidden inside `decode`); scatter is inside
+        # collect and also tracked via last_migration_seconds.
+        import collections as _collections
+        self.phase_seconds = _collections.Counter()
+        self.phase_counts = _collections.Counter()
 
     # KVMigrationManager duck-type for engine metrics.
     @property
@@ -263,19 +273,36 @@ class MultihostSplitwiseExecutor(ExecutorBase):
         async boundaries."""
         prompt_out = None
         decode_out = None
-        pending = self._send_prefill(prompt_meta,
-                                     prompt_blocks_to_nw or {}) \
-            if prompt_meta else None
+        pending = None
+        if prompt_meta:
+            t0 = time.perf_counter()
+            pending = self._send_prefill(prompt_meta,
+                                         prompt_blocks_to_nw or {})
+            self.phase_seconds["send_prefill"] += time.perf_counter() - t0
+            self.phase_counts["send_prefill"] += 1
         if decode_meta or decode_blocks_to_swap_in or \
                 decode_blocks_to_swap_out or decode_blocks_to_copy:
+            t0 = time.perf_counter()
             decode_out = self.decode_worker.execute_model(
                 decode_meta,
                 blocks_to_swap_in=decode_blocks_to_swap_in,
                 blocks_to_swap_out=decode_blocks_to_swap_out,
                 blocks_to_copy=decode_blocks_to_copy,
                 num_decode_steps=num_decode_steps)
+            self.phase_seconds["decode_execute"] += \
+                time.perf_counter() - t0
+            self.phase_counts["decode_execute"] += 1
         if pending is not None:
+            # Time spent here is the EXPOSED remote-prefill latency —
+            # whatever the concurrent decode window did not hide.
+            t0 = time.perf_counter()
             prompt_out = self._complete_prefill(pending)
+            self.phase_seconds["collect_prefill"] += \
+                time.perf_counter() - t0
+            self.phase_counts["collect_prefill"] += 1
+            if pending.get("pages"):
+                self.phase_seconds["scatter"] += \
+                    self.last_migration_seconds
         return prompt_out, decode_out
 
     def _send_prefill(self, seqs, blocks_to_nw, swap_in=None,

@@ -389,6 +389,10 @@ class SequenceGroupMetadata:
     block_tables: Dict[int, List[int]]
     prefix_len: int = 0
     lora_request: Optional[object] = None
+    # Chunked prefill (TPU extension): compute only prompt positions
+    # [prefix_len, prefill_end).  None = through the end of the prompt.
+    # Non-final chunks produce no sampled token (the engine discards).
+    prefill_end: Optional[int] = None
 
 
 @dataclass(eq=True)

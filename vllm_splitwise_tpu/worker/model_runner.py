@@ -928,11 +928,15 @@ class ModelRunner:
             data = md.seq_data[seq_id]
             token_ids = data.token_ids
             prefix_len = md.prefix_len
-            tokens = token_ids[prefix_len:]
+            # Chunked prefill computes only [prefix_len, prefill_end);
+            # the chunk start rides the prefix path (earlier positions'
+            # KV was written by prior chunks).
+            end = getattr(md, "prefill_end", None) or len(token_ids)
+            tokens = token_ids[prefix_len:end]
             block_table = md.block_tables[seq_id]
 
             slots = []
-            for i in range(prefix_len, len(token_ids)):
+            for i in range(prefix_len, end):
                 page = block_table[i // self.block_size]
                 slots.append(page * self.block_size + i % self.block_size)
 
