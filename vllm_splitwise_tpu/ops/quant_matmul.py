@@ -172,7 +172,12 @@ def quant_matmul_int4(
     num_groups = k // group_size
     assert scales.shape == (num_groups, n), (scales.shape, num_groups, n)
 
-    if not (_use_pallas() or interpret):
+    # Mosaic needs the x-block's lane dim (2*G) 128-aligned or equal to
+    # the full (padded) K; tiny group sizes (tests, exotic checkpoints)
+    # take the dense reference path — interpret mode is laxer, so gate
+    # on the real-lowering rule, not on interpret.
+    lane_ok = (2 * group_size) % 128 == 0 or 2 * group_size == k
+    if not ((_use_pallas() and lane_ok) or (interpret and lane_ok)):
         return quant_matmul_int4_reference(x, qweight, scales, zeros,
                                            group_size)
 
