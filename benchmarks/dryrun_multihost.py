@@ -389,6 +389,25 @@ def _run_scaling_probe(llm, config, startup_s: float,
         if total:
             result["phase_fraction"] = {
                 k: round(v / total, 3) for k, v in ph.items()}
+            dominant = max((k for k in ph if k != "scatter"),
+                           key=lambda k: ph[k])
+            result["analysis"] = {
+                "dominant_phase": dominant,
+                "note": (
+                    "collect_prefill is remote-prefill latency the "
+                    "concurrent decode window did NOT hide; on this CPU "
+                    "mesh the interpreted prefill compute alone exceeds "
+                    "all decode work, so the 2-pool ratio is bounded by "
+                    "prefill, not by the control plane (send_prefill = "
+                    "metadata pickle + posting DCN segment receives). "
+                    "On real v5e the same phases are ~100 ms-scale and "
+                    "the overlap covers them; this leg's value is the "
+                    "attribution, not the ratio."
+                ) if dominant == "collect_prefill" else (
+                    "control-plane bound: send_prefill dominates — "
+                    "serialize/ship cost exceeds the compute it "
+                    "overlaps."),
+            }
     return result
 
 

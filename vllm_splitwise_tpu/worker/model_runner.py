@@ -955,6 +955,21 @@ class ModelRunner:
 
         batch = _bucket(len(seq_lens), self.PREFILL_BATCH_BUCKETS)
         t_pad = _bucket(max(seq_lens), self.PREFILL_LEN_BUCKETS)
+        # Chunked-prefill shape hygiene: a batch touching chunk state
+        # (a continuation or a capped first chunk) pads its length to
+        # the chunk bucket and its prefix table to the maximum width, so
+        # ALL chunked dispatches share one compiled program per batch
+        # bucket — otherwise final-chunk lengths and per-prompt page
+        # counts each mint a new (t_pad, prefix_pages) program shape
+        # that compiles mid-traffic.
+        chunk = getattr(self.scheduler_config, "chunked_prefill_tokens",
+                        0)
+        chunked_batch = bool(chunk) and any(
+            getattr(md, "prefill_end", None) is not None
+            for md in seq_group_metadata_list)
+        if chunked_batch:
+            t_pad = _bucket(min(chunk, self.max_model_len),
+                            self.PREFILL_LEN_BUCKETS)
 
         input_ids = np.zeros((batch, t_pad), dtype=np.int32)
         positions = np.zeros((batch, t_pad), dtype=np.int32)
@@ -1757,6 +1772,63 @@ class ModelRunner:
             _, kv_caches = self.execute_model(mds, kv_caches)
             logger.info("warmup: prefill bucket b=%d t=%d ready (%.1fs)",
                         b, plen, time.time() - t0)
+
+        # Chunked-prefill continuation programs: the dispatch shape is
+        # (batch bucket, prefix-page bucket) at the fixed chunk length —
+        # warm every combo a served prompt can reach.  A combo whose
+        # prefix-attention scores exceed HBM is skipped with a warning
+        # (live traffic reaching it would OOM identically — the chunk/
+        # max_model_len config should be adjusted).
+        chunk = getattr(self.scheduler_config, "chunked_prefill_tokens",
+                        0)
+        if chunk and chunk < self.max_model_len:
+            prompt_cap = getattr(self.scheduler_config,
+                                 "max_num_prompt_seqs", 0) or max_seqs
+            max_prefix_pages = _bucket(
+                cdiv(self.max_model_len, self.block_size),
+                self.PREFIX_PAGE_BUCKETS)
+            for b in self.PREFILL_BATCH_BUCKETS:
+                if b > min(max_seqs,
+                           _bucket(prompt_cap,
+                                   self.PREFILL_BATCH_BUCKETS)):
+                    break
+                for pb in self.PREFIX_PAGE_BUCKETS:
+                    if pb > max_prefix_pages:
+                        break
+                    prefix = pb * self.block_size
+                    plen = min(prefix + chunk, self.max_model_len)
+                    if plen <= prefix:
+                        break
+                    num_pages = self._num_device_pages(kv_caches)
+                    pages = [p % num_pages
+                             for p in range(cdiv(plen, self.block_size))]
+                    mds = [
+                        SequenceGroupMetadata(
+                            request_id=f"warmup-c{b}-{pb}-{i}",
+                            is_prompt=True,
+                            seq_data={0: SequenceData([1] * plen)},
+                            sampling_params=sp,
+                            block_tables={0: pages},
+                            prefix_len=prefix,
+                            prefill_end=plen,
+                        ) for i in range(b)
+                    ]
+                    t0 = time.time()
+                    try:
+                        _, kv_caches = self.execute_model(mds, kv_caches)
+                    except Exception as exc:  # noqa: BLE001 - OOM combos
+                        logger.warning(
+                            "warmup: chunked-continuation b=%d "
+                            "prefix_pages=%d does not fit (%s) — traffic "
+                            "hitting this shape will fail; lower "
+                            "--chunked-prefill-tokens or "
+                            "--max-num-prompt-seqs", b, pb,
+                            type(exc).__name__)
+                        continue
+                    logger.info(
+                        "warmup: chunked-continuation b=%d "
+                        "prefix_pages=%d ready (%.1fs)", b, pb,
+                        time.time() - t0)
         return kv_caches
 
     def _warmup_prefill_grid(self, max_seqs: int, budget: int):
@@ -1773,6 +1845,11 @@ class ModelRunner:
         mode = getattr(self.scheduler_config, "warmup_mode", "diagonal")
         if mode == "off":
             return
+        chunk = getattr(self.scheduler_config, "chunked_prefill_tokens",
+                        0)
+        # With chunked prefill no prompt dispatch exceeds the chunk.
+        len_cap = min(self.max_model_len, chunk) if chunk \
+            else self.max_model_len
         prompt_cap = getattr(self.scheduler_config,
                              "max_num_prompt_seqs", 0) or max_seqs
         for b in self.PREFILL_BATCH_BUCKETS:
@@ -1781,16 +1858,16 @@ class ModelRunner:
                 break
             if mode == "full":
                 for t in self.PREFILL_LEN_BUCKETS:
-                    if t > self.max_model_len:
+                    if t > len_cap:
                         break
                     prev = ([x for x in self.PREFILL_LEN_BUCKETS
                              if x < t] or [0])[-1]
                     if b * (prev + 1) <= budget:
-                        yield b, min(t, self.max_model_len)
+                        yield b, min(t, len_cap)
             else:
-                t = _bucket(min(self.max_model_len, max(budget // b, 16)),
+                t = _bucket(min(len_cap, max(budget // b, 16)),
                             self.PREFILL_LEN_BUCKETS)
-                yield b, min(t, self.max_model_len)
+                yield b, min(t, len_cap)
 
     def profile_run(self, kv_caches):
         """Run a max-shape dummy prefill to bound live compute memory
