@@ -66,11 +66,13 @@ def main(args):
     from trace_timing import device_kernel_times
     times = device_kernel_times(
         lambda: jax.block_until_ready(run(xs_b, qw, sz)))
+    # Per-LAYER time = family total / layers.  Dividing by launch count
+    # is wrong since the fused act-quantize prologue ships as a second
+    # "quant_matmul*" launch per layer (r2+): that halved reported
+    # per-layer times and "measured" 1.3 TB/s on an 819 GB/s part.
     kern_ms = sum(ms for name, (ms, _) in times.items()
                   if name.startswith("quant_matmul"))
-    kern_n = sum(c for name, (_, c) in times.items()
-                 if name.startswith("quant_matmul"))
-    t = kern_ms / 1000.0 / max(kern_n, 1)
+    t = kern_ms / 1000.0 / L
 
     w_bytes = (k // 2) * n
     sz_bytes = int(sz.shape[1]) * n * 4 // 1

@@ -66,8 +66,11 @@ def run_config(m, k, n, bm, bn, bk, iters=50):
         o.block_until_ready()
 
     times = device_kernel_times(loop)
-    # the loop runs only this kernel: total device time / iters
-    ms = sum(t for t, _ in times.values())
+    # The trace carries NESTED events (the jit module + `while` wrappers
+    # cover the same device time as their child kernels) — summing all
+    # of them double-counts.  Count only the leaf kernel events.
+    ms = sum(t for name, (t, _) in times.items()
+             if not name.startswith(("jit_", "while")))
     return ms / 1000.0 / iters, None
 
 
