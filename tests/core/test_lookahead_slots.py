@@ -118,3 +118,23 @@ def test_scheduler_window_degrades_without_pages():
     assert not out.prompt_run
     assert out.num_decode_steps == 1
     assert seq.status == SequenceStatus.RUNNING
+
+
+def test_scheduler_window_quantizes_to_pow2():
+    """Shrunk windows round DOWN to a power of two: each distinct window
+    length is a separately compiled program on TPU, and warmup
+    pre-compiles exactly the {2, 4, ..., K} ladder."""
+    sched = _scheduler(8)
+    sp = SamplingParams(temperature=0.0, max_tokens=7)
+    _add_and_prefill(sched, 0, 6, sp)
+    _, out = sched.schedule()
+    # 6 tokens remain -> raw window 6 -> quantized to 4.
+    assert out.num_decode_steps == 4
+
+
+def test_scheduler_window_full_not_quantized():
+    sched = _scheduler(8)
+    sp = SamplingParams(temperature=0.0, max_tokens=32)
+    _add_and_prefill(sched, 0, 6, sp)
+    _, out = sched.schedule()
+    assert out.num_decode_steps == 8  # full window untouched
