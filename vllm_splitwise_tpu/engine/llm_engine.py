@@ -65,6 +65,7 @@ class LLMEngine:
 
         self.seq_counter = Counter()
         self._last_spec_emitted = 0
+        self._last_compile_stats = (0, 0.0)
         self._init_tokenizer()
 
         self.executor = executor_class(
@@ -597,6 +598,20 @@ class LLMEngine:
                 if prompt_run and mb is not None and me is not None:
                     time_kv_migrations.append(me - mb)
 
+        # Mid-traffic compile stalls (delta since last snapshot), summed
+        # over every worker's model runner this executor drives.
+        stalls, stall_s = 0, 0.0
+        for attr in ("worker", "prefill_worker", "decode_worker"):
+            w = getattr(self.executor, attr, None)
+            ds = getattr(getattr(w, "model_runner", None),
+                         "dispatch_stats", None)
+            if ds is not None:
+                stalls += ds.get("compile_stalls", 0)
+                stall_s += ds.get("compile_stall_s", 0.0)
+        d_stalls = stalls - self._last_compile_stats[0]
+        d_stall_s = stall_s - self._last_compile_stats[1]
+        self._last_compile_stats = (stalls, stall_s)
+
         return Stats(
             now=now,
             num_running=len(self.scheduler.running),
@@ -611,6 +626,8 @@ class LLMEngine:
             time_kv_migrations=time_kv_migrations,
             spec_acceptance_rate=spec_acceptance,
             spec_tokens_per_step=spec_tps,
+            compile_stalls=d_stalls,
+            compile_stall_seconds=d_stall_s,
         )
 
     def check_health(self) -> None:

@@ -77,6 +77,17 @@ class Metrics:
             labelnames=labelnames,
             buckets=[0.0005, 0.001, 0.0025, 0.005, 0.01, 0.025, 0.05,
                      0.1, 0.25, 0.5, 1.0])
+        # Compile-stall observability (TPU): a first-seen program shape
+        # dispatched mid-traffic blocks the engine loop while it
+        # compiles; warmup coverage should keep both counters at zero.
+        self.counter_compile_stalls = Counter(
+            "vllm:compile_stalls_total",
+            "Program shapes that compiled mid-traffic.",
+            labelnames=labelnames)
+        self.counter_compile_stall_seconds = Counter(
+            "vllm:compile_stall_seconds_total",
+            "Engine-loop seconds lost to mid-traffic compiles.",
+            labelnames=labelnames)
 
 
 @dataclass
@@ -98,6 +109,9 @@ class Stats:
     # SpecDecodeWorkerMetrics role).
     spec_acceptance_rate: "Optional[float]" = None
     spec_tokens_per_step: "Optional[float]" = None
+    # Mid-traffic compile stalls SINCE THE LAST SNAPSHOT (deltas).
+    compile_stalls: int = 0
+    compile_stall_seconds: float = 0.0
 
 
 class StatLogger:
@@ -147,6 +161,11 @@ class StatLogger:
                     **self.labels).observe(e2e)
             for mig in stats.time_kv_migrations:
                 m.histogram_kv_migration.labels(**self.labels).observe(mig)
+            if stats.compile_stalls:
+                m.counter_compile_stalls.labels(**self.labels).inc(
+                    stats.compile_stalls)
+                m.counter_compile_stall_seconds.labels(**self.labels).inc(
+                    stats.compile_stall_seconds)
 
         now = time.monotonic()
         if self._should_log(now):

@@ -80,7 +80,8 @@ def _flash_prefill_kernel(
         k = k_ref[0, 0]                       # [KB, d]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1, ), (1, )), ((), ())),
-            preferred_element_type=jnp.float32) * scale    # [R, KB]
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * scale    # [R, KB]
 
         rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -106,7 +107,8 @@ def _flash_prefill_kernel(
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v,
             dimension_numbers=(((1, ), (0, )), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
 
         acc_ref[...] = acc_ref[...] * alpha + pv
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)

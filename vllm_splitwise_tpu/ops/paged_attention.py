@@ -345,9 +345,11 @@ def _paged_attention_kernel(
             bm = jnp.bitwise_and(k, jnp.int8(0xF))
             dn = (((2, ), (2, )), ((0, ), (0, )))
             a = jax.lax.dot_general(q, k, dimension_numbers=dn,
-                                    preferred_element_type=jnp.int32)
+                                    preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
             bq = jax.lax.dot_general(q, bm, dimension_numbers=dn,
-                                     preferred_element_type=jnp.int32)
+                                     preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
             qsum = jnp.sum(q.astype(jnp.int32), axis=-1, keepdims=True)
             s_even = bq - 8 * qsum            # [kvh, gp, tok/2]
             s_odd = jax.lax.shift_right_arithmetic(a - bq, 4)  # exact /16
@@ -361,7 +363,8 @@ def _paged_attention_kernel(
             s_int = jax.lax.dot_general(
                 q, k,
                 dimension_numbers=(((2, ), (2, )), ((0, ), (0, ))),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
             qs = qscale_ref[0, :, :, 0:1]     # [kvh, gp, 1]
             s = s_int.astype(jnp.float32) * (qs * (kv_scale * scale))
         else:
@@ -371,6 +374,7 @@ def _paged_attention_kernel(
                 q, k,
                 dimension_numbers=(((2, ), (2, )), ((0, ), (0, ))),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             ) * scale
 
         lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
@@ -423,11 +427,14 @@ def _paged_attention_kernel(
             bm = jnp.bitwise_and(v, jnp.int8(0xF))
             dn = (((2, ), (1, )), ((0, ), (0, )))
             b1 = jax.lax.dot_general(pe, bm, dimension_numbers=dn,
-                                     preferred_element_type=jnp.int32)
+                                     preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
             a2 = jax.lax.dot_general(po, v, dimension_numbers=dn,
-                                     preferred_element_type=jnp.int32)
+                                     preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
             b2 = jax.lax.dot_general(po, bm, dimension_numbers=dn,
-                                     preferred_element_type=jnp.int32)
+                                     preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
             pesum = jnp.sum(pe.astype(jnp.int32), axis=-1, keepdims=True)
             pv_int = (b1 - 8 * pesum +
                       jax.lax.shift_right_arithmetic(a2 - b2, 4))
@@ -440,7 +447,8 @@ def _paged_attention_kernel(
             pv_int = jax.lax.dot_general(
                 pq, v,
                 dimension_numbers=(((2, ), (1, )), ((0, ), (0, ))),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
             pv = pv_int.astype(jnp.float32) * (kv_scale / 127.0)
         else:
             if v.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
@@ -452,6 +460,7 @@ def _paged_attention_kernel(
                 p.astype(v.dtype), v,
                 dimension_numbers=(((2, ), (1, )), ((0, ), (0, ))),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
 
         acc_ref[...] = acc_ref[...] * alpha + pv

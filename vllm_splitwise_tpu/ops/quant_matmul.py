@@ -100,7 +100,8 @@ def dequant_int4(qweight: jax.Array, scales: jax.Array, zeros: jax.Array,
 def quant_matmul_int4_reference(x, qweight, scales, zeros, group_size):
     w = dequant_int4(qweight, scales, zeros, group_size, dtype=jnp.float32)
     return jnp.dot(x.astype(jnp.float32), w,
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+                   preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -144,7 +145,8 @@ def _int4_matmul_kernel(
     x = x_ref[...]
     acc_ref[...] += jax.lax.dot_general(
         x, w, dimension_numbers=(((1, ), (0, )), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(kb == num_kb - 1)
     def _():
@@ -305,7 +307,8 @@ def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, out_dtype):
     x = x_ref[...]
     acc_ref[...] += jax.lax.dot_general(
         x, w, dimension_numbers=(((1, ), (0, )), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(kb == num_kb - 1)
     def _():
@@ -503,7 +506,8 @@ def _int4_matmul_kernel_stacked(
     w = jnp.concatenate([(lo - z0) * s0, (hi - z1) * s1], axis=0)
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...], w, dimension_numbers=(((1, ), (0, )), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(kb == num_kb - 1)
     def _():
@@ -591,7 +595,8 @@ def _int8_matmul_kernel_stacked(layer_ref, x_ref, q_ref, s_ref, o_ref,
     w = q_ref[0].astype(jnp.int32).astype(jnp.bfloat16)
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...], w, dimension_numbers=(((1, ), (0, )), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(kb == num_kb - 1)
     def _():
@@ -843,11 +848,14 @@ def _int4_mxu_kernel_stacked(
         x_lo = xq[:, 2 * h * g:(2 * h + 1) * g]
         x_hi = xq[:, (2 * h + 1) * g:(2 * h + 2) * g]
         d_lo = jax.lax.dot_general(x_lo, pm, dimension_numbers=dn,
-                                   preferred_element_type=jnp.int32)
+                                   preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
         d_hi_m = jax.lax.dot_general(x_hi, pm, dimension_numbers=dn,
-                                     preferred_element_type=jnp.int32)
+                                     preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
         d_hi_raw = jax.lax.dot_general(x_hi, p, dimension_numbers=dn,
-                                       preferred_element_type=jnp.int32)
+                                       preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
         # x_hi @ (hi - 8); the difference is an exact multiple of 16.
         hi_signed = jax.lax.shift_right_arithmetic(d_hi_raw - d_hi_m, 4)
 
