@@ -482,3 +482,30 @@ def test_scheduler_max_num_prompt_seqs_cap():
     # The rest arrive in later prompt runs, order preserved (FCFS).
     _, out = scheduler.schedule()
     assert [g.request_id for g in out.scheduled_seq_groups] == ["2", "3"]
+
+
+def test_decode_priority_steps_throttles_prompts():
+    """--decode-priority-steps N: while decodes are pending, a prompt
+    run only happens after N decode runs (bounds TPOT inflation under
+    steady prompt arrivals; 0 keeps strict prompt-first)."""
+    scheduler = make_scheduler(num_device_blocks=64)
+    scheduler.scheduler_config.decode_priority_steps = 2
+
+    _, g0 = create_dummy_prompt("0", prompt_length=4, block_size=4)
+    scheduler.add_seq_group(g0)
+    _, out = scheduler.schedule()       # first prompt always allowed
+    assert out.prompt_run
+    append_token(g0, 1)
+
+    _, g1 = create_dummy_prompt("1", prompt_length=4, block_size=4)
+    scheduler.add_seq_group(g1)
+    # Two decode runs must happen before the waiting prompt is admitted.
+    _, out = scheduler.schedule()
+    assert not out.prompt_run
+    append_token(g0, 1)
+    _, out = scheduler.schedule()
+    assert not out.prompt_run
+    append_token(g0, 1)
+    _, out = scheduler.schedule()
+    assert out.prompt_run
+    assert [g.request_id for g in out.scheduled_seq_groups] == ["1"]

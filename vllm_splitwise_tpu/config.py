@@ -347,6 +347,7 @@ class SchedulerConfig:
         warmup_mode: str = "diagonal",
         max_num_prompt_seqs: int = 0,
         chunked_prefill_tokens: int = 0,
+        decode_priority_steps: int = 0,
     ) -> None:
         if max_num_batched_tokens is not None:
             self.max_num_batched_tokens = max_num_batched_tokens
@@ -389,6 +390,14 @@ class SchedulerConfig:
         # disaggregated prefill pool makes chunking moot — migration
         # streams layer groups instead).
         self.chunked_prefill_tokens = chunked_prefill_tokens
+        # Decode-priority scheduling (0 = reference prompt-first): when
+        # set, after a prompt run the scheduler requires this many
+        # decode runs before admitting the next prompt batch (while
+        # decodes are pending).  Under load, strict prompt-first lets a
+        # steady prompt arrival stream starve the decode batch and
+        # inflate TPOT; this bounds the prefill duty cycle at the cost
+        # of a little queueing TTFT.
+        self.decode_priority_steps = decode_priority_steps
         self._verify_args()
 
     def _verify_args(self) -> None:

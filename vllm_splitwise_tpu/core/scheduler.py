@@ -118,6 +118,9 @@ class Scheduler:
         # until the final chunk runs, then move to `running`; the decode
         # phase never sees them (their pages are pinned meanwhile).
         self.prefilling: Deque[SequenceGroup] = deque()
+        # Decode runs since the last prompt run (decode-priority
+        # scheduling; see _schedule).
+        self._decodes_since_prompt = 10**9
         # Cumulative swap-preemption count (observability; lets tests
         # assert the swap path actually ran).
         self.num_swapped_total = 0
@@ -195,12 +198,22 @@ class Scheduler:
 
     def _schedule(self) -> SchedulerOutputs:
         # Prompts-first policy, unless sequences are swapped out — those
-        # must resume first.
-        if not self.swapped:
+        # must resume first.  With decode_priority_steps set, a prompt
+        # run additionally requires that many decode runs since the last
+        # one (while decodes are pending), bounding the prefill duty
+        # cycle so steady prompt arrivals cannot starve decode TPOT.
+        ratio = getattr(self.scheduler_config, "decode_priority_steps", 0)
+        prompts_allowed = not self.swapped and (
+            ratio == 0 or not self.running
+            or self._decodes_since_prompt >= ratio)
+        if prompts_allowed:
             prompt_outputs = self._schedule_prompt_phase()
             if prompt_outputs is not None:
+                self._decodes_since_prompt = 0
                 return prompt_outputs
-        return self._schedule_decode_phase()
+        outputs = self._schedule_decode_phase()
+        self._decodes_since_prompt += 1
+        return outputs
 
     def _schedule_prompt_phase(self) -> Optional[SchedulerOutputs]:
         """Batch waiting prompts; None if nothing was scheduled/ignored."""

@@ -51,6 +51,7 @@ class EngineArgs:
     warmup_mode: str = "diagonal"
     max_num_prompt_seqs: int = 0
     chunked_prefill_tokens: int = 0
+    decode_priority_steps: int = 0
     speculative_model: Optional[str] = None
     num_speculative_tokens: int = 4
     speculative_model_quantization: Optional[str] = None
@@ -208,6 +209,12 @@ class EngineArgs:
                             "many tokens (0 = whole-prompt prefill); "
                             "bounds how long a prompt can stall the "
                             "decode batch")
+        parser.add_argument("--decode-priority-steps", type=int,
+                            default=EngineArgs.decode_priority_steps,
+                            help="require this many decode runs between "
+                            "prompt runs while decodes are pending "
+                            "(0 = prompt-first); bounds TPOT inflation "
+                            "under prompt load")
         parser.add_argument("--warmup-mode", type=str,
                             choices=["diagonal", "full", "off"],
                             default=EngineArgs.warmup_mode,
@@ -326,7 +333,8 @@ class EngineArgs:
                                            num_decode_steps,
                                            self.warmup_mode,
                                            self.max_num_prompt_seqs,
-                                           self.chunked_prefill_tokens)
+                                           self.chunked_prefill_tokens,
+                                           self.decode_priority_steps)
         if self.chunked_prefill_tokens and self.sep_prompt_token:
             raise ValueError(
                 "--chunked-prefill-tokens is incompatible with "
