@@ -843,7 +843,15 @@ class ModelRunner:
                 rows_valid,
                 jnp.take(out.num_emitted, jnp.arange(batch), axis=0,
                          mode="clip"), 0)
-            return packed, num_acc, num_emit, kv_caches, draft_caches
+            # ONE fetched array: every host-visible output rides an extra
+            # "step" row of `packed` — separate small fetches each cost a
+            # full transport round trip (~15-30 ms tunneled), the exact
+            # overhead the fused window exists to avoid (perf notes #9).
+            stats = jnp.zeros((s_pad, 4), jnp.float32)
+            stats = stats.at[:batch, 0].set(num_acc.astype(jnp.float32))
+            stats = stats.at[:batch, 1].set(num_emit.astype(jnp.float32))
+            packed = jnp.concatenate([packed, stats[None]], axis=0)
+            return packed, kv_caches, draft_caches
 
         self._spec_fn = jax.jit(
             spec_step,
@@ -883,14 +891,19 @@ class ModelRunner:
         s_pad = sample_indices.shape[0]
         ibuf, fbuf = self._pack_decode_window_bufs(
             input_ids, metadata, sample_indices, tensors, seeds)
-        packed, num_acc, num_emit, kv_caches, self.draft_caches = \
+        packed, kv_caches, self.draft_caches = \
             self._spec_fn(self.params, self.draft_params, kv_caches,
                           self.draft_caches, jnp.asarray(ibuf),
                           jnp.asarray(fbuf), k=k, batch=batch, pages=pages,
                           s_pad=s_pad, needs_filtering=needs_filtering)
 
-        num_acc = np.asarray(num_acc)
-        num_emit = np.asarray(num_emit)
+        # ONE device fetch: [k+2, s_pad, 4] — the last "step" row carries
+        # (num_accepted, num_emitted) per batch row (see spec_step).
+        packed = np.asarray(packed)
+        stats = packed[-1]
+        packed = packed[:-1]
+        num_acc = stats[:batch, 0].astype(np.int64)
+        num_emit = stats[:batch, 1].astype(np.int64)
         num_real = len(seq_group_metadata_list)
         self.spec_stats.num_steps += num_real
         self.spec_stats.num_draft_tokens += num_real * k
