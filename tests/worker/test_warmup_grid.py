@@ -30,14 +30,22 @@ def make_runner(mode="full", prompt_cap=0, chunk=0, max_model_len=4096):
 def test_full_grid_covers_every_feasible_combo():
     grid = set(make_runner()._warmup_prefill_grid(max_seqs=32,
                                                   budget=4096))
-    # Feasibility: some raw length in the bucket satisfies b*len<=budget.
+    # Feasibility: some raw (count, length) pair padding up to the
+    # bucket pair satisfies count*len <= budget; the minimum such pair
+    # is (prev_batch_bucket+1, prev_len_bucket+1).
+    lens = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+    batches = [1, 2, 4, 8, 16]
     for b, t in grid:
-        prev = ([x for x in [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
-                 if x < t] or [0])[-1]
-        assert b * (prev + 1) <= 4096
+        prev = ([x for x in lens if x < t] or [0])[-1]
+        prev_b = ([x for x in batches if x < b] or [0])[-1]
+        assert (prev_b + 1) * (prev + 1) <= 4096
     assert (1, 4096) in grid and (16, 256) in grid
-    assert (16, 512) not in grid      # 16*257 > 4096
-    assert len(grid) == 35
+    # 9 raw prompts x 455 tokens (4095 <= 4096) pads to (16, 512):
+    # the full grid must cover it or it compiles mid-traffic.
+    assert (16, 512) in grid
+    assert (2, 4096) not in grid      # 2 * 2049 > 4096
+    assert (16, 1024) not in grid     # 9 * 513 > 4096
+    assert len(grid) == 38
 
 
 def test_prompt_cap_shrinks_grid():

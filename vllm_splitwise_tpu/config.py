@@ -348,6 +348,7 @@ class SchedulerConfig:
         max_num_prompt_seqs: int = 0,
         chunked_prefill_tokens: int = 0,
         decode_priority_steps: int = 0,
+        mixed_batch: bool = False,
     ) -> None:
         if max_num_batched_tokens is not None:
             self.max_num_batched_tokens = max_num_batched_tokens
@@ -398,6 +399,15 @@ class SchedulerConfig:
         # inflate TPOT; this bounds the prefill duty cycle at the cost
         # of a little queueing TTFT.
         self.decode_priority_steps = decode_priority_steps
+        # Mixed prefill+decode stepping (TPU extension; single pool):
+        # every engine step schedules BOTH the decode window and a
+        # prompt(-chunk) batch, dispatched back-to-back on the device so
+        # decode advances every step instead of stalling behind whole
+        # prompt batches (the prompt-first p99-TPOT failure mode).  The
+        # per-step decode stall is bounded by the prompt half's padded
+        # size — pair with --chunked-prefill-tokens and
+        # --max-num-prompt-seqs to bound it tightly.
+        self.mixed_batch = mixed_batch
         self._verify_args()
 
     def _verify_args(self) -> None:

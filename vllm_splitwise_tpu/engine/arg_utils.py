@@ -52,6 +52,7 @@ class EngineArgs:
     max_num_prompt_seqs: int = 0
     chunked_prefill_tokens: int = 0
     decode_priority_steps: int = 0
+    mixed_batch: bool = False
     speculative_model: Optional[str] = None
     num_speculative_tokens: int = 4
     speculative_model_quantization: Optional[str] = None
@@ -215,6 +216,14 @@ class EngineArgs:
                             "prompt runs while decodes are pending "
                             "(0 = prompt-first); bounds TPOT inflation "
                             "under prompt load")
+        parser.add_argument("--mixed-batch", action="store_true",
+                            help="schedule the decode window AND a "
+                            "prompt(-chunk) batch every engine step, "
+                            "dispatched back-to-back on the device, so "
+                            "decode never skips a step behind prefill; "
+                            "pair with --chunked-prefill-tokens and "
+                            "--max-num-prompt-seqs to bound the "
+                            "per-step stall")
         parser.add_argument("--warmup-mode", type=str,
                             choices=["diagonal", "full", "off"],
                             default=EngineArgs.warmup_mode,
@@ -334,7 +343,13 @@ class EngineArgs:
                                            self.warmup_mode,
                                            self.max_num_prompt_seqs,
                                            self.chunked_prefill_tokens,
-                                           self.decode_priority_steps)
+                                           self.decode_priority_steps,
+                                           self.mixed_batch)
+        if self.mixed_batch and self.sep_prompt_token:
+            raise ValueError(
+                "--mixed-batch is incompatible with --sep-prompt-token: "
+                "the disaggregated executor already steps both phases "
+                "concurrently on separate meshes.")
         if self.chunked_prefill_tokens and self.sep_prompt_token:
             raise ValueError(
                 "--chunked-prefill-tokens is incompatible with "

@@ -608,6 +608,12 @@ class LLMEngine:
             if ds is not None:
                 stalls += ds.get("compile_stalls", 0)
                 stall_s += ds.get("compile_stall_s", 0.0)
+        # Remote prefill host (multihost splitwise): its runner's
+        # cumulative counters ride back on every prefill reply.
+        rds = getattr(self.executor, "remote_dispatch_stats", None)
+        if rds:
+            stalls += rds.get("compile_stalls", 0)
+            stall_s += rds.get("compile_stall_s", 0.0)
         d_stalls = stalls - self._last_compile_stats[0]
         d_stall_s = stall_s - self._last_compile_stats[1]
         self._last_compile_stats = (stalls, stall_s)

@@ -189,6 +189,9 @@ class MultihostSplitwiseExecutor(ExecutorBase):
         # collect and also tracked via last_migration_seconds.
         import collections as _collections
         self.phase_seconds = _collections.Counter()
+        # Latest cumulative compile-stall counters reported by the
+        # remote prefill host (updated on every prefill reply).
+        self.remote_dispatch_stats: Dict[str, float] = {}
         self.phase_counts = _collections.Counter()
 
     # KVMigrationManager duck-type for engine metrics.
@@ -339,6 +342,12 @@ class MultihostSplitwiseExecutor(ExecutorBase):
             raise RuntimeError(
                 f"prefill host failed: {reply.get('message')}")
         assert reply["op"] == "outputs", reply
+        # Cumulative remote-runner stall counters (every reply carries
+        # the latest totals); surfaced via engine _get_stats.
+        self.remote_dispatch_stats = {
+            "compile_stalls": reply.get("compile_stalls", 0),
+            "compile_stall_s": reply.get("compile_stall_s", 0.0),
+        }
         if reply.get("push_rel_s"):
             self.last_stream_timeline = {
                 "prefill_exec_s": reply.get("prefill_exec_s"),
@@ -623,6 +632,7 @@ class PrefillHostServer:
                     except Exception:  # noqa: BLE001
                         logger.exception("post-error segment drain failed")
                 continue
+            ds = self.worker.model_runner.dispatch_stats
             self.channel.send({
                 "op": "outputs",
                 "outputs": outputs,
@@ -630,6 +640,13 @@ class PrefillHostServer:
                 # a prefill forward that took prefill_exec_s in total.
                 "prefill_exec_s": exec_s,
                 "push_rel_s": stream.push_rel_s if stream else [],
+                # Cumulative compile-stall counters of THIS host's model
+                # runner: the master folds them into its Prometheus
+                # stats — without this, a remote prefill shape compiling
+                # mid-traffic would be invisible in
+                # vllm:compile_stalls_total.
+                "compile_stalls": ds.get("compile_stalls", 0),
+                "compile_stall_s": ds.get("compile_stall_s", 0.0),
             })
             if msg["pages"]:
                 if stream is not None:

@@ -57,6 +57,11 @@ class TPUExecutor(ExecutorBase):
                              lora_config=lora_config)
         self.worker.load_model()
         self._init_cache()
+        if scheduler_config.mixed_batch:
+            # The engine gates its dual-dispatch step (decode window +
+            # prompt batch scheduled together) on this attribute's
+            # presence — set it only when --mixed-batch asked for it.
+            self.execute_dual = self._execute_dual_mixed
 
     def _init_cache(self) -> None:
         cfg = self.cache_config
@@ -93,6 +98,31 @@ class TPUExecutor(ExecutorBase):
             blocks_to_copy=blocks_to_copy,
             num_decode_steps=num_decode_steps,
         )
+
+    def _execute_dual_mixed(
+        self,
+        prompt_meta: List[SequenceGroupMetadata],
+        prompt_blocks_to_nw: Dict[int, List[int]],
+        decode_meta: List[SequenceGroupMetadata],
+        decode_blocks_to_swap_in: Dict[int, int],
+        decode_blocks_to_swap_out: Dict[int, int],
+        decode_blocks_to_copy: Dict[int, List[int]],
+        decode_blocks_to_nw=None,
+        num_decode_steps: int = 1,
+    ):
+        """Mixed prefill+decode step on ONE mesh (--mixed-batch): the
+        decode window and the prompt(-chunk) batch dispatch back-to-back
+        as two async device programs, so decode advances every engine
+        step and the decode fetch overlaps the prefill compute.  Same
+        engine-facing signature as the disaggregated executor's
+        execute_dual (splitwise_executor.py), minus migrations — both
+        halves share one KV cache."""
+        return self.worker.execute_mixed(
+            prompt_meta, decode_meta,
+            blocks_to_swap_in=decode_blocks_to_swap_in,
+            blocks_to_swap_out=decode_blocks_to_swap_out,
+            blocks_to_copy=decode_blocks_to_copy,
+            num_decode_steps=num_decode_steps)
 
     def add_lora(self, lora_request) -> bool:
         return self.worker.add_lora(lora_request)

@@ -980,9 +980,13 @@ def quant_matmul_int4_mxu_stacked(
         if picked or block_m <= 8:
             break
         block_m = max(8, block_m // 2)
-    assert picked, (
-        f"no lane-aligned tile of N={n} fits the scoped-VMEM limit "
-        f"(block_m={block_m}, n_limit={n_limit})")
+    if not picked:
+        # Explicit raise, not assert: this guards a production path and
+        # python -O would strip an assert, leaving block_n=0 to produce
+        # a zero-division grid.
+        raise ValueError(
+            f"no lane-aligned tile of N={n} fits the scoped-VMEM limit "
+            f"(block_m={block_m}, n_limit={n_limit})")
     block_n = picked
     grid = (_cdiv(m, block_m), n // block_n, num_bands)
     m_pad = _round_up(m, block_m) - m

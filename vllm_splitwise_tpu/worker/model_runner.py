@@ -1233,21 +1233,29 @@ class ModelRunner:
         kv_caches,
         num_decode_steps: int = 1,
         kv_stream=None,
+        defer: bool = False,
     ) -> Tuple[Optional[SamplerOutput], Any]:
         """Timed wrapper: tracks per-program-shape dispatch times so
         compile stalls are visible in serving logs (a first-seen bucket
         combo on a remote-compile transport can block the engine loop
         for minutes — the exact failure mode behind the r3 serving
-        collapse).  Stats land in ``self.dispatch_stats``."""
+        collapse).  Stats land in ``self.dispatch_stats``.
+
+        ``defer=True`` returns ``(thunk, kv_caches)`` instead of
+        ``(output, kv_caches)``: the device program is dispatched
+        (async) but the host-visible fetch + output processing happen
+        when the thunk runs — the mixed-batch step dispatches decode AND
+        prefill before fetching either, so the decode fetch's transport
+        latency rides under the prefill compute."""
         if not seq_group_metadata_list:
-            return [], kv_caches
+            return ((lambda: []) if defer else []), kv_caches
         sig = self._program_signature(seq_group_metadata_list,
                                       num_decode_steps)
         first = sig not in self._seen_programs
         t0 = time.perf_counter()
         result = self._execute_model_impl(seq_group_metadata_list,
                                           kv_caches, num_decode_steps,
-                                          kv_stream)
+                                          kv_stream, defer=defer)
         dt = time.perf_counter() - t0
         st = self.dispatch_stats
         st["dispatches"] += 1
@@ -1268,15 +1276,37 @@ class ModelRunner:
                            num_decode_steps: int):
         """Coarse static-shape key of this dispatch: enough to identify
         which compiled program the batch lands on (greedy serving —
-        penalty/logprob dims add further axes not tracked here)."""
+        penalty/logprob dims add further axes not tracked here).  The
+        prompt key mirrors _prepare_prompt's dispatch shape exactly —
+        (t_pad incl. the chunked override, prefix-page bucket) — so
+        compile-stall accounting attributes chunked-prefill programs to
+        the shapes that actually run."""
         if seq_group_metadata_list[0].is_prompt:
-            lens = [md.seq_data[sid].num_tokens
-                    for md in seq_group_metadata_list
-                    for sid in md.seq_data]
-            return ("P",
-                    _bucket(len(seq_group_metadata_list),
-                            self.PREFILL_BATCH_BUCKETS),
-                    _bucket(max(lens), self.PREFILL_LEN_BUCKETS))
+            seq_lens = []
+            starts = []
+            table_lens = []
+            for md in seq_group_metadata_list:
+                sid = next(iter(md.seq_data))
+                prefix_len = md.prefix_len
+                end = (getattr(md, "prefill_end", None)
+                       or md.seq_data[sid].num_tokens)
+                seq_lens.append(end - prefix_len)
+                starts.append(prefix_len)
+                table_lens.append(len(md.block_tables[sid]))
+            batch = _bucket(len(seq_lens), self.PREFILL_BATCH_BUCKETS)
+            t_pad = _bucket(max(seq_lens), self.PREFILL_LEN_BUCKETS)
+            chunk = getattr(self.scheduler_config,
+                            "chunked_prefill_tokens", 0)
+            if chunk and any(
+                    getattr(md, "prefill_end", None) is not None
+                    for md in seq_group_metadata_list):
+                t_pad = _bucket(min(chunk, self.max_model_len),
+                                self.PREFILL_LEN_BUCKETS)
+            prefix_pages = 0
+            if any(starts):
+                prefix_pages = _bucket(max(table_lens),
+                                       self.PREFIX_PAGE_BUCKETS)
+            return ("P", batch, t_pad, prefix_pages)
         rows = sum(len(md.seq_data) for md in seq_group_metadata_list)
         return ("D", _bucket(rows, self.DECODE_BATCH_BUCKETS),
                 num_decode_steps)
@@ -1287,17 +1317,22 @@ class ModelRunner:
         kv_caches,
         num_decode_steps: int = 1,
         kv_stream=None,
+        defer: bool = False,
     ) -> Tuple[Optional[SamplerOutput], Any]:
         is_prompt = seq_group_metadata_list[0].is_prompt
 
         if not is_prompt and num_decode_steps > 1:
             if self.draft_model is not None:
-                # A spec step plans a (k+1)-token window.
-                return self._execute_spec_decode(seq_group_metadata_list,
-                                                 kv_caches,
-                                                 num_decode_steps - 1)
+                # A spec step plans a (k+1)-token window.  Eager fetch
+                # (acceptance stats feed the scheduler) — wrap for the
+                # defer contract.
+                out, kv_caches = self._execute_spec_decode(
+                    seq_group_metadata_list, kv_caches,
+                    num_decode_steps - 1)
+                return ((lambda: out) if defer else out), kv_caches
             return self._execute_multi_decode(seq_group_metadata_list,
-                                              kv_caches, num_decode_steps)
+                                              kv_caches, num_decode_steps,
+                                              defer=defer)
 
         if is_prompt:
             input_ids, positions, metadata, _ = self._prepare_prompt(
@@ -1373,7 +1408,9 @@ class ModelRunner:
             self._sync_draft_caches(ibuf_dev, is_prompt, batch,
                                     t_pad if is_prompt else 1,
                                     prefix_pages, pages)
-            return sampler_output, kv_caches
+            # Host processors force an eager fetch; keep the contract.
+            return ((lambda: sampler_output)
+                    if defer else sampler_output), kv_caches
 
         seg_plan = self._prefill_segment_plan(kv_caches, lora) \
             if (is_prompt and self.segment_prefill) else None
@@ -1400,13 +1437,16 @@ class ModelRunner:
         self._sync_draft_caches(ibuf_dev, is_prompt, batch, t_pad,
                                  prefix_pages, pages)
 
-        sampler_output = self._process_sampler_output(
-            _unpack_sampler_output(out, max_logprobs), plan)
-        if prompt_lp is not None:
-            self._attach_prompt_logprobs(sampler_output, prompt_lp,
-                                         max_logprobs, plan,
-                                         seq_group_metadata_list)
-        return sampler_output, kv_caches
+        def finish():
+            sampler_output = self._process_sampler_output(
+                _unpack_sampler_output(out, max_logprobs), plan)
+            if prompt_lp is not None:
+                self._attach_prompt_logprobs(sampler_output, prompt_lp,
+                                             max_logprobs, plan,
+                                             seq_group_metadata_list)
+            return sampler_output
+
+        return (finish if defer else finish()), kv_caches
 
     def _prefill_segment_plan(self, kv_caches, lora):
         """Layer-group plan [(layer_start, num_layers)] for the streamed
@@ -1487,8 +1527,43 @@ class ModelRunner:
                 self.draft_params, self.draft_caches, ibuf_dev,
                 batch=batch, pages=pages)
 
+    def execute_mixed(self, prompt_meta, decode_meta, kv_caches,
+                      num_decode_steps: int = 1):
+        """One mixed engine step (--mixed-batch): dispatch the decode
+        window FIRST, then the prompt(-chunk) batch, and only then fetch
+        — the decode fetch's transport rides under the prefill compute,
+        and the device never idles between the halves.  A prompt half
+        whose rows are ALL mid-chunk (no sampled token or prompt
+        logprobs can be consumed) skips its fetch entirely: the engine
+        discards mid-chunk outputs anyway (llm_engine
+        _process_model_outputs), so the sampler output stays an unread
+        device array.
+
+        Returns (prompt_output, decode_output, kv_caches)."""
+        decode_thunk = prompt_thunk = None
+        if decode_meta:
+            decode_thunk, kv_caches = self.execute_model(
+                decode_meta, kv_caches, num_decode_steps, defer=True)
+        skip_prompt_fetch = False
+        if prompt_meta:
+            prompt_thunk, kv_caches = self.execute_model(
+                prompt_meta, kv_caches, defer=True)
+            skip_prompt_fetch = all(
+                getattr(md, "prefill_end", None) is not None
+                and md.prefill_end < next(
+                    iter(md.seq_data.values())).num_tokens
+                for md in prompt_meta)
+        decode_out = decode_thunk() if decode_thunk is not None else []
+        if prompt_thunk is None:
+            prompt_out = []
+        elif skip_prompt_fetch:
+            prompt_out = [None] * len(prompt_meta)
+        else:
+            prompt_out = prompt_thunk()
+        return prompt_out, decode_out, kv_caches
+
     def _execute_multi_decode(self, seq_group_metadata_list, kv_caches,
-                              num_steps: int):
+                              num_steps: int, defer: bool = False):
         """Run a fused K-step decode window; returns (list of per-step
         SamplerOutputs, caches).  The scheduler guarantees eligibility
         (single-seq groups, no beam/penalties/processors/LoRA) and has
@@ -1512,16 +1587,18 @@ class ModelRunner:
             num_steps=num_steps, batch=batch, pages=pages, s_pad=s_pad,
             needs_filtering=needs_filtering, max_logprobs=max_logprobs)
 
-        arrs = _unpack_sampler_output(outs, max_logprobs)  # [K, S, ...]
-        step_outputs = [
-            self._process_sampler_output(
-                SamplerOutputArrays(arrs.sampled_tokens[k],
-                                    arrs.sampled_logprobs[k],
-                                    arrs.topk_logprobs[k],
-                                    arrs.topk_token_ids[k]), plan)
-            for k in range(num_steps)
-        ]
-        return step_outputs, kv_caches
+        def finish():
+            arrs = _unpack_sampler_output(outs, max_logprobs)  # [K, S, .]
+            return [
+                self._process_sampler_output(
+                    SamplerOutputArrays(arrs.sampled_tokens[k],
+                                        arrs.sampled_logprobs[k],
+                                        arrs.topk_logprobs[k],
+                                        arrs.topk_token_ids[k]), plan)
+                for k in range(num_steps)
+            ]
+
+        return (finish if defer else finish()), kv_caches
 
     def _multi_step_seeds(self, plan, seeds0: np.ndarray,
                           num_steps: int) -> np.ndarray:
@@ -1875,7 +1952,17 @@ class ModelRunner:
                         break
                     prev = ([x for x in self.PREFILL_LEN_BUCKETS
                              if x < t] or [0])[-1]
-                    if b * (prev + 1) <= budget:
+                    # Feasible iff SOME raw batch padding up to bucket b
+                    # and SOME raw length padding up to bucket t fit the
+                    # budget — the scheduler admits raw counts/lengths,
+                    # not buckets, so the minimum raw pair is
+                    # (prev_batch_bucket+1, prev_len_bucket+1).  Keying
+                    # on b*(prev_len+1) missed shapes like (16, 512):
+                    # 9 prompts x 455 tokens (4095 <= 4096) pads there
+                    # and would compile mid-traffic.
+                    prev_b = ([x for x in self.PREFILL_BATCH_BUCKETS
+                               if x < b] or [0])[-1]
+                    if (prev_b + 1) * (prev + 1) <= budget:
                         yield b, min(t, len_cap)
             else:
                 t = _bucket(min(len_cap, max(budget // b, 16)),

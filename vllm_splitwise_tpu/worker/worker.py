@@ -292,13 +292,39 @@ class Worker:
         output, self.kv_caches = self.model_runner.execute_model(
             seq_group_metadata_list, self.kv_caches,
             num_decode_steps=num_decode_steps, kv_stream=kv_stream)
+        self._repoint_caches()
+        return output
+
+    def execute_mixed(
+        self,
+        prompt_meta: List[SequenceGroupMetadata],
+        decode_meta: List[SequenceGroupMetadata],
+        blocks_to_swap_in: Optional[Dict[int, int]] = None,
+        blocks_to_swap_out: Optional[Dict[int, int]] = None,
+        blocks_to_copy: Optional[Dict[int, List[int]]] = None,
+        num_decode_steps: int = 1,
+    ) -> Tuple[Optional[SamplerOutput], Optional[SamplerOutput]]:
+        """Mixed step (--mixed-batch): decode window + prompt batch in
+        one engine step on one mesh.  Returns (prompt_output,
+        decode_output)."""
+        self.cache_swap(blocks_to_swap_in or {}, blocks_to_swap_out or {},
+                        blocks_to_copy or {})
+        prompt_out, decode_out, self.kv_caches = \
+            self.model_runner.execute_mixed(prompt_meta, decode_meta,
+                                            self.kv_caches,
+                                            num_decode_steps)
+        self._repoint_caches()
+        return prompt_out, decode_out
+
+    def _repoint_caches(self) -> None:
+        """The step fns DONATE cache buffers: after any dispatch the
+        engines must address the new arrays, not the consumed ones."""
         if self.cache_engine is not None:
             self.cache_engine.device_cache = self.kv_caches
         if self.draft_cache_engine is not None:
             # The runner advances draft caches in place (donation).
             self.draft_cache_engine.device_cache = \
                 self.model_runner.draft_caches
-        return output
 
 
 def _clone_cache_config(cache_config: CacheConfig,
