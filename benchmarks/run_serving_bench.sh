@@ -28,11 +28,17 @@ if [ ! -f "$CKPT/config.json" ]; then
     exit 1
 fi
 
+# --mixed-batch + chunked prefill: every engine step carries the decode
+# window AND at most --max-num-prompt-seqs prompt chunks, so decode
+# never stalls behind a whole prompt batch (p99 TPOT) while the chunk
+# bounds the per-step prefill cost.  EXTRA_FLAGS overrides for A/B runs.
 python -m vllm_splitwise_tpu.entrypoints.openai.api_server \
     --model "$CKPT" --quantization gptq --kv-cache-dtype int8 \
     --num-decode-steps 8 --max-model-len 4096 --max-num-seqs 32 \
     --max-num-prompt-seqs 2 --warmup-mode full \
+    --mixed-batch --chunked-prefill-tokens 512 \
     --block-size 16 --served-model-name default \
+    ${EXTRA_FLAGS:-} \
     --port "$PORT" > "$LOG" 2>&1 &
 SERVER_PID=$!
 trap 'kill $SERVER_PID 2>/dev/null || true' EXIT

@@ -210,37 +210,187 @@ class JSONLogitsProcessor(RegexLogitsProcessor):
         super().__init__(pattern, tokenizer)
 
 
+_JSON_STRING_CHAR = (
+    r'(?:[^"\\\x00-\x1f]|\\["\\bfnrt/]|\\u[0-9a-fA-F]{4})')
 _TYPE_REGEX = {
-    "string": r'"(?:[^"\\\x00-\x1f]|\\["\\bfnrt/]|\\u[0-9a-fA-F]{4})*"',
+    "string": rf'"{_JSON_STRING_CHAR}*"',
     "integer": r"-?(?:0|[1-9][0-9]*)",
     "number": r"-?(?:0|[1-9][0-9]*)(?:\.[0-9]+)?(?:[eE][+-][0-9]+)?",
     "boolean": r"(?:true|false)",
     "null": r"null",
 }
+# Any JSON value (untyped schema / additionalProperties) to a bounded
+# nesting depth — a regex cannot match unbounded recursion.
+_ANY_VALUE_DEPTH = 3
+
+# $ref resolution depth bound: a RECURSIVE schema has no regular
+# language; past this depth the converter refuses rather than looping.
+_MAX_REF_DEPTH = 16
 
 
 def build_regex_from_schema(schema: dict, ws: str = r"[ \n\t]*") -> str:
-    return _schema_to_regex(schema, ws)
+    """JSON schema -> regex (reference role: outlines
+    build_regex_from_schema, used by
+    /root/reference/vllm/model_executor/guided_decoding.py:26-45).
+    Supports: typed values, enum/const, anyOf/oneOf/allOf, $ref into
+    definitions/$defs, required vs optional object properties (optional
+    properties alternate in declaration order), string
+    pattern/minLength/maxLength, array items/minItems/maxItems."""
+    return _schema_to_regex(schema, ws, root=schema, depth=0)
 
 
-def _schema_to_regex(schema: dict, ws: str) -> str:
+def _any_value_regex(ws: str, depth: int = _ANY_VALUE_DEPTH) -> str:
+    scalars = [_TYPE_REGEX[t] for t in
+               ("string", "number", "boolean", "null")]
+    if depth <= 0:
+        return "(?:" + "|".join(scalars) + ")"
+    inner = _any_value_regex(ws, depth - 1)
+    arr = rf"\[{ws}(?:{inner}(?:{ws},{ws}{inner})*)?{ws}\]"
+    key = _TYPE_REGEX["string"]
+    member = f"{key}{ws}:{ws}{inner}"
+    obj = rf"\{{{ws}(?:{member}(?:{ws},{ws}{member})*)?{ws}\}}"
+    return "(?:" + "|".join(scalars + [arr, obj]) + ")"
+
+
+def _resolve_ref(ref: str, root: dict):
+    """Intra-document JSON pointer ($ref: "#/$defs/Name")."""
+    if not ref.startswith("#"):
+        raise ValueError(
+            f"Only intra-document $ref is supported, got {ref!r}")
+    node = root
+    for part in ref[1:].lstrip("/").split("/"):
+        if not part:
+            continue
+        part = part.replace("~1", "/").replace("~0", "~")
+        if isinstance(node, list):
+            node = node[int(part)]
+        else:
+            node = node[part]
+    return node
+
+
+def _string_regex(schema: dict) -> str:
+    if "pattern" in schema:
+        pat = schema["pattern"]
+        # The pattern constrains the string VALUE; anchors are implied
+        # by guided generation matching the whole value.
+        if pat.startswith("^"):
+            pat = pat[1:]
+        if pat.endswith("$") and not pat.endswith(r"\$"):
+            pat = pat[:-1]
+        return f'"(?:{pat})"'
+    min_len = schema.get("minLength")
+    max_len = schema.get("maxLength")
+    if min_len is not None or max_len is not None:
+        lo = int(min_len or 0)
+        rep = (f"{{{lo},}}" if max_len is None
+               else f"{{{lo},{int(max_len)}}}")
+        return f'"{_JSON_STRING_CHAR}{rep}"'
+    return _TYPE_REGEX["string"]
+
+
+def _array_regex(schema: dict, ws: str, root: dict, depth: int) -> str:
+    item = _schema_to_regex(schema.get("items", {}), ws, root, depth)
+    min_items = int(schema.get("minItems", 0))
+    max_items = schema.get("maxItems")
+    if min_items == 0 and max_items is None:
+        return rf"\[{ws}(?:{item}(?:{ws},{ws}{item})*)?{ws}\]"
+    more = f"(?:{ws},{ws}{item})"
+    lo = max(min_items - 1, 0)
+    rep = (f"{{{lo},}}" if max_items is None
+           else f"{{{lo},{max(int(max_items) - 1, 0)}}}")
+    body = f"{item}{more}{rep}"
+    if min_items == 0:
+        body = f"(?:{body})?"
+    return rf"\[{ws}{body}{ws}\]"
+
+
+def _object_regex(schema: dict, ws: str, root: dict, depth: int) -> str:
+    props = schema.get("properties", {})
+    if not props:
+        return r"\{[^{}]*\}"
+    required = set(schema.get("required", list(props)))
+    names = list(props)
+    members = []
+    for name in names:
+        key = _re.escape(json.dumps(name))
+        val = _schema_to_regex(props[name], ws, root, depth)
+        members.append(f"{key}{ws}:{ws}{val}")
+    is_req = [n in required for n in names]
+
+    if any(is_req):
+        # Required properties form the backbone (declaration order);
+        # optional ones slot in with their comma: BEFORE the last
+        # required property the comma trails `(?:m{ws},{ws})?`, after it
+        # the comma leads `(?:{ws},{ws}m)?` — every subset containing
+        # the required set serializes with correct commas.
+        last_req = max(i for i, r in enumerate(is_req) if r)
+        parts = []
+        for i, member in enumerate(members):
+            if i < last_req:
+                parts.append(f"{member}{ws},{ws}" if is_req[i]
+                             else f"(?:{member}{ws},{ws})?")
+            elif i == last_req:
+                parts.append(member)
+            else:
+                parts.append(f"(?:{ws},{ws}{member})?")
+        body = "".join(parts)
+        return rf"\{{{ws}{body}{ws}\}}"
+
+    # All properties optional: alternate on the LAST present property
+    # (outlines' construction) — each earlier one optional with a
+    # trailing comma, preserving declaration order.
+    alts = []
+    for i in range(len(members)):
+        prefix = "".join(f"(?:{m}{ws},{ws})?" for m in members[:i])
+        alts.append(prefix + members[i])
+    return rf"\{{{ws}(?:{'|'.join(alts)})?{ws}\}}"
+
+
+def _schema_to_regex(schema: dict, ws: str, root: dict = None,
+                     depth: int = 0) -> str:
+    if root is None:
+        root = schema
+    if depth > _MAX_REF_DEPTH:
+        raise ValueError(
+            "JSON schema nests deeper than the guided-decoding regex "
+            f"converter supports (depth > {_MAX_REF_DEPTH}; recursive "
+            "$ref schemas have no regular form)")
+    if not schema:
+        return _any_value_regex(ws)
+    if "$ref" in schema:
+        return _schema_to_regex(_resolve_ref(schema["$ref"], root), ws,
+                                root, depth + 1)
     if "enum" in schema:
         return "(?:" + "|".join(
             _re.escape(json.dumps(v)) for v in schema["enum"]) + ")"
-    stype = schema.get("type", "object")
+    if "const" in schema:
+        return _re.escape(json.dumps(schema["const"]))
+    for comb in ("anyOf", "oneOf"):
+        if comb in schema:
+            subs = [_schema_to_regex(s, ws, root, depth + 1)
+                    for s in schema[comb]]
+            return "(?:" + "|".join(subs) + ")"
+    if "allOf" in schema:
+        subs = schema["allOf"]
+        if len(subs) != 1:
+            raise ValueError(
+                "allOf with multiple subschemas is not supported "
+                "(regex intersection)")
+        return _schema_to_regex(subs[0], ws, root, depth + 1)
+    stype = schema.get("type")
+    if isinstance(stype, list):
+        return "(?:" + "|".join(
+            _schema_to_regex({**schema, "type": t}, ws, root, depth + 1)
+            for t in stype) + ")"
+    if stype == "string":
+        return _string_regex(schema)
     if stype in _TYPE_REGEX:
         return _TYPE_REGEX[stype]
     if stype == "array":
-        item = _schema_to_regex(schema.get("items", {"type": "string"}), ws)
-        return (rf"\[{ws}(?:{item}(?:{ws},{ws}{item})*)?{ws}\]")
-    if stype == "object":
-        props = schema.get("properties", {})
-        if not props:
-            return r"\{[^{}]*\}"
-        parts = []
-        for name, sub in props.items():
-            key = _re.escape(json.dumps(name))
-            parts.append(f"{key}{ws}:{ws}{_schema_to_regex(sub, ws)}")
-        body = (ws + "," + ws).join(parts)
-        return rf"\{{{ws}{body}{ws}\}}"
+        return _array_regex(schema, ws, root, depth + 1)
+    if stype == "object" or (stype is None and "properties" in schema):
+        return _object_regex(schema, ws, root, depth + 1)
+    if stype is None:
+        return _any_value_regex(ws)
     raise ValueError(f"Unsupported JSON schema type: {stype}")
