@@ -175,3 +175,135 @@ def test_int8_on_the_fly_close_to_dense(tmp_path):
         hf_out = hf.generate(torch.tensor([prompt_ids[0]]),
                              max_new_tokens=1, do_sample=False)
     assert outs[0].outputs[0].token_ids[0] == int(hf_out[0, -1])
+
+
+def _make_squeezellm_checkpoint(tmpdir: str):
+    """SqueezeLLM HF serialization (qweight int32 row-packed 4-bit codes
+    + per-channel [N, 16] float16 lookup_table, the layout
+    /root/reference/csrc/quantization/squeezellm/quant_cuda_kernel.cu
+    consumes).  Oracle = HF model whose weights ARE the float LUT
+    dequantization."""
+    import torch
+    config = tiny_llama_config()
+    hf, weights = hf_model_and_weights(config)
+
+    rng = np.random.RandomState(7)
+    new_weights = []
+    dequant_state = {}
+    for name, w in weights:
+        if name.endswith(_LINEAR_SUFFIXES):
+            wt = np.asarray(w, dtype=np.float32).T  # [K, N]
+            k, n = wt.shape
+            # Per-channel 16-entry LUT via quantile codebook of the real
+            # weights (sensitivity-weighted k-means in the paper; any
+            # codebook exercises the same exact-dequant path).
+            lut = np.quantile(wt, np.linspace(0, 1, 16), axis=0).T
+            lut = lut.astype(np.float16)  # [N, 16], checkpoint dtype
+            codes = np.abs(
+                wt[:, :, None] -
+                lut.astype(np.float32)[None, :, :]).argmin(-1)
+            codes = codes.astype(np.uint32)  # [K, N]
+            qweight = np.zeros((k // 8, n), dtype=np.uint32)
+            for i in range(8):
+                qweight |= codes[i::8] << (4 * i)
+            prefix = name[:-len(".weight")]
+            new_weights += [
+                (prefix + ".qweight", qweight.view(np.int32)),
+                (prefix + ".lookup_table", lut),
+            ]
+            deq = lut.astype(np.float32)[np.arange(n)[None, :], codes]
+            dequant_state[name] = torch.tensor(deq.T)
+        else:
+            new_weights.append((name, w))
+
+    state = hf.state_dict()
+    state.update(dequant_state)
+    hf.load_state_dict(state)
+    config.quantization_config = {"quant_method": "squeezellm",
+                                  "wbits": 4}
+    save_local_checkpoint(config, new_weights, tmpdir)
+    save_tiny_tokenizer(tmpdir, config.vocab_size)
+    return tmpdir, hf, config
+
+
+def test_squeezellm_convert_is_exact_lut_dequant():
+    """The served weights must EQUAL the float LUT dequantization —
+    pinning the reference CUDA kernel's semantics, not the int8
+    requantization (the r4 approximation this replaces)."""
+    from vllm_splitwise_tpu.layers.quantization.squeezellm import \
+        SqueezeLLMConfig
+    rng = np.random.RandomState(3)
+    k, n = 64, 32
+    lut = rng.standard_normal((n, 16)).astype(np.float16)
+    codes = rng.randint(0, 16, size=(k, n)).astype(np.uint32)
+    qweight = np.zeros((k // 8, n), dtype=np.uint32)
+    for i in range(8):
+        qweight |= codes[i::8] << (4 * i)
+    cfg = SqueezeLLMConfig(4)
+    out = cfg.convert({"qweight": qweight.view(np.int32),
+                       "lookup_table": lut})
+    expected = lut[np.arange(n)[None, :], codes]  # float16 LUT pick
+    assert "weight_lut" in out
+    assert out["weight_lut"].dtype == np.float16
+    np.testing.assert_array_equal(out["weight_lut"], expected)
+
+
+def test_squeezellm_engine_matches_lut_oracle(tmp_path):
+    """End-to-end: a SqueezeLLM-serialized checkpoint served in the
+    default (exact) mode produces greedy outputs token-identical to an
+    HF oracle holding the float LUT-dequantized weights."""
+    import torch
+
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    d, hf, config = _make_squeezellm_checkpoint(str(tmp_path))
+
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=64, max_num_seqs=8,
+              max_paddings=512, swap_space=0.1)
+    assert llm.llm_engine.model_config.quantization == "squeezellm"
+
+    rng = np.random.RandomState(4)
+    prompt_ids = [
+        rng.randint(3, config.vocab_size, size=rng.randint(8, 20)).tolist()
+        for _ in range(3)
+    ]
+    outs = llm.generate(prompt_token_ids=prompt_ids,
+                        sampling_params=SamplingParams(temperature=0.0,
+                                                       max_tokens=10,
+                                                       ignore_eos=True),
+                        use_tqdm=False)
+    for ids, out in zip(prompt_ids, outs):
+        with torch.no_grad():
+            hf_out = hf.generate(torch.tensor([ids]), max_new_tokens=10,
+                                 do_sample=False)
+        assert out.outputs[0].token_ids == hf_out[0, len(ids):].tolist()
+
+
+def test_squeezellm_int8_mode_still_serves(tmp_path, monkeypatch):
+    """VST_SQUEEZELLM_INT8=1 keeps the fast int8 requantized path as an
+    opt-in (first greedy token matches the LUT oracle on most prompts)."""
+    import torch
+
+    from vllm_splitwise_tpu import LLM, SamplingParams
+    monkeypatch.setenv("VST_SQUEEZELLM_INT8", "1")
+    d, hf, config = _make_squeezellm_checkpoint(str(tmp_path))
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=64, max_num_seqs=8,
+              max_paddings=512, swap_space=0.1)
+    rng = np.random.RandomState(5)
+    prompt_ids = [
+        rng.randint(3, config.vocab_size, size=16).tolist()
+        for _ in range(4)
+    ]
+    outs = llm.generate(prompt_token_ids=prompt_ids,
+                        sampling_params=SamplingParams(temperature=0.0,
+                                                       max_tokens=1,
+                                                       ignore_eos=True),
+                        use_tqdm=False)
+    matches = 0
+    for ids, out in zip(prompt_ids, outs):
+        with torch.no_grad():
+            hf_out = hf.generate(torch.tensor([ids]), max_new_tokens=1,
+                                 do_sample=False)
+        matches += int(out.outputs[0].token_ids[0] == int(hf_out[0, -1]))
+    assert matches >= 3, matches

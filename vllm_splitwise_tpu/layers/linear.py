@@ -142,7 +142,20 @@ def dense(x: jax.Array, w, bias: Optional[jax.Array] = None,
                 return jnp.pad(x2, ((0, 0), (0, k_w - k))), k_w
             return x2, k
 
-        if "weight_dense" in w:
+        if "weight_lut" in w:
+            # Exact SqueezeLLM (quantization/squeezellm.py): the f16
+            # weights ARE the LUT entries; compute in f32 so no bf16
+            # rounding re-approximates them (the reference CUDA kernel's
+            # fp16-weights / fp32-accumulate semantics,
+            # csrc/quantization/squeezellm/quant_cuda_kernel.cu).
+            wl = w["weight_lut"]
+            if wl.ndim == 3:
+                wl = jax.lax.dynamic_index_in_dim(wl, layer_index,
+                                                  keepdims=False)
+            y = jnp.dot(x2.astype(jnp.float32), wl.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST
+                        ).astype(x.dtype)
+        elif "weight_dense" in w:
             y = jnp.dot(x2, w["weight_dense"].astype(x.dtype))
         elif "sz_bands" in w:
             from vllm_splitwise_tpu.ops.quant_matmul import (
