@@ -863,20 +863,11 @@ def _int4_mxu_kernel_stacked(
         s1 = sz[4 * h + 1:4 * h + 2, :]
         z0 = sz[4 * h + 2:4 * h + 3, :]
         z1 = sz[4 * h + 3:4 * h + 4, :]
-        # Zero-point correction as ONE [bm,2]x[2,bn] dot instead of two
-        # [bm,1]x[1,bn] outer products + adds: the VPU fix-up chain on
-        # [bm, bn] accumulators is what keeps the kernel off the HBM
-        # roofline at bm=24 (632 vs 705 GB/s at bm=16 — the fix-up op
-        # count scales with bm while the DMA does not).  The hi
-        # nibble's +8 bias folds into its correction row (z1-8)*s1,
-        # saving the separate broadcast add.
-        c_rows = jnp.concatenate([z0 * s0, (z1 - 8.0) * s1], axis=0)
-        sums_h = sums[:, 128 * h:128 * h + 2]     # [bm, 2]
-        corr = jax.lax.dot_general(sums_h, c_rows, dimension_numbers=dn,
-                                   preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)
-        acc += (d_lo.astype(jnp.float32) * s0 +
-                hi_signed.astype(jnp.float32) * s1 - corr)
+        sum0 = sums[:, 128 * h + 0:128 * h + 1]   # [bm, 1]
+        sum1 = sums[:, 128 * h + 1:128 * h + 2]
+        acc_lo = d_lo.astype(jnp.float32)
+        acc_hi = hi_signed.astype(jnp.float32) + 8.0 * sum1
+        acc += (acc_lo - sum0 * z0) * s0 + (acc_hi - sum1 * z1) * s1
     acc_ref[...] += acc
 
     @pl.when(kb == num_kb - 1)
