@@ -18,10 +18,11 @@ _LINEAR_SUFFIXES = ("q_proj.weight", "k_proj.weight", "v_proj.weight",
                     "down_proj.weight")
 
 
-def _make_quant_checkpoint(tmpdir: str, method: str):
+def _make_quant_checkpoint(tmpdir: str, method: str, config=None):
     """Returns (dir, hf_model_with_dequantized_weights, config)."""
     import torch
-    config = tiny_llama_config()
+    if config is None:
+        config = tiny_llama_config()
     hf, weights = hf_model_and_weights(config)
 
     new_weights = []

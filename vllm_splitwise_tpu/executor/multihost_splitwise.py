@@ -222,6 +222,9 @@ class MultihostSplitwiseExecutor(ExecutorBase):
             "num_host_blocks": cfg.num_host_blocks,
         })
         self.decode_worker.init_cache_engine(cfg)
+        # Warm the local decode pool's bucket programs while the remote
+        # prefill host warms its own (the recv below tolerates both).
+        self.decode_worker.warm_up_model()
         ready = self.channel.recv(timeout=600)
         assert ready["op"] == "ready", ready
         # Fixed at handshake time so receives can be posted before the
@@ -559,6 +562,11 @@ class PrefillHostServer:
         cache_config.num_device_blocks = init["num_device_blocks"]
         cache_config.num_host_blocks = init["num_host_blocks"]
         self.worker.init_cache_engine(cache_config)
+        # Pre-compile this host's prefill bucket programs before
+        # declaring ready: a first-seen prompt shape compiling
+        # mid-traffic would stall the whole disaggregated deployment's
+        # TTFT (and now surfaces in the master's stall metrics).
+        self.worker.warm_up_model()
         self.mover = _build_mover(parallel_config, self.worker.mesh)
         # The segment plan is a function of the model + cache layout +
         # --kv-stream-segments only, so it can be fixed at handshake time

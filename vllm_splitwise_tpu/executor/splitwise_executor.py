@@ -115,6 +115,12 @@ class SplitwiseExecutor(ExecutorBase):
                     cfg.num_device_blocks, cfg.num_host_blocks)
         self.prefill_worker.init_cache_engine(cfg)
         self.decode_worker.init_cache_engine(cfg)
+        # Each pool pre-compiles ITS phase's bucket programs (prefill
+        # shapes on the prefill mesh, decode windows on the decode mesh)
+        # — without this, first-seen shapes compile mid-traffic exactly
+        # as on the single-pool executor (the r3 serving collapse).
+        self.prefill_worker.warm_up_model()
+        self.decode_worker.warm_up_model()
 
     def execute_model(
         self,

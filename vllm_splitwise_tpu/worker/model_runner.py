@@ -1775,7 +1775,8 @@ class ModelRunner:
             return phys // 2 if kv_caches[1] is None else phys
         return first[0].shape[0]
 
-    def warm_up(self, kv_caches):
+    def warm_up(self, kv_caches, decode: bool = True,
+                prefill: bool = True):
         """Eagerly compile the serving-critical bucket programs (analog of
         the reference's CUDA-graph capture over ``_BATCH_SIZES_TO_CAPTURE``,
         model_runner.py:700-779).
@@ -1795,17 +1796,20 @@ class ModelRunner:
             return kv_caches
         self._in_warmup = True
         try:
-            return self._warm_up(kv_caches, SequenceData)
+            return self._warm_up(kv_caches, SequenceData, decode=decode,
+                                 prefill=prefill)
         finally:
             self._in_warmup = False
 
-    def _warm_up(self, kv_caches, SequenceData):
+    def _warm_up(self, kv_caches, SequenceData, decode: bool = True,
+                 prefill: bool = True):
         sp = SamplingParams(temperature=0.0)
         max_seqs = self.scheduler_config.max_num_seqs
         budget = self.scheduler_config.max_num_batched_tokens
 
         top = _bucket(max_seqs, self.DECODE_BATCH_BUCKETS)
-        for b in [x for x in self.DECODE_BATCH_BUCKETS if x <= top]:
+        for b in ([x for x in self.DECODE_BATCH_BUCKETS if x <= top]
+                  if decode else []):
             mds = []
             for i in range(b):
                 data = SequenceData([1])
@@ -1841,7 +1845,8 @@ class ModelRunner:
                         "ready (%.1fs)", b, k, time.time() - t0)
 
         seen = set()
-        for b, plen in self._warmup_prefill_grid(max_seqs, budget):
+        for b, plen in (self._warmup_prefill_grid(max_seqs, budget)
+                        if prefill else ()):
             key = (b, _bucket(plen, self.PREFILL_LEN_BUCKETS))
             if key in seen:
                 continue
@@ -1871,7 +1876,7 @@ class ModelRunner:
         # max_model_len config should be adjusted).
         chunk = getattr(self.scheduler_config, "chunked_prefill_tokens",
                         0)
-        if chunk and chunk < self.max_model_len:
+        if chunk and chunk < self.max_model_len and prefill:
             prompt_cap = getattr(self.scheduler_config,
                                  "max_num_prompt_seqs", 0) or max_seqs
             max_prefix_pages = _bucket(

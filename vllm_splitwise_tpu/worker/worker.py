@@ -212,11 +212,23 @@ class Worker:
         if self.device.platform not in ("tpu", "axon"):
             # CPU (interpret-mode Pallas) compiles are cheap but the
             # dummy runs themselves are slow; lazy is strictly better.
-            return
+            # VST_FORCE_WARMUP=1 overrides — the multichip dryrun uses
+            # it so its virtual-CPU-mesh engine run exercises the same
+            # eager bucket pre-compilation as TPU serving (and its
+            # traffic dispatches are warm: no compile-stall warnings).
+            import os
+            if os.environ.get("VST_FORCE_WARMUP", "0") != "1":
+                return
         self._run_warmup()
 
     def _run_warmup(self) -> None:
-        self.kv_caches = self.model_runner.warm_up(self.kv_caches)
+        # Phase pools only serve their own dispatch shapes: the prefill
+        # pool never runs decode batches and vice versa (splitwise
+        # executor routing), so each warms only its half.
+        self.kv_caches = self.model_runner.warm_up(
+            self.kv_caches,
+            decode=self.worker_type != WorkerType.PREFILL,
+            prefill=self.worker_type != WorkerType.DECODE)
         # The step fns DONATE the cache: the pre-warmup arrays are dead
         # buffers now.  cache_swap re-reads cache_engine.device_cache at
         # the top of every step, so it must be repointed too or the
