@@ -54,6 +54,24 @@ def run(args, spec: bool):
         n += 1
     dt = (time.perf_counter() - t0) / n
     out = {"step_ms": round(dt * 1000, 2), "batch": args.batch}
+    if getattr(args, "profile", False):
+        # Device-lane decomposition of the steady-state step: where the
+        # spec window's milliseconds actually go (draft scan vs verify
+        # vs sampling vs host gaps) — host wall-clock can't see this.
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "kernels"))
+        from trace_timing import device_kernel_times
+        times = device_kernel_times(lambda: [engine.step()
+                                             for _ in range(4)])
+        top = sorted(times.items(), key=lambda kv: -kv[1][0])[:14]
+        dev_total = sum(ms for ms, _ in times.values())
+        print(json.dumps({"profile_device_ms_per_step":
+                          round(dev_total / 4, 2)}), flush=True)
+        for name, (ms, cnt) in top:
+            print(f"  {ms/4:8.2f} ms/step x{cnt//4:<4d} {name[:90]}",
+                  file=sys.stderr, flush=True)
     if spec:
         s = runner.spec_stats
         tokens = s.num_emitted - emitted0
@@ -78,7 +96,17 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--steps", type=int, default=24)
     p.add_argument("-k", type=int, default=4)
+    p.add_argument("--profile", action="store_true",
+                   help="device-trace the steady-state step and print "
+                   "the top kernels (needs real TPU)")
+    p.add_argument("--spec-only", action="store_true",
+                   help="skip the plain-engine leg")
     args = p.parse_args()
+
+    if args.spec_only:
+        spec = run(args, spec=True)
+        print(json.dumps({"mode": f"spec_k{args.k}", **spec}), flush=True)
+        return
 
     plain = run(args, spec=False)
     print(json.dumps({"mode": "plain", **plain}), flush=True)

@@ -567,7 +567,8 @@ class LLMEngine:
             prompt_run = scheduler_outputs.prompt_run
             if prompt_run:
                 num_prompt_tokens = scheduler_outputs.num_batched_tokens
-            elif (spec_stats is not None
+            elif (self.speculative_config is not None
+                  and spec_stats is not None
                   and scheduler_outputs.num_decode_steps > 1):
                 # Speculative steps emit a VARIABLE 1..k+1 tokens per
                 # sequence: count actual emissions.  (Window-ineligible

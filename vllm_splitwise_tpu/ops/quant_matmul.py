@@ -863,11 +863,32 @@ def _int4_mxu_kernel_stacked(
         s1 = sz[4 * h + 1:4 * h + 2, :]
         z0 = sz[4 * h + 2:4 * h + 3, :]
         z1 = sz[4 * h + 3:4 * h + 4, :]
-        sum0 = sums[:, 128 * h + 0:128 * h + 1]   # [bm, 1]
-        sum1 = sums[:, 128 * h + 1:128 * h + 2]
-        acc_lo = d_lo.astype(jnp.float32)
-        acc_hi = hi_signed.astype(jnp.float32) + 8.0 * sum1
-        acc += (acc_lo - sum0 * z0) * s0 + (acc_hi - sum1 * z1) * s1
+        if x_ref.shape[0] >= 64:
+            # Prefill tiles (bm >= 64): the VPU fix-up chain on [bm, bn]
+            # accumulators dominates the band step (at bm=128 it exceeds
+            # the three int8 MXU dots), so fold the zero-point
+            # corrections into ONE [bm,2]x[2,bn] dot — the hi nibble's
+            # +8 bias rides its correction row (z1-8)*s1.  Exact same
+            # math, ~30% fewer VPU ops per band.  Decode tiles keep the
+            # fused elementwise form: at full-width block_n the corr
+            # temporary pushed the b32 serving shape 348 KB past the
+            # 16 MB scoped-VMEM limit (prefill tiles run block_n <=
+            # 2048-4096, where the temporary is small).
+            dn_c = (((1, ), (0, )), ((), ()))
+            c_rows = jnp.concatenate([z0 * s0, (z1 - 8.0) * s1], axis=0)
+            corr = jax.lax.dot_general(
+                sums[:, 128 * h:128 * h + 2], c_rows,
+                dimension_numbers=dn_c,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            acc += (d_lo.astype(jnp.float32) * s0 +
+                    hi_signed.astype(jnp.float32) * s1 - corr)
+        else:
+            sum0 = sums[:, 128 * h + 0:128 * h + 1]   # [bm, 1]
+            sum1 = sums[:, 128 * h + 1:128 * h + 2]
+            acc_lo = d_lo.astype(jnp.float32)
+            acc_hi = hi_signed.astype(jnp.float32) + 8.0 * sum1
+            acc += (acc_lo - sum0 * z0) * s0 + (acc_hi - sum1 * z1) * s1
     acc_ref[...] += acc
 
     @pl.when(kb == num_kb - 1)
