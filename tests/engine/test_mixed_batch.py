@@ -142,3 +142,127 @@ def test_mixed_batch_without_chunking_matches_hf(tiny_checkpoint):
                                  do_sample=False)
         expected = hf_out[0, len(ids):].tolist()
         assert out.outputs[0].token_ids == expected
+
+
+def test_pipelined_greedy_matches_hf(tiny_checkpoint):
+    """--pipeline-decode: chained decode windows (device-side token
+    carry, placeholder reconciliation) under interleaved prompt load
+    must stay token-identical to HF greedy."""
+    import torch
+    d, hf, _ = tiny_checkpoint
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=256, block_size=16,
+              max_num_seqs=16, max_paddings=512, mixed_batch=True,
+              pipeline_decode=True, chunked_prefill_tokens=32,
+              max_num_prompt_seqs=2, num_decode_steps=4)
+    prompt_ids = _prompts(21, 7)
+    max_tokens = 13  # not a multiple of the window: exercises overshoot
+    outs = llm.generate(
+        prompt_token_ids=prompt_ids,
+        sampling_params=SamplingParams(temperature=0.0,
+                                       max_tokens=max_tokens,
+                                       ignore_eos=True),
+        use_tqdm=False)
+    for ids, out in zip(prompt_ids, outs):
+        with torch.no_grad():
+            hf_out = hf.generate(torch.tensor([ids]),
+                                 max_new_tokens=max_tokens,
+                                 do_sample=False)
+        expected = hf_out[0, len(ids):].tolist()
+        assert out.outputs[0].token_ids == expected
+    # The pipeline actually chained (not silently degraded to sync).
+    runner = llm.llm_engine.executor.worker.model_runner
+    assert runner.dispatch_stats.get("chained_windows", 0) > 0
+
+
+def test_pipelined_eos_and_varied_lengths(tiny_checkpoint):
+    """EOS stops mid-window + max_tokens staggered across requests: the
+    placeholder/overshoot reconciliation must never leak placeholder
+    tokens or overshoot past a stop."""
+    import torch
+    d, hf, config = tiny_checkpoint
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=256, block_size=16,
+              max_num_seqs=16, max_paddings=512, mixed_batch=True,
+              pipeline_decode=True, chunked_prefill_tokens=32,
+              max_num_prompt_seqs=2, num_decode_steps=4)
+    prompt_ids = _prompts(29, 8, lo=8, hi=48)
+    outs = []
+    for i, ids in enumerate(prompt_ids):
+        outs.append(llm._add_and_track(i, ids) if False else None)
+    params = [SamplingParams(temperature=0.0, max_tokens=5 + (i % 7))
+              for i in range(len(prompt_ids))]
+    for i, (ids, sp) in enumerate(zip(prompt_ids, params)):
+        llm.llm_engine.add_request(str(i), None, sp,
+                                   prompt_token_ids=ids)
+    results = {}
+    while llm.llm_engine.has_unfinished_requests():
+        for out in llm.llm_engine.step():
+            if out.finished:
+                results[out.request_id] = out.outputs[0].token_ids
+    for i, (ids, sp) in enumerate(zip(prompt_ids, params)):
+        with torch.no_grad():
+            hf_out = hf.generate(torch.tensor([ids]),
+                                 max_new_tokens=sp.max_tokens,
+                                 do_sample=False,
+                                 eos_token_id=config.eos_token_id)
+        expected = hf_out[0, len(ids):].tolist()
+        if expected and expected[-1] == config.eos_token_id:
+            got = results[str(i)]
+            assert got in (expected, expected[:-1]), (got, expected)
+        else:
+            assert results[str(i)] == expected, (i, results[str(i)],
+                                                 expected)
+
+
+def test_pipelined_streaming_arrivals_and_abort(tiny_checkpoint):
+    """Requests arrive WHILE windows are in flight (chain breaks on
+    every join) and one request aborts mid-flight: outputs must stay
+    HF-exact and the abort must not wedge the pipeline."""
+    import torch
+    d, hf, _ = tiny_checkpoint
+    llm = LLM(model=d, dtype="float32", max_model_len=256,
+              num_gpu_blocks_override=256, block_size=16,
+              max_num_seqs=16, max_paddings=512, mixed_batch=True,
+              pipeline_decode=True, chunked_prefill_tokens=32,
+              max_num_prompt_seqs=1, num_decode_steps=4)
+    eng = llm.llm_engine
+    prompt_ids = _prompts(31, 9, lo=8, hi=60)
+    sp = lambda: SamplingParams(temperature=0.0, max_tokens=11,
+                                ignore_eos=True)
+    from collections import deque
+    pending = deque(enumerate(prompt_ids))
+    # Seed two requests, then add one per engine step.
+    for _ in range(2):
+        i, ids = pending.popleft()
+        eng.add_request(str(i), None, sp(), prompt_token_ids=ids)
+    results = {}
+    step = 0
+    aborted = False
+    while eng.has_unfinished_requests():
+        step += 1
+        if pending:
+            i, ids = pending.popleft()
+            eng.add_request(str(i), None, sp(), prompt_token_ids=ids)
+        if step == 6 and not aborted:
+            eng.abort_request("1")
+            aborted = True
+        for out in eng.step():
+            if out.finished:
+                assert out.request_id not in results, \
+                    f"request {out.request_id} finished twice"
+                results[out.request_id] = out.outputs[0].token_ids
+    for i, ids in enumerate(prompt_ids):
+        if str(i) == "1" and "1" not in results:
+            continue  # aborted before finishing
+        cur = list(ids)
+        for _ in range(11):
+            with torch.no_grad():
+                logits = hf(torch.tensor([cur])).logits[0, -1]
+            cur.append(int(torch.argmax(logits)))
+        got = results[str(i)]
+        exp = cur[len(ids):]
+        if str(i) == "1":
+            assert got == exp[:len(got)], (got, exp)
+        else:
+            assert got == exp, (i, got, exp)

@@ -349,6 +349,7 @@ class SchedulerConfig:
         chunked_prefill_tokens: int = 0,
         decode_priority_steps: int = 0,
         mixed_batch: bool = False,
+        pipeline_decode: bool = False,
     ) -> None:
         if max_num_batched_tokens is not None:
             self.max_num_batched_tokens = max_num_batched_tokens
@@ -408,6 +409,12 @@ class SchedulerConfig:
         # size — pair with --chunked-prefill-tokens and
         # --max-num-prompt-seqs to bound it tightly.
         self.mixed_batch = mixed_batch
+        # Pipelined decode windows (requires mixed_batch): dispatch the
+        # next window with the previous window's DEVICE-side token carry
+        # before its outputs are fetched, hiding all transport + host
+        # time under device compute.  The engine appends placeholder
+        # tokens for in-flight windows and reconciles at fetch.
+        self.pipeline_decode = pipeline_decode
         self._verify_args()
 
     def _verify_args(self) -> None:

@@ -268,6 +268,15 @@ class Scheduler:
             assert len(waiting_seqs) == 1, (
                 "Waiting sequence group should have only one prompt "
                 "sequence.")
+            if getattr(waiting_seqs[0], "in_flight", False):
+                # Preempted while its decode window is still in flight
+                # (pipelined engine step): its token data holds
+                # placeholder tokens until the engine reconciles the
+                # window — re-admitting it now would prefill garbage.
+                # Defer one pass.
+                leftover_waiting.appendleft(seq_group)
+                self.waiting.popleft()
+                continue
             num_prompt_tokens = waiting_seqs[0].num_tokens
             if num_prompt_tokens > self.prompt_limit:
                 logger.warning(

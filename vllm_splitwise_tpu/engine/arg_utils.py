@@ -53,6 +53,7 @@ class EngineArgs:
     chunked_prefill_tokens: int = 0
     decode_priority_steps: int = 0
     mixed_batch: bool = False
+    pipeline_decode: bool = False
     speculative_model: Optional[str] = None
     num_speculative_tokens: int = 4
     speculative_model_quantization: Optional[str] = None
@@ -224,6 +225,12 @@ class EngineArgs:
                             "pair with --chunked-prefill-tokens and "
                             "--max-num-prompt-seqs to bound the "
                             "per-step stall")
+        parser.add_argument("--pipeline-decode", action="store_true",
+                            help="pipeline decode windows (needs "
+                            "--mixed-batch): dispatch the next window "
+                            "with the previous one's device-side token "
+                            "carry before fetching its outputs, hiding "
+                            "transport+host time under device compute")
         parser.add_argument("--warmup-mode", type=str,
                             choices=["diagonal", "full", "off"],
                             default=EngineArgs.warmup_mode,
@@ -344,7 +351,13 @@ class EngineArgs:
                                            self.max_num_prompt_seqs,
                                            self.chunked_prefill_tokens,
                                            self.decode_priority_steps,
-                                           self.mixed_batch)
+                                           self.mixed_batch,
+                                           self.pipeline_decode)
+        if self.pipeline_decode and not self.mixed_batch:
+            raise ValueError(
+                "--pipeline-decode requires --mixed-batch (the pipelined "
+                "step is the dual-dispatch mixed step with deferred "
+                "fetches).")
         if self.mixed_batch and self.sep_prompt_token:
             raise ValueError(
                 "--mixed-batch is incompatible with --sep-prompt-token: "

@@ -20,7 +20,7 @@ from vllm_splitwise_tpu.engine.metrics import StatLogger, Stats
 from vllm_splitwise_tpu.logger import init_logger
 from vllm_splitwise_tpu.outputs import RequestOutput
 from vllm_splitwise_tpu.sampling_params import SamplingParams
-from vllm_splitwise_tpu.sequence import (SamplerOutput, Sequence,
+from vllm_splitwise_tpu.sequence import (Logprob, SamplerOutput, Sequence,
                                          SequenceGroup, SequenceGroupOutput,
                                          SequenceOutput, SequenceStatus)
 from vllm_splitwise_tpu.transformers_utils.tokenizer import (
@@ -66,6 +66,9 @@ class LLMEngine:
         self.seq_counter = Counter()
         self._last_spec_emitted = 0
         self._last_compile_stats = (0, 0.0)
+        # In-flight mixed dispatch (--pipeline-decode); see
+        # _step_mixed_pipelined.
+        self._pipeline = None
         self._init_tokenizer()
 
         self.executor = executor_class(
@@ -179,6 +182,9 @@ class LLMEngine:
     # ---- the step ----
 
     def step(self) -> List[RequestOutput]:
+        if getattr(self.executor, "execute_dual_deferred", None) \
+                is not None:
+            return self._step_mixed_pipelined()
         if getattr(self.executor, "execute_dual", None) is not None:
             return self._step_splitwise()
         (seq_group_metadata_list,
@@ -201,6 +207,183 @@ class LLMEngine:
             return self._process_multi_step_outputs(output,
                                                     scheduler_outputs)
         return self._process_model_outputs(output, scheduler_outputs)
+
+    def _step_mixed_pipelined(self) -> List[RequestOutput]:
+        """Pipelined mixed step (--pipeline-decode): keep ONE mixed
+        dispatch (decode window + prompt chunk) in flight across engine
+        steps.  Each call (a) schedules against placeholder-advanced
+        state, (b) dispatches the new window CHAINED on the previous
+        window's device-side token carry (model_runner._window_carry) —
+        no host round trip between windows — then (c) fetches and
+        processes the PREVIOUS dispatch.  Device compute therefore
+        overlaps transport + detokenize + scheduling entirely; TPOT
+        approaches pure device window time.
+
+        When the step is not chainable (composition changed: a prompt
+        finished prefill and joined decode, a sequence finished or was
+        preempted, window ineligibility), the pipeline drains first and
+        the step runs synchronously — correctness never depends on the
+        optimistic schedule being right, because a drained window's
+        overshoot tokens are discarded exactly like in-window overshoot.
+        """
+        ((decode_meta, decode_sched),
+         (prompt_meta, prompt_sched)) = self.scheduler.schedule_splitwise()
+
+        window = decode_sched.num_decode_steps > 1 and bool(decode_meta)
+        chainable = (self._pipeline is not None and window
+                     and self.executor.window_chainable(decode_meta))
+
+        if self._pipeline is not None and not chainable:
+            # Drain, then run THIS schedule synchronously.  Processing
+            # may have finished some scheduled groups (their in-flight
+            # overshoot resolved a stop): drop them from the dispatch —
+            # their pages free at this step's end, after the dispatch
+            # order guarantees no reuse hazard.
+            results = self._finish_pipeline()
+            keep = [(md, g) for md, g in zip(
+                decode_meta, decode_sched.scheduled_seq_groups)
+                if not g.is_finished()]
+            decode_meta = [md for md, _ in keep]
+            decode_sched.scheduled_seq_groups = [g for _, g in keep]
+            if decode_meta or prompt_meta or \
+                    prompt_sched.ignored_seq_groups or \
+                    not decode_sched.is_empty():
+                prompt_out, decode_out = self.executor.execute_dual(
+                    prompt_meta, prompt_sched.blocks_to_nw,
+                    decode_meta, decode_sched.blocks_to_swap_in,
+                    decode_sched.blocks_to_swap_out,
+                    decode_sched.blocks_to_copy,
+                    decode_sched.blocks_to_nw,
+                    num_decode_steps=decode_sched.num_decode_steps)
+                results += self._finish_splitwise_step(
+                    decode_sched, decode_out, prompt_sched, prompt_out)
+            return results
+
+        if not window and self._pipeline is None:
+            # No window to pipeline (cold start, prompt-only, degraded
+            # batch): plain synchronous mixed step.
+            if decode_sched.is_empty() and prompt_sched.is_empty() \
+                    and not prompt_sched.ignored_seq_groups:
+                return self._process_model_outputs([], decode_sched)
+            prompt_out, decode_out = self.executor.execute_dual(
+                prompt_meta, prompt_sched.blocks_to_nw,
+                decode_meta, decode_sched.blocks_to_swap_in,
+                decode_sched.blocks_to_swap_out,
+                decode_sched.blocks_to_copy, decode_sched.blocks_to_nw,
+                num_decode_steps=decode_sched.num_decode_steps)
+            return self._finish_splitwise_step(decode_sched, decode_out,
+                                               prompt_sched, prompt_out)
+
+        # Dispatch the new mixed step deferred (chained when a window is
+        # in flight), THEN reconcile the previous one.
+        prompt_thunk, decode_thunk = self.executor.execute_dual_deferred(
+            prompt_meta, decode_meta, decode_sched.blocks_to_swap_in,
+            decode_sched.blocks_to_swap_out, decode_sched.blocks_to_copy,
+            num_decode_steps=decode_sched.num_decode_steps)
+        results = self._finish_pipeline() if self._pipeline is not None \
+            else []
+        # Placeholders for the just-dispatched window: the next schedule
+        # must see these rows advanced by k.  Sequences that finished
+        # during reconciliation get none — their window rows are dead
+        # (outputs discarded at that window's processing).
+        k = decode_sched.num_decode_steps
+        ph = []
+        for group in decode_sched.scheduled_seq_groups:
+            if group.is_finished():
+                continue
+            for seq in group.get_seqs(status=SequenceStatus.RUNNING):
+                for _ in range(k):
+                    seq.append_token(0, {0: Logprob(0.0)})
+                # Mark in flight: a preemption-by-recompute of this seq
+                # must not let the prompt phase re-admit it while its
+                # data still holds placeholder tokens (scheduler defers
+                # such groups one pass).
+                seq.in_flight = True
+                ph.append((seq, k))
+        self._pipeline = {
+            "decode_thunk": decode_thunk,
+            "decode_sched": decode_sched,
+            "prompt_thunk": prompt_thunk,
+            "prompt_sched": prompt_sched,
+            "placeholders": ph,
+            # Chunk state AT DISPATCH: by reconciliation time the next
+            # schedule may have flipped prefill_in_progress (final chunk
+            # scheduled), so the live flag cannot drive output handling.
+            "prompt_mid": [
+                bool(getattr(g, "prefill_in_progress", False))
+                for g in prompt_sched.scheduled_seq_groups
+            ],
+        }
+        return results
+
+    def _finish_pipeline(self) -> List[RequestOutput]:
+        """Fetch + process the in-flight mixed dispatch: pop the
+        placeholder tokens (restoring pre-window state), then run the
+        normal multi-step processing (which re-appends the real tokens,
+        runs stop checks, streams outputs)."""
+        pipe = self._pipeline
+        self._pipeline = None
+        for seq, k in pipe["placeholders"]:
+            seq.pop_tokens(k)
+            seq.in_flight = False
+        results: List[RequestOutput] = []
+        decode_sched = pipe["decode_sched"]
+        decode_out = pipe["decode_thunk"]() \
+            if pipe["decode_thunk"] is not None else []
+        # Groups that finished in a PREVIOUS reconciliation (they were
+        # scheduled into this window before their finish was known):
+        # their rows are dead overshoot AND they must not be re-emitted
+        # as finished RequestOutputs — a second finished emission would
+        # make generate() return more outputs than requests.
+        groups = decode_sched.scheduled_seq_groups
+        alive = [i for i, g in enumerate(groups) if not g.is_finished()]
+        if len(alive) != len(groups):
+            decode_sched.scheduled_seq_groups = [groups[i] for i in alive]
+            decode_out = [[row[i] for i in alive] for row in decode_out]
+        if not decode_sched.is_empty():
+            if decode_sched.num_decode_steps > 1:
+                results += self._process_multi_step_outputs(
+                    decode_out, decode_sched)
+            else:
+                results += self._process_model_outputs(
+                    decode_out or [], decode_sched)
+        prompt_sched = pipe["prompt_sched"]
+        if not prompt_sched.is_empty() or prompt_sched.ignored_seq_groups:
+            prompt_out = pipe["prompt_thunk"]() \
+                if pipe["prompt_thunk"] is not None else []
+            results += self._process_deferred_prompt(
+                prompt_out or [], prompt_sched, pipe["prompt_mid"])
+        return results
+
+    def _process_deferred_prompt(self, prompt_out, prompt_sched,
+                                 mid_flags) -> List[RequestOutput]:
+        """_process_model_outputs for a prompt half whose outputs were
+        deferred one engine step: mid-chunk handling keys on the
+        DISPATCH-time snapshot (the live prefill_in_progress flag may
+        already reflect the NEXT chunk's scheduling)."""
+        groups = prompt_sched.scheduled_seq_groups
+        for seq_group, outputs, was_mid in zip(groups, prompt_out,
+                                               mid_flags):
+            if was_mid:
+                continue
+            self._process_sequence_group_outputs(seq_group, outputs)
+        self.scheduler.free_finished_seq_groups()
+
+        request_outputs: List[RequestOutput] = []
+        now = time.time()
+        for seq_group, was_mid in zip(groups, mid_flags):
+            if was_mid:
+                continue
+            seq_group.maybe_set_first_token_time(now)
+            request_outputs.append(RequestOutput.from_seq_group(seq_group))
+        for seq_group in prompt_sched.ignored_seq_groups:
+            request_outputs.append(RequestOutput.from_seq_group(seq_group))
+        for seq_group in groups + prompt_sched.ignored_seq_groups:
+            if seq_group.is_finished():
+                seq_group.set_finished_time(now)
+        if self.log_stats and self.stat_logger is not None:
+            self.stat_logger.log(self._get_stats(prompt_sched))
+        return request_outputs
 
     def _step_splitwise(self) -> List[RequestOutput]:
         """One engine step driving BOTH pools of a disaggregated
@@ -285,6 +468,15 @@ class LLMEngine:
             for seq_group, outputs in zip(scheduled_seq_groups,
                                           step_output):
                 if seq_group.is_finished():
+                    continue
+                if any(s.status in (SequenceStatus.WAITING,
+                                    SequenceStatus.SWAPPED)
+                       for s in seq_group.get_seqs()):
+                    # Preempted while this window was in flight
+                    # (pipelined step): its KV pages are gone and the
+                    # sequence will recompute — discard the window's
+                    # tokens wholesale (stateless per-(seed, step)
+                    # sampling regenerates them identically).
                     continue
                 # Speculative decoding marks rejected window positions
                 # with token -1: the sequence emitted fewer than k+1

@@ -62,6 +62,8 @@ class TPUExecutor(ExecutorBase):
             # prompt batch scheduled together) on this attribute's
             # presence — set it only when --mixed-batch asked for it.
             self.execute_dual = self._execute_dual_mixed
+            if getattr(scheduler_config, "pipeline_decode", False):
+                self.execute_dual_deferred = self._execute_dual_deferred
 
     def _init_cache(self) -> None:
         cfg = self.cache_config
@@ -123,6 +125,28 @@ class TPUExecutor(ExecutorBase):
             blocks_to_swap_out=decode_blocks_to_swap_out,
             blocks_to_copy=decode_blocks_to_copy,
             num_decode_steps=num_decode_steps)
+
+    def _execute_dual_deferred(
+        self,
+        prompt_meta: List[SequenceGroupMetadata],
+        decode_meta: List[SequenceGroupMetadata],
+        blocks_to_swap_in: Dict[int, int],
+        blocks_to_swap_out: Dict[int, int],
+        blocks_to_copy: Dict[int, List[int]],
+        num_decode_steps: int = 1,
+    ):
+        """Dispatch a mixed step and return (prompt_thunk, decode_thunk)
+        without fetching (--pipeline-decode; see worker
+        execute_mixed_deferred)."""
+        return self.worker.execute_mixed_deferred(
+            prompt_meta, decode_meta,
+            blocks_to_swap_in=blocks_to_swap_in,
+            blocks_to_swap_out=blocks_to_swap_out,
+            blocks_to_copy=blocks_to_copy,
+            num_decode_steps=num_decode_steps)
+
+    def window_chainable(self, decode_meta) -> bool:
+        return self.worker.model_runner.window_chainable(decode_meta)
 
     def add_lora(self, lora_request) -> bool:
         return self.worker.add_lora(lora_request)

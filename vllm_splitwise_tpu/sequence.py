@@ -220,6 +220,19 @@ class Sequence:
         self.output_logprobs.append(logprobs)
         self.data.append_token(token_id, logprobs[token_id].logprob)
 
+    def pop_tokens(self, k: int) -> None:
+        """Remove the last ``k`` appended tokens — exact inverse of ``k``
+        append_token calls.  Used by the pipelined engine step, which
+        appends PLACEHOLDER tokens for an in-flight decode window (so
+        the next window schedules against the advanced lengths) and pops
+        them when the window's real tokens arrive."""
+        for _ in range(k):
+            lps = self.output_logprobs.pop()
+            tok = self.data._tokens.pop()
+            lp = lps.get(tok)
+            if lp is not None:
+                self.data.cumulative_logprob -= lp.logprob
+
     # ---- scoring / lifecycle ------------------------------------------
 
     def beam_score(self,

@@ -186,6 +186,11 @@ class ModelRunner:
         self._in_warmup = False
         self._prefill_fn = None
         self._decode_fn = None
+        # (last_tokens_device, row_key, batch_bucket) of the most recent
+        # fused decode window — consumed by a chained follow-up window
+        # (pipelined serving).  Any OTHER dispatch that advances decode
+        # rows invalidates it.
+        self._window_carry = None
         # Splitwise prefill pool: dispatch prefills as layer-group
         # segments so freshly written KV pages stream to the decode pool
         # mid-forward (set by the Worker on PREFILL-typed workers).
@@ -526,8 +531,9 @@ class ModelRunner:
 
         block_size = self.block_size
 
-        def multi_step(params, kv_caches, ibuf, fbuf, *, num_steps, batch,
-                       pages, s_pad, needs_filtering, max_logprobs):
+        def multi_step(params, kv_caches, ibuf, fbuf, carry_tokens, *,
+                       num_steps, batch, pages, s_pad, needs_filtering,
+                       max_logprobs, use_carry=False):
             """Fused K-step decode window (TPU extension, no reference
             analog): ``lax.scan`` over K decode steps with device-side
             token feedback, so ONE dispatch + ONE [K, B] packed fetch
@@ -548,6 +554,14 @@ class ModelRunner:
                 return part
 
             first_tokens = take(batch)
+            if use_carry:
+                # Chained window (pipelined serving): the previous
+                # window's final sampled tokens never visited the host —
+                # they arrive as a live device array, so this window
+                # dispatches BEFORE the previous one's outputs are even
+                # fetched (the engine appends placeholder tokens
+                # meanwhile and reconciles at fetch).
+                first_tokens = carry_tokens
             ctx0 = take(batch)
             valid = take(batch) >= 0  # step-0 slots; -1 marks pad rows
             block_tables = take(batch * pages).reshape(batch, pages)
@@ -598,15 +612,16 @@ class ModelRunner:
                                        axis=0, mode="clip")
                 return (caches, next_tokens), _pack_sampler_output(out)
 
-            (kv_caches, _), outs = jax.lax.scan(
+            (kv_caches, last_tokens), outs = jax.lax.scan(
                 body, (kv_caches, first_tokens),
                 (seeds, jnp.arange(num_steps, dtype=jnp.int32)))
-            return outs, kv_caches
+            return outs, last_tokens, kv_caches
 
         self._multi_step_fn = jax.jit(
             multi_step,
             static_argnames=("num_steps", "batch", "pages", "s_pad",
-                             "needs_filtering", "max_logprobs"),
+                             "needs_filtering", "max_logprobs",
+                             "use_carry"),
             donate_argnums=(1, ),
         )
 
@@ -1321,6 +1336,13 @@ class ModelRunner:
     ) -> Tuple[Optional[SamplerOutput], Any]:
         is_prompt = seq_group_metadata_list[0].is_prompt
 
+        if not is_prompt and not (num_decode_steps > 1
+                                  and self.draft_model is None):
+            # Tokens advance outside the fused-window path (plain decode,
+            # spec steps, host-processor batches): the device-side window
+            # carry no longer reflects these rows' last tokens.
+            self._window_carry = None
+
         if not is_prompt and num_decode_steps > 1:
             if self.draft_model is not None:
                 # A spec step plans a (k+1)-token window.  Eager fetch
@@ -1562,6 +1584,25 @@ class ModelRunner:
             prompt_out = prompt_thunk()
         return prompt_out, decode_out, kv_caches
 
+    @staticmethod
+    def _window_key(seq_group_metadata_list):
+        """Row-composition key of a decode window: chained dispatch is
+        valid only when the next window's rows are EXACTLY the previous
+        window's (same sequences, same order) — then the device-resident
+        carry tokens line up row-for-row."""
+        return tuple(sid for md in seq_group_metadata_list
+                     for sid in sorted(md.seq_data))
+
+    def window_chainable(self, seq_group_metadata_list) -> bool:
+        """True iff a multi-step window over these groups can consume
+        the PREVIOUS window's device-side token carry (the engine's
+        pipelined step gates on this before deferring the fetch)."""
+        if self._window_carry is None:
+            return False
+        _, key, batch = self._window_carry
+        return (key == self._window_key(seq_group_metadata_list)
+                and batch == _bucket(len(key), self.DECODE_BATCH_BUCKETS))
+
     def _execute_multi_decode(self, seq_group_metadata_list, kv_caches,
                               num_steps: int, defer: bool = False):
         """Run a fused K-step decode window; returns (list of per-step
@@ -1569,7 +1610,14 @@ class ModelRunner:
         (single-seq groups, no beam/penalties/processors/LoRA) and has
         reserved the lookahead KV pages.  All metadata ships as two
         packed buffers — one i32, one f32 — so the window costs exactly
-        two uploads and one fetch on the transport."""
+        two uploads and one fetch on the transport.
+
+        When the previous dispatch was a window over the SAME rows, the
+        step chains: first tokens come from the previous window's
+        device-side carry (the host ibuf's token slots hold engine
+        placeholders), so the dispatch needs NO output from the previous
+        fetch — the engine overlaps this window's device time with the
+        previous window's transport + host processing."""
         input_ids, _, metadata, _ = self._prepare_decode(
             seq_group_metadata_list, as_numpy=True)
         (tensors, seeds0, sample_indices, needs_filtering, max_logprobs,
@@ -1582,10 +1630,19 @@ class ModelRunner:
         s_pad = sample_indices.shape[0]
         ibuf, fbuf = self._pack_decode_window_bufs(
             input_ids, metadata, sample_indices, tensors, seeds)
-        outs, kv_caches = self._multi_step_fn(
+        use_carry = self.window_chainable(seq_group_metadata_list)
+        carry = (self._window_carry[0] if use_carry
+                 else jnp.zeros((batch, ), jnp.int32))
+        outs, last_tokens, kv_caches = self._multi_step_fn(
             self.params, kv_caches, jnp.asarray(ibuf), jnp.asarray(fbuf),
-            num_steps=num_steps, batch=batch, pages=pages, s_pad=s_pad,
-            needs_filtering=needs_filtering, max_logprobs=max_logprobs)
+            carry, num_steps=num_steps, batch=batch, pages=pages,
+            s_pad=s_pad, needs_filtering=needs_filtering,
+            max_logprobs=max_logprobs, use_carry=use_carry)
+        self._window_carry = (last_tokens,
+                              self._window_key(seq_group_metadata_list),
+                              batch)
+        self.dispatch_stats["chained_windows" if use_carry
+                            else "unchained_windows"] += 1
 
         def finish():
             arrs = _unpack_sampler_output(outs, max_logprobs)  # [K, S, .]
@@ -1800,6 +1857,9 @@ class ModelRunner:
                                  prefill=prefill)
         finally:
             self._in_warmup = False
+            # Warmup windows use dummy seq ids that can collide with real
+            # traffic's row keys — their carry must never chain.
+            self._window_carry = None
 
     def _warm_up(self, kv_caches, SequenceData, decode: bool = True,
                  prefill: bool = True):

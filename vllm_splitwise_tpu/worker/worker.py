@@ -328,6 +328,40 @@ class Worker:
         self._repoint_caches()
         return prompt_out, decode_out
 
+    def execute_mixed_deferred(
+        self,
+        prompt_meta: List[SequenceGroupMetadata],
+        decode_meta: List[SequenceGroupMetadata],
+        blocks_to_swap_in: Optional[Dict[int, int]] = None,
+        blocks_to_swap_out: Optional[Dict[int, int]] = None,
+        blocks_to_copy: Optional[Dict[int, List[int]]] = None,
+        num_decode_steps: int = 1,
+    ):
+        """Pipelined mixed step: dispatch both halves and return
+        (prompt_thunk, decode_thunk) WITHOUT fetching — the engine
+        finishes them on its NEXT step, overlapping this step's device
+        time with the previous step's transport + host processing."""
+        self.cache_swap(blocks_to_swap_in or {}, blocks_to_swap_out or {},
+                        blocks_to_copy or {})
+        decode_thunk = prompt_thunk = None
+        if decode_meta:
+            decode_thunk, self.kv_caches = self.model_runner.execute_model(
+                decode_meta, self.kv_caches, num_decode_steps, defer=True)
+        if prompt_meta:
+            prompt_thunk, self.kv_caches = self.model_runner.execute_model(
+                prompt_meta, self.kv_caches, defer=True)
+            all_mid_chunk = all(
+                getattr(md, "prefill_end", None) is not None
+                and md.prefill_end < next(
+                    iter(md.seq_data.values())).num_tokens
+                for md in prompt_meta)
+            if all_mid_chunk:
+                # Mid-chunk outputs are discarded by the engine: leave
+                # the device array unread (no fetch).
+                prompt_thunk = lambda n=len(prompt_meta): [None] * n
+        self._repoint_caches()
+        return prompt_thunk, decode_thunk
+
     def _repoint_caches(self) -> None:
         """The step fns DONATE cache buffers: after any dispatch the
         engines must address the new arrays, not the consumed ones."""
