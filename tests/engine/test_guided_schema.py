@@ -148,3 +148,67 @@ def test_recursive_ref_refuses():
               "$ref": "#/$defs/node"}
     with pytest.raises(ValueError):
         build_regex_from_schema(schema)
+
+
+class _FakeTok:
+    """32k-token tokenizer stand-in: id -> short ascii string."""
+
+    def __init__(self, vocab=32000):
+        import random
+        rng = random.Random(0)
+        alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 .,:{}[]\"'"
+        self._toks = ["".join(rng.choice(alphabet)
+                              for _ in range(rng.randint(1, 6)))
+                      for _ in range(vocab)]
+        self.eos_token_id = 0
+
+    def __len__(self):
+        return len(self._toks)
+
+    def decode(self, ids):
+        return "".join(self._toks[i] for i in ids)
+
+
+def test_fallback_per_step_cost_bounded_at_32k_vocab():
+    """The partial-match fallback (patterns outside the DFA subset,
+    e.g. lookahead) must stay serviceable at a 32k vocab: first-char
+    group pruning bounds the common-case step at O(alphabet +
+    survivors) regex matches.  Pin the per-step wall cost and verify
+    semantics against the unpruned oracle on a sample."""
+    import time
+
+    import numpy as np
+    import regex as re_mod
+
+    from vllm_splitwise_tpu.layers.guided_logits_processors import \
+        RegexLogitsProcessor
+
+    pattern = r"(?=i)i[a-z0-9 ]{0,40}9"   # lookahead: DFA refuses
+    tok = _FakeTok()
+    proc = RegexLogitsProcessor(pattern, tok)
+    assert proc.dfa is None  # really on the fallback path
+
+    logits = np.zeros((len(tok), ), dtype=np.float32)
+    # Warm the suffix/first-char caches (one-time per prev token).
+    proc([], logits)
+    t0 = time.perf_counter()
+    steps = 3
+    out = None
+    for s in range(steps):
+        out = proc(list(range(1, s + 2)), logits.copy())
+    per_step = (time.perf_counter() - t0) / steps
+    # Generous CI bound; unpruned this is ~32k regex matches per step.
+    assert per_step < 2.0, f"fallback step cost {per_step:.2f}s"
+
+    # Semantics: pruned mask == brute-force oracle on a random sample.
+    ids = [5, 6]
+    masked = proc(ids, logits.copy())
+    text = tok.decode(ids)
+    cre = re_mod.compile(pattern)
+    rng = np.random.RandomState(1)
+    for tid in rng.randint(0, len(tok), size=300):
+        ts = tok.decode(ids + [int(tid)])[len(text):]
+        expected = bool(ts) and \
+            cre.fullmatch(text + ts, partial=True) is not None
+        got = masked[tid] == 0.0
+        assert got == expected, (tid, ts, got, expected)

@@ -63,6 +63,9 @@ class RegexLogitsProcessor:
         # "t20"+"t21" may join as "t20 t21" — the space belongs to the
         # suffix).  Keyed by prev token id; None = sequence start.
         self._suffix_cache: Dict[Optional[int], List[str]] = {}
+        # prev_id -> {first char: [token ids]} (fallback-path pruning).
+        self._first_char_cache: Dict[Optional[int],
+                                     Dict[str, List[int]]] = {}
         # DFA path: (state, prev_id) -> mask.  Fallback: (text, prev_id).
         self._mask_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
         # token-id tuple -> DFA state (None = dead); grown incrementally.
@@ -151,6 +154,24 @@ class RegexLogitsProcessor:
 
     # ---- partial-match fallback ----------------------------------------
 
+    def _first_char_groups(
+            self, prev_id: Optional[int]) -> Dict[str, List[int]]:
+        """Token ids grouped by their suffix's FIRST character: the
+        fallback checks one partial match per distinct first char
+        (~alphabet size) and only runs per-token matches for tokens
+        whose first char survived — bounding the common-case per-step
+        cost at O(alphabet + surviving tokens) regex matches instead of
+        O(vocab)."""
+        cached = self._first_char_cache.get(prev_id)
+        if cached is not None:
+            return cached
+        groups: Dict[str, List[int]] = {}
+        for tid, ts in enumerate(self._suffixes_after(prev_id)):
+            if ts:
+                groups.setdefault(ts[0], []).append(tid)
+        self._first_char_cache[prev_id] = groups
+        return groups
+
     def _allowed_mask(self, text: str, prev_id: Optional[int],
                       vocab: int) -> np.ndarray:
         key = (text, prev_id)
@@ -160,12 +181,17 @@ class RegexLogitsProcessor:
         suffixes = self._suffixes_after(prev_id)
         mask = np.full((vocab, ), _NEG_INF, dtype=np.float32)
         complete = self.pattern.fullmatch(text) is not None
-        for tid in range(min(vocab, len(suffixes))):
-            ts = suffixes[tid]
-            if not ts:
-                continue
-            if self.pattern.fullmatch(text + ts, partial=True) is not None:
-                mask[tid] = 0.0
+        fullmatch = self.pattern.fullmatch
+        for ch, tids in self._first_char_groups(prev_id).items():
+            if fullmatch(text + ch, partial=True) is None:
+                continue  # every token starting with ch is dead
+            for tid in tids:
+                if tid >= vocab:
+                    continue
+                ts = suffixes[tid]
+                if len(ts) == 1 or fullmatch(text + ts,
+                                             partial=True) is not None:
+                    mask[tid] = 0.0
         if complete and self.eos_token_id is not None and \
                 self.eos_token_id < vocab:
             mask[self.eos_token_id] = 0.0
