@@ -266,3 +266,52 @@ def test_pipelined_streaming_arrivals_and_abort(tiny_checkpoint):
             assert got == exp[:len(got)], (got, exp)
         else:
             assert got == exp, (i, got, exp)
+
+
+def test_pipelined_async_engine(tiny_checkpoint):
+    """The ASYNC engine must route through the pipelined step (serving
+    runs AsyncLLMEngine — an async path that silently fell back to the
+    sync mixed step would invalidate every --pipeline-decode serving
+    number).  Greedy outputs must stay HF-exact and the runner must
+    actually chain windows."""
+    import asyncio
+
+    import torch
+
+    from vllm_splitwise_tpu.engine.arg_utils import AsyncEngineArgs
+    from vllm_splitwise_tpu.engine.async_llm_engine import AsyncLLMEngine
+
+    d, hf, _ = tiny_checkpoint
+    engine = AsyncLLMEngine.from_engine_args(AsyncEngineArgs(
+        model=d, dtype="float32", max_model_len=256,
+        num_gpu_blocks_override=256, block_size=16, max_num_seqs=16,
+        max_paddings=512, mixed_batch=True, pipeline_decode=True,
+        chunked_prefill_tokens=32, max_num_prompt_seqs=2,
+        num_decode_steps=4, disable_log_stats=True,
+        disable_log_requests=True))
+
+    prompt_ids = _prompts(41, 5, lo=8, hi=60)
+
+    async def collect(i, ids):
+        final = None
+        async for out in engine.generate(
+                None, SamplingParams(temperature=0.0, max_tokens=24,
+                                     ignore_eos=True), str(i),
+                prompt_token_ids=ids):
+            final = out
+        return final
+
+    async def main():
+        return await asyncio.gather(
+            *(collect(i, ids) for i, ids in enumerate(prompt_ids)))
+
+    outs = asyncio.run(main())
+    for ids, out in zip(prompt_ids, outs):
+        cur = list(ids)
+        for _ in range(24):
+            with torch.no_grad():
+                logits = hf(torch.tensor([cur])).logits[0, -1]
+            cur.append(int(torch.argmax(logits)))
+        assert out.outputs[0].token_ids == cur[len(ids):]
+    runner = engine.engine.executor.worker.model_runner
+    assert runner.dispatch_stats.get("chained_windows", 0) > 0

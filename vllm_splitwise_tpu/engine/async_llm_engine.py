@@ -168,6 +168,13 @@ class _AsyncLLMEngine(LLMEngine):
     """LLMEngine whose step awaits the executor instead of blocking."""
 
     async def step_async(self) -> List[RequestOutput]:
+        if getattr(self.executor, "execute_dual_deferred", None) \
+                is not None:
+            # Pipelined mixed step (--pipeline-decode): the whole
+            # schedule→dispatch→reconcile cycle runs off the event loop;
+            # the in-flight window overlaps it with device compute.
+            return await asyncio.get_running_loop().run_in_executor(
+                None, self._step_mixed_pipelined)
         if getattr(self.executor, "execute_dual", None) is not None:
             return await self._step_splitwise_async()
         metadata, plan = self.scheduler.schedule()
