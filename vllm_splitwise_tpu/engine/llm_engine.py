@@ -811,6 +811,14 @@ class LLMEngine:
         d_stall_s = stall_s - self._last_compile_stats[1]
         self._last_compile_stats = (stalls, stall_s)
 
+        chained = unchained = 0
+        w = getattr(self.executor, "worker", None)
+        ds = getattr(getattr(w, "model_runner", None), "dispatch_stats",
+                     None)
+        if ds is not None:
+            chained = ds.get("chained_windows", 0)
+            unchained = ds.get("unchained_windows", 0)
+
         return Stats(
             now=now,
             num_running=len(self.scheduler.running),
@@ -827,6 +835,8 @@ class LLMEngine:
             spec_tokens_per_step=spec_tps,
             compile_stalls=d_stalls,
             compile_stall_seconds=d_stall_s,
+            chained_windows=chained,
+            unchained_windows=unchained,
         )
 
     def check_health(self) -> None:

@@ -112,6 +112,12 @@ class Stats:
     # Mid-traffic compile stalls SINCE THE LAST SNAPSHOT (deltas).
     compile_stalls: int = 0
     compile_stall_seconds: float = 0.0
+    # Pipelined serving (--pipeline-decode): cumulative chained vs
+    # unchained window dispatches (chained = the window consumed the
+    # previous window's device-side token carry, fully overlapping
+    # host/transport time).
+    chained_windows: int = 0
+    unchained_windows: int = 0
 
 
 class StatLogger:
@@ -176,6 +182,10 @@ class StatLogger:
                 spec = (f", Spec acceptance: "
                         f"{stats.spec_acceptance_rate * 100:.1f}%"
                         f" ({stats.spec_tokens_per_step:.2f} tok/step)")
+            total_w = stats.chained_windows + stats.unchained_windows
+            if total_w:
+                spec += (f", Chained windows: {stats.chained_windows}"
+                         f"/{total_w}")
             logger.info(
                 "Avg prompt throughput: %.1f tokens/s, "
                 "Avg generation throughput: %.1f tokens/s, "
