@@ -315,3 +315,44 @@ def test_pipelined_async_engine(tiny_checkpoint):
         assert out.outputs[0].token_ids == cur[len(ids):]
     runner = engine.engine.executor.worker.model_runner
     assert runner.dispatch_stats.get("chained_windows", 0) > 0
+
+
+def test_pipelined_beam_and_fanout(tiny_checkpoint):
+    """Beam search and n>1 requests mixed with plain greedy under
+    --pipeline-decode: fork groups join decode AFTER a deferred prompt
+    step, so their first scheduled metadata can be stale — the drain
+    path must drop-and-reschedule them, never decode a stale single
+    parent row.  Beam outputs must match the sync engine's."""
+    d, hf, _ = tiny_checkpoint
+
+    def run(pipe):
+        llm = LLM(model=d, dtype="float32", max_model_len=256,
+                  num_gpu_blocks_override=256, block_size=16,
+                  max_num_seqs=16, max_paddings=512, mixed_batch=True,
+                  pipeline_decode=pipe, chunked_prefill_tokens=32,
+                  max_num_prompt_seqs=2, num_decode_steps=4)
+        prompt_ids = _prompts(47, 4, lo=8, hi=40)
+        params = [
+            SamplingParams(temperature=0.0, max_tokens=8,
+                           ignore_eos=True),
+            SamplingParams(temperature=0.0, max_tokens=8, n=2,
+                           use_beam_search=True, ignore_eos=True),
+            SamplingParams(temperature=0.0, max_tokens=8,
+                           ignore_eos=True),
+            SamplingParams(temperature=0.8, seed=123, max_tokens=8,
+                           n=2, best_of=2, ignore_eos=True),
+        ]
+        for i, (ids, sp) in enumerate(zip(prompt_ids, params)):
+            llm.llm_engine.add_request(str(i), None, sp,
+                                       prompt_token_ids=ids)
+        results = {}
+        while llm.llm_engine.has_unfinished_requests():
+            for out in llm.llm_engine.step():
+                if out.finished:
+                    results[out.request_id] = sorted(
+                        tuple(o.token_ids) for o in out.outputs)
+        return results
+
+    sync = run(False)
+    pipe = run(True)
+    assert sync == pipe, (sync, pipe)

@@ -234,17 +234,34 @@ class LLMEngine:
                      and self.executor.window_chainable(decode_meta))
 
         if self._pipeline is not None and not chainable:
-            # Drain, then run THIS schedule synchronously.  Processing
-            # may have finished some scheduled groups (their in-flight
-            # overshoot resolved a stop): drop them from the dispatch —
-            # their pages free at this step's end, after the dispatch
-            # order guarantees no reuse hazard.
+            # Drain first.  Processing may have finished some scheduled
+            # groups (their in-flight overshoot resolved a stop): drop
+            # them from the dispatch — their pages free at this step's
+            # end, after the dispatch order guarantees no reuse hazard.
             results = self._finish_pipeline()
+            # Drop (a) groups that finished during reconciliation and
+            # (b) groups whose sequence set changed under the schedule —
+            # a beam/n>1 prompt processed in the deferred reconciliation
+            # forks children AFTER this step's metadata snapshotted a
+            # single parent seq; dispatching that stale row would decode
+            # only the parent.  Dropped groups lose one step and
+            # reschedule correctly next pass.
             keep = [(md, g) for md, g in zip(
                 decode_meta, decode_sched.scheduled_seq_groups)
-                if not g.is_finished()]
+                if not g.is_finished() and set(md.seq_data) == {
+                    s.seq_id
+                    for s in g.get_seqs(status=SequenceStatus.RUNNING)}]
             decode_meta = [md for md, _ in keep]
             decode_sched.scheduled_seq_groups = [g for _, g in keep]
+            window = decode_sched.num_decode_steps > 1 and \
+                bool(decode_meta)
+            if window:
+                # Re-enter the pipeline immediately (deferred dispatch;
+                # the runner uses host tokens — state is fully
+                # reconciled): a join step costs no synchronous round
+                # trip.
+                return results + self._dispatch_pipelined(
+                    decode_meta, decode_sched, prompt_meta, prompt_sched)
             if decode_meta or prompt_meta or \
                     prompt_sched.ignored_seq_groups or \
                     not decode_sched.is_empty():
@@ -276,6 +293,15 @@ class LLMEngine:
 
         # Dispatch the new mixed step deferred (chained when a window is
         # in flight), THEN reconcile the previous one.
+        results = self._dispatch_pipelined(decode_meta, decode_sched,
+                                           prompt_meta, prompt_sched)
+        return results
+
+    def _dispatch_pipelined(self, decode_meta, decode_sched, prompt_meta,
+                            prompt_sched) -> List[RequestOutput]:
+        """Dispatch a mixed step deferred, reconcile any previous
+        in-flight dispatch, and install the new one as the pipeline.
+        Returns the PREVIOUS dispatch's outputs."""
         prompt_thunk, decode_thunk = self.executor.execute_dual_deferred(
             prompt_meta, decode_meta, decode_sched.blocks_to_swap_in,
             decode_sched.blocks_to_swap_out, decode_sched.blocks_to_copy,
