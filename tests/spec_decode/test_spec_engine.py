@@ -203,3 +203,24 @@ def test_spec_greedy_equals_plain_fused_kv(ckpt):
     assert worker.cache_engine.fused and worker.draft_cache_engine.fused
     got = _greedy(llm, prompts)
     assert got == ref
+
+
+def test_spec_with_mixed_pipeline(ckpt, draft_ckpt):
+    """Speculative decoding composed with --mixed-batch and
+    --pipeline-decode: spec steps invalidate the window carry so the
+    pipeline permanently drains-and-re-enters — greedy outputs must
+    still exactly equal the plain engine's."""
+    from vllm_splitwise_tpu import LLM
+    d, config = ckpt
+    rng = np.random.RandomState(23)
+    prompts = [rng.randint(3, config.vocab_size, size=n).tolist()
+               for n in (14, 22, 9)]
+    kwargs = dict(model=d, dtype="float32", max_model_len=256,
+                  num_gpu_blocks_override=128, max_num_seqs=4,
+                  max_paddings=512, swap_space=0.05)
+    ref = _greedy(LLM(**kwargs), prompts)
+    llm = LLM(speculative_model=draft_ckpt, num_speculative_tokens=3,
+              mixed_batch=True, pipeline_decode=True,
+              chunked_prefill_tokens=16, max_num_prompt_seqs=1, **kwargs)
+    got = _greedy(llm, prompts)
+    assert got == ref
