@@ -398,10 +398,22 @@ def pad_scales_p8(scales: jnp.ndarray, group_size: int) -> jnp.ndarray:
     return out.reshape(*lead, nb * 8, n)
 
 
+def _sz_dtype():
+    """Band-metadata storage dtype.  f32 (default) is exact for any
+    checkpoint; VST_SZ_DTYPE=f16 HALVES the metadata HBM stream (~6% of
+    the int4 weight bytes) and is STILL exact for real GPTQ/AWQ
+    checkpoints — their scales ship as float16 and their zero points are
+    small integers, both bit-representable in f16.  Read at pack time so
+    A/B runs need no code change."""
+    import os
+    return jnp.float16 if os.environ.get("VST_SZ_DTYPE") == "f16" \
+        else jnp.float32
+
+
 def pack_sz_bands(scales: jnp.ndarray, zeros: jnp.ndarray,
                   group_size: int) -> jnp.ndarray:
-    """[.., K/G, N] raw (scales, zeros) -> ONE [.., ceil(nb/2)*8, N] f32
-    band array, nb = K/(2G) k-blocks.
+    """[.., K/G, N] raw (scales, zeros) -> ONE [.., ceil(nb/2)*8, N]
+    band array (dtype per :func:`_sz_dtype`), nb = K/(2G) k-blocks.
 
     Row layout per 8-row band: even k-block at rows 0..3 = (s0, s1, z0,
     z1), odd k-block at rows 4..7.  Mosaic needs >=8 sublanes per block
@@ -410,11 +422,11 @@ def pack_sz_bands(scales: jnp.ndarray, zeros: jnp.ndarray,
     matmul instead of K*N/2 (two separate 8-row-padded arrays) — at 7B
     decode shapes that is ~1.2 GB/step less HBM traffic.
     """
+    dt = _sz_dtype()
     *lead, rows, n = scales.shape
     nb = rows // 2                       # k-blocks of 2G rows
     nbands = (nb + 1) // 2
-    sz = jnp.stack([scales.astype(jnp.float32),
-                    zeros.astype(jnp.float32)],
+    sz = jnp.stack([scales.astype(dt), zeros.astype(dt)],
                    axis=-2)              # [.., K/G, 2, N] -> per group
     # Per k-block quad (s0, s1, z0, z1):
     sz = sz.reshape(*lead, nb, 2, 2, n)        # [.., nb, group01, sz, N]
@@ -422,7 +434,7 @@ def pack_sz_bands(scales: jnp.ndarray, zeros: jnp.ndarray,
                            axis=-2)            # [.., nb, 4, N]
     if nb % 2:
         quad = jnp.concatenate(
-            [quad, jnp.zeros((*lead, 1, 4, n), jnp.float32)], axis=-3)
+            [quad, jnp.zeros((*lead, 1, 4, n), dt)], axis=-3)
     return quad.reshape(*lead, nbands, 8, n).reshape(
         *lead, nbands * 8, n)
 
@@ -442,10 +454,11 @@ def pad_qweight_even(qweight: jnp.ndarray, group_size: int) -> jnp.ndarray:
 
 def unpack_sz_bands(sz_bands: jnp.ndarray, k: int,
                     group_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Inverse of :func:`pack_sz_bands` -> raw ([K/G, N], [K/G, N])."""
+    """Inverse of :func:`pack_sz_bands` -> raw f32 ([K/G, N], [K/G, N])."""
     nb = k // (2 * group_size)
     rows, n = sz_bands.shape[-2:]
-    quad = sz_bands.reshape(rows // 8 * 2, 4, n)[:nb]   # [nb, 4, N]
+    quad = sz_bands.astype(jnp.float32).reshape(
+        rows // 8 * 2, 4, n)[:nb]                       # [nb, 4, N]
     s = quad[:, 0:2].reshape(nb * 2, n)
     z = quad[:, 2:4].reshape(nb * 2, n)
     return s, z
@@ -833,7 +846,8 @@ def _int4_mxu_kernel_stacked(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    sz = sz_ref[0]                             # [8, bn]
+    # f16 bands (VST_SZ_DTYPE=f16) widen to f32 on load; f32 is a no-op.
+    sz = sz_ref[0].astype(jnp.float32)         # [8, bn]
     xq = x_ref[...]                            # [bm, 4G] int8
     sums = sums_ref[...]                       # [bm, 256]
     dn = (((1, ), (0, )), ((), ()))
