@@ -403,10 +403,12 @@ def main():
                         "attention DMA per logical page")
     # >1 = the engine's serving mode (--num-decode-steps K): one
     # dispatch per K-step lax.scan window with device-side token
-    # feedback.  Default 1 (one dispatch per token): the fused window
-    # measured ~equal for int4 and slightly SLOWER for bf16 on-chip, so
-    # defaulting to it would flatter the int4-vs-bf16 ratio.
-    parser.add_argument("--fused-steps", type=int, default=1)
+    # feedback.  Default 8 = the serving flag's default.  Measured
+    # on-chip 2026-08-21 at 7b_half b23 ctx768: int4 3087/3181/3220
+    # tok/s at k=1/8/16, bf16+kvbf16 1408.9/1408.2 at k=1/8 — the
+    # window mode does NOT flatter the int4-vs-bf16 ratio (bf16 is
+    # flat); both compare legs run the same k either way.
+    parser.add_argument("--fused-steps", type=int, default=8)
     parser.add_argument("--size", choices=list(_SHAPES), default=None)
     parser.add_argument("--quant", choices=["int4", "int8", "bf16"],
                         default="int4")
