@@ -89,3 +89,40 @@ def test_worker_warmup_repoints_cache_engine(tmp_path_factory):
     w.init_cache_engine(cache_config)
     w._run_warmup()
     assert w.kv_caches is w.cache_engine.device_cache
+
+
+def test_phase_scoped_warmup(tmp_path_factory):
+    """Splitwise pools warm only their own phase's programs: a PREFILL
+    worker's warmup must dispatch no decode shapes and vice versa (the
+    executor calls warm_up(decode=..., prefill=...) per worker_type)."""
+    d = str(tmp_path_factory.mktemp("warmup_phase"))
+    config = tiny_llama_config()
+    _, weights = hf_model_and_weights(config)
+    save_local_checkpoint(config, weights, d)
+    save_tiny_tokenizer(d, config.vocab_size)
+
+    def make_runner():
+        r = ModelRunner(
+            ModelConfig(d, dtype="float32", max_model_len=64),
+            ParallelConfig(),
+            SchedulerConfig(max_num_batched_tokens=64, max_num_seqs=8,
+                            max_model_len=64),
+            CacheConfig(block_size=BLOCK, swap_space=0.01))
+        r.load_model()
+        return r
+
+    def kv():
+        return make_kv_caches(
+            config.num_hidden_layers, config.num_key_value_heads,
+            config.hidden_size // config.num_attention_heads,
+            num_pages=32, page_size=BLOCK)
+
+    r = make_runner()
+    r.warm_up(kv(), decode=False, prefill=True)
+    sigs = set(r._seen_programs)
+    assert sigs and all(s[0] == "P" for s in sigs), sigs
+
+    r = make_runner()
+    r.warm_up(kv(), decode=True, prefill=False)
+    sigs = set(r._seen_programs)
+    assert sigs and all(s[0] == "D" for s in sigs), sigs
