@@ -1023,7 +1023,19 @@ def quant_matmul_int4_mxu_stacked(
             f"no lane-aligned tile of N={n} fits the scoped-VMEM limit "
             f"(block_m={block_m}, n_limit={n_limit})")
     block_n = picked
-    grid = (_cdiv(m, block_m), n // block_n, num_bands)
+    # Ragged-N tiles (VST_QM_RAGGED_N=1, prefill-size m only): when N's
+    # only lane-aligned divisor under the VMEM limit is tiny (the merged
+    # gate_up's 22016 = 172*128 allows just 512), grid-step count
+    # explodes (43 n-steps x bands x m-steps).  A non-dividing 2048
+    # tile with a cdiv grid cuts the step count ~4x; the final tile's
+    # out-of-bounds lanes read undefined data but only ever write
+    # out-of-bounds output lanes (column-local math), which Pallas
+    # masks.  Gated off by default pending on-chip validation.
+    import os
+    if (os.environ.get("VST_QM_RAGGED_N", "0") == "1" and m >= 64
+            and picked < 1024):
+        block_n = min(_n_limit(block_m), 2048)
+    grid = (_cdiv(m, block_m), _cdiv(n, block_n), num_bands)
     m_pad = _round_up(m, block_m) - m
 
     # One fused prologue launch builds the quantized activations, the
